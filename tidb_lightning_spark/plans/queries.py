@@ -1,0 +1,432 @@
+"""Headline query registry: Spark DataFrame plans + DuckDB oracle SQL.
+
+Each entry pairs an idiomatic-Spark implementation (declarative DataFrame
+ops so Catalyst does pushdown/pruning/join planning) with an ANSI-SQL
+oracle the driver runs in DuckDB over the same parquet tables.
+
+Cross-engine determinism rules (the driver hash-compares values):
+  * money/measure SUMs: cast inputs to DECIMAL before aggregating —
+    decimal addition is exact and associative, so Spark's partition-order
+    nondeterminism cannot change the result; final CAST pins (p,s) on both
+    sides.
+  * AVGs: exact decimal sum -> CAST AS DOUBLE -> divide by count. One
+    deterministic IEEE division, bit-identical in both engines.
+  * top-k ORDER BY keys are exact types (decimal/int/timestamp) with a
+    unique-key tiebreak, so LIMIT selects the same set everywhere.
+  * float vector math (cosine): identical left-to-right fold in both
+    engines on DOUBLE, rounded to 4 dp on output.
+
+The ingestion-side operators (checksum, dedup, text stats) are imported
+from tidb_lightning_spark.functions and exposed here as queries so the
+correctness gate exercises them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.functions import checksum as cks
+from tidb_lightning_spark.sources.parquet_source import read_table
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return read_table(spark, f"{sf_dir}/{table}.parquet")
+
+
+def dec(col: str, p: int = 18, s: int = 2):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (reference supplies none of these — Spark SQL surface;
+# SURVEY.md §2.J: joins/aggregates/windows "supplied by Spark")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02"))
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    cnt = F.count(F.lit(1))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1997-01-01"))
+    )
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        # customer is ~1/25th of lineitem — broadcast the filtered dim so the
+        # big fact table never shuffles for this join.
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        # supplier/nation/region are tiny dims at any SF — always broadcast.
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@register(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+    FROM orders
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-k (SURVEY.md §2.G3): Spark plans this as TakeOrderedAndProject —
+    # per-partition heap + driver merge, no global sort.
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", dec("o_totalprice").alias("total_price"))
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+@register(
+    "window_user_events",
+    """
+    SELECT event_id, user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           lag(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+)
+def window_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag(F.col("value").cast("decimal(18,4)")).over(w).alias("prev_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion-pipeline operators exposed as queries
+# ---------------------------------------------------------------------------
+
+_LINEITEM_CANON = [
+    ("l_orderkey", None),
+    ("l_partkey", None),
+    ("l_suppkey", None),
+    ("l_linenumber", None),
+    ("l_quantity", "decimal(18,2)"),
+    ("l_extendedprice", "decimal(18,2)"),
+    ("l_discount", "decimal(18,2)"),
+    ("l_tax", "decimal(18,2)"),
+    ("l_returnflag", None),
+    ("l_linestatus", None),
+    ("l_shipdate", None),
+]
+
+
+def _canon_oracle(spec) -> str:
+    parts = []
+    for name, cast_to in spec:
+        inner = f'"{name}"' if cast_to is None else f'CAST("{name}" AS {cast_to.upper()})'
+        parts.append(f"coalesce(CAST({inner} AS VARCHAR), '\\N')")
+    return f"concat_ws('{cks.SEP}', {', '.join(parts)})"
+
+
+@register(
+    "checksum_lineitem",
+    f"""
+    SELECT count(*) AS kvs,
+           CAST(sum(length({_canon_oracle(_LINEITEM_CANON)})) AS BIGINT) AS total_bytes,
+           bit_xor(CAST(concat('0x', substr(md5({_canon_oracle(_LINEITEM_CANON)}), 1, 15)) AS BIGINT)) AS checksum
+    FROM lineitem
+    """,
+)
+def checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-checksum triple (reference: lightning/verification/checksum.go:39-93).
+
+    Doubles are canonicalized to DECIMAL(18,2) text so the serialization is
+    engine-independent; the XOR merge is order-free, so the agg is one
+    map-side-combinable pass with no Python in the loop.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    proj = [
+        (F.col(n) if c is None else F.col(n).cast(c)).alias(n)
+        for n, c in _LINEITEM_CANON
+    ]
+    cols = [n for n, _ in _LINEITEM_CANON]
+    return cks.checksum(l.select(*proj), cols)
+
+
+@register(
+    "dedup_exact_documents",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+           min(n_chars) AS n_chars
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text, keep lowest doc_id.
+
+    At 100 TB you'd group on md5(text) (fixed-width shuffle key) and
+    re-verify within buckets; here text and md5(text) are equivalent keys,
+    and Spark hash-partitions the shuffle either way.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    ).select("keep_id", "n_copies", "n_chars")
+
+
+@register(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+           length(text) AS n_chars_obs,
+           lang
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    return d.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+        "lang",
+    )
+
+
+@register(
+    "knn_cosine_bruteforce",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))) AS sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, rank, round(sim, 4) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (baseline ANN; SURVEY 'similarity search').
+
+    The query set is broadcast; each partition of the corpus scores its
+    vectors against all queries (no shuffle of the corpus), then a per-query
+    top-k. Dot product is a JVM-side zip_with/aggregate fold — no UDF.
+    """
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = (
+        e.alias("e")
+        .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(dot(F.col("v"), F.col("v")))
+                )
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
+    )

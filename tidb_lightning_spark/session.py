@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The engine targets a 1000-executor cluster reading ~100 TB; tests run on
+local[N]. The same conf set works for both: AQE handles runtime re-planning
+(skew joins, partition coalescing), and the shuffle-partition default is
+sized from the env so the driver's bench harness can pin CPU counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tidb-lightning-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
+        # the static shuffle-partition count is always wrong for some stage;
+        # AQE fixes it per-stage from map-output stats.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas-UDF hop (SQL-dump parse, fingerprints).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 256 MiB scan splits — mirrors the reference's max-region-size
+        # (lightning/config/const.go:24) as the per-task input unit.
+        .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
+        # Broadcast threshold: dims up to 64 MiB go broadcast; on the real
+        # cluster the TPC-H-ish dims (region/nation/supplier) always fit.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

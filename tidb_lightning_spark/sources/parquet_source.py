@@ -1,0 +1,55 @@
+"""Parquet source (reference: lightning/mydump/parquet_parser.go:162-276).
+
+Spark's vectorized parquet reader replaces the reference's row-at-a-time
+reflection loop entirely; what remains is logical-type normalization, the
+analog of the reference's converted-type handling (parquet_parser.go:281-346):
+
+  * TIMESTAMP(NANOS) columns — written by some producers (pandas/arrow
+    default) — are illegal for Spark's reader; we flip the runtime conf
+    ``spark.sql.legacy.parquet.nanosAsLong`` and rebuild them as
+    microsecond timestamps. Nano->micro truncation matches what DuckDB /
+    most engines do on read.
+
+The physical-schema probe uses the parquet footer only (no data IO), same
+trick as the reference's row-count fast path (parquet_parser.go:135-160).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _probe_nano_ts_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    probe = path
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            return []
+        probe = files[0]
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pt.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, normalizing nano timestamps to micros."""
+    nanos = _probe_nano_ts_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
