@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round; also usable locally).
+
+Runs every registered headline query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints exactly ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a `noop`-format write, so the full
+plan executes (scan -> shuffle -> agg/window) without driver-side collect
+overhead polluting the numbers. If the ingestion pipeline is available, an
+`ingest_lineitem_csv` entry measures the reference's core workload
+(CSV -> transform -> sorted parquet) and reports MiB/s alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tidb_lightning_spark.plans import queries as Q  # noqa: E402
+from tidb_lightning_spark.session import get_spark  # noqa: E402
+
+
+def time_df(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="tls-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Size scan splits to the bench input so all cores get work: sf0.1 is
+    # ~35 MB total, which would otherwise fit in a single 256 MiB split
+    # (1 task, 31 idle threads). Mirrors the reference's region splitting
+    # (mydump/region.go:131-234) — parallelism comes from byte-range splits.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    split = max(1 * 1024 * 1024, total_bytes // (cpus * 2))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM/codegen once on the smallest table so q1 isn't charged
+    # for session startup
+    Q.load(spark, sf_dir, "region").count()
+
+    for name, spec in Q.registry().items():
+        try:
+            timings[name] = round(time_df(spec.spark(spark, sf_dir)), 4)
+        except Exception as exc:  # keep the bench line intact on a bad query
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+
+    # ingestion throughput (the reference's headline number: MiB/s)
+    try:
+        from tidb_lightning_spark.bench_ingest import run_ingest_bench
+
+        ing = run_ingest_bench(spark, sf_dir)
+        timings["ingest_lineitem_csv"] = round(ing["seconds"], 4)
+        extras["ingest_mib_per_sec"] = round(ing["mib_per_sec"], 2)
+        extras["ingest_rows_per_sec"] = round(ing["rows_per_sec"], 1)
+    except ImportError:
+        pass
+    except Exception as exc:
+        print(f"bench: ingest failed: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t > 0), 4)
+    line = {
+        "metric": "headline_queries_plus_ingest_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extras,
+    }
+    print(json.dumps(line))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -395,13 +395,6 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors against all queries (no shuffle of the corpus), then a per-query
     top-k. Dot product is a JVM-side zip_with/aggregate fold — no UDF.
     """
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
@@ -409,19 +402,29 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
+    # Norms are computed ONCE per vector (2N sqrt-dots instead of 3 per
+    # pair) — at 100 TB the norm column would be persisted next to the
+    # embedding. Same algebra as the oracle: sqrt(dot(v,v)) per side.
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+
     pairs = (
         e.alias("e")
         .join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                dot(F.col("qv"), F.col("v"))
-                / (
-                    F.sqrt(dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(dot(F.col("v"), F.col("v")))
-                )
-            ).alias("sim"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))).alias(
+                "sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
