@@ -1,0 +1,171 @@
+"""End-to-end restore tests: dump dir -> Restorer -> warehouse parquet
+(model: reference tests/csv, tests/default-columns, tests/routes,
+tests/checkpoint* golden-query assertions — fixtures are our own)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tidb_lightning_spark.config import Config
+from tidb_lightning_spark.pipeline import Restorer
+
+
+def write(path: str, content: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+
+
+@pytest.fixture
+def dump_dir(tmp_path):
+    d = str(tmp_path / "dump")
+    write(f"{d}/mydb-schema-create.sql", "CREATE DATABASE IF NOT EXISTS mydb;")
+    write(
+        f"{d}/mydb.people-schema.sql",
+        """
+        CREATE TABLE people (
+            id INT PRIMARY KEY AUTO_INCREMENT,
+            name VARCHAR(5),
+            score DECIMAL(6,2) NOT NULL DEFAULT 1.5,
+            flag TINYINT,
+            created DATETIME NOT NULL DEFAULT CURRENT_TIMESTAMP
+        );
+        """,
+    )
+    write(
+        f"{d}/mydb.people.csv",
+        'name,score,flag\n"alice",10.5,1\n"bob,x",\\N,200\n"characters",3.25,-200\n',
+    )
+    write(
+        f"{d}/mydb.kv-schema.sql",
+        "CREATE TABLE kv (a BIGINT UNSIGNED NOT NULL, b TEXT, c BLOB, "
+        "PRIMARY KEY (a));",
+    )
+    write(
+        f"{d}/mydb.kv.sql",
+        "INSERT INTO `kv` VALUES (18446744073709551615, 'x''y', X'414243'),\n"
+        " (2, NULL, NULL), (3, 'z', 0x5A);\n",
+    )
+    return d
+
+
+def test_end_to_end_restore(spark, dump_dir, tmp_path):
+    target = str(tmp_path / "warehouse")
+    cfg = Config.from_toml(None, source_dir=dump_dir, target_dir=target)
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    assert {t.table: t.status for t in rep.tables} == {
+        "people": "imported",
+        "kv": "imported",
+    }
+
+    people = spark.read.parquet(f"{target}/mydb/people")
+    rows = {r["name"]: r.asDict() for r in people.collect()}
+    assert len(rows) == 3
+    # non-strict casts: overlong name truncated to 5 chars
+    assert "chara" in rows
+    # missing score -> NULL in file? no: \N null with NOT NULL -> default 1.5
+    import decimal
+
+    assert rows["bob,x"]["score"] == decimal.Decimal("1.50")
+    # tinyint clamp 200 -> 127, -200 -> -128
+    assert rows["bob,x"]["flag"] == 127
+    assert rows["chara"]["flag"] == -128
+    # auto-increment ids are unique and non-null
+    ids = [r["id"] for r in rows.values()]
+    assert len(set(ids)) == 3 and all(i is not None for i in ids)
+    # pinned CURRENT_TIMESTAMP default applied
+    assert all(r["created"] is not None for r in rows.values())
+
+    kv = spark.read.parquet(f"{target}/mydb/kv")
+    kvrows = {str(r["a"]): r.asDict() for r in kv.collect()}
+    assert set(kvrows) == {"18446744073709551615", "2", "3"}
+    assert kvrows["18446744073709551615"]["b"] == "x'y"
+    assert bytes(kvrows["18446744073709551615"]["c"]) == b"ABC"
+    assert bytes(kvrows["3"]["c"]) == b"Z"
+    assert kvrows["2"]["b"] is None
+
+    # sorted-by-PK output: each file internally ordered
+    a_vals = [r["a"] for r in kv.orderBy("a").collect()]
+    assert a_vals == sorted(a_vals)
+
+
+def test_checkpoint_resume_skips(spark, dump_dir, tmp_path):
+    target = str(tmp_path / "wh2")
+    cfg = Config.from_toml(None, source_dir=dump_dir, target_dir=target)
+    rep1 = Restorer(spark, cfg).run()
+    assert rep1.ok
+    rep2 = Restorer(spark, cfg).run()
+    assert all(t.status == "skipped" for t in rep2.tables)
+    # source change invalidates the signature -> re-import
+    with open(f"{dump_dir}/mydb.kv.sql", "a") as f:
+        f.write("INSERT INTO kv VALUES (9, 'new', NULL);\n")
+    rep3 = Restorer(spark, cfg).run()
+    statuses = {t.table: t.status for t in rep3.tables}
+    assert statuses["kv"] == "imported"
+    assert statuses["people"] == "skipped"
+    kv = spark.read.parquet(f"{target}/mydb/kv")
+    assert kv.count() == 4
+
+
+def test_strict_mode_fails_on_lossy(spark, tmp_path):
+    d = str(tmp_path / "dump")
+    write(f"{d}/s-schema-create.sql", "CREATE DATABASE s;")
+    write(f"{d}/s.t-schema.sql", "CREATE TABLE t (a TINYINT NOT NULL);")
+    write(f"{d}/s.t.csv", "a\n128\n")
+    target = str(tmp_path / "wh3")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, strict_sql_mode=True,
+        checkpoint_enable=False,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.tables[0].status == "failed"
+    assert "strict" in rep.tables[0].error
+
+
+def test_shard_merge_end_to_end(spark, tmp_path):
+    # semantics pinned by reference tests/routes/run.sh: count=4, sum(x)=259
+    d = str(tmp_path / "dump")
+    write(f"{d}/routes_a0-schema-create.sql", "CREATE DATABASE routes_a0;")
+    write(f"{d}/routes_a1-schema-create.sql", "CREATE DATABASE routes_a1;")
+    write(f"{d}/routes_a0.t0-schema.sql", "CREATE TABLE t0 (x INT);")
+    write(f"{d}/routes_a0.t0.sql", "INSERT INTO t0 VALUES (1), (2);")
+    write(f"{d}/routes_a0.t1-schema.sql", "CREATE TABLE t1 (x INT);")
+    write(f"{d}/routes_a0.t1.sql", "INSERT INTO t1 VALUES (4);")
+    write(f"{d}/routes_a1.t2-schema.sql", "CREATE TABLE t2 (x INT);")
+    write(f"{d}/routes_a1.t2.sql", "INSERT INTO t2 VALUES (252);")
+    target = str(tmp_path / "wh4")
+    cfg = Config.from_toml(
+        None,
+        source_dir=d,
+        target_dir=target,
+        checkpoint_enable=False,
+    )
+    cfg.routes = [
+        {
+            "schema-pattern": "routes_a*",
+            "table-pattern": "t*",
+            "target-schema": "routes_b",
+            "target-table": "u",
+        }
+    ]
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    u = spark.read.parquet(f"{target}/routes_b/u")
+    assert u.count() == 4
+    assert sum(r["x"] for r in u.collect()) == 259
+
+
+def test_cli_run_and_ctl(spark, dump_dir, tmp_path, capsys):
+    from tidb_lightning_spark import cli
+
+    target = str(tmp_path / "wh5")
+    rc = cli.main(["run", "--source", dump_dir, "--target", target])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"ok": true' in out
+    rc = cli.main(["ctl", "--target", target, "--checkpoint-dump"])
+    assert rc == 0
+    assert "`mydb`.`people`" in capsys.readouterr().out

@@ -1,0 +1,100 @@
+"""Checkpoint store (reference: lightning/checkpoints/checkpoints.go).
+
+The reference's 4-level protobuf/MySQL checkpoint machine collapses to a
+per-table JSON state file because our commit unit is a whole table (the
+files sink stages+renames atomically): statuses mirror
+checkpoints.go:43-56 so `ctl` output reads the same.
+
+    loaded(30) -> all_written(60) -> closed(90) -> imported(120) ->
+    altered_auto_inc(150) -> checksummed(180) -> analyzed(210)
+
+Updates are atomic (write-temp + rename) and idempotent; a re-run skips
+tables at >= imported with a matching source signature and re-runs
+anything earlier — the exactly-once semantics the kill-and-resume tests
+pin (FIXTURES.md F12).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+STATUS = {
+    "loaded": 30,
+    "all_written": 60,
+    "closed": 90,
+    "imported": 120,
+    "altered_auto_inc": 150,
+    "checksummed": 180,
+    "analyzed": 210,
+}
+
+
+class CheckpointStore:
+    def __init__(self, path: str, enabled: bool = True):
+        self.path = path
+        self.enabled = enabled
+        self._data: dict = {"version": 1, "tables": {}}
+        if enabled and os.path.exists(path):
+            with open(path) as f:
+                self._data = json.load(f)
+
+    def _save(self) -> None:
+        if not self.enabled:
+            return
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._data, f, indent=2)
+        os.replace(tmp, self.path)
+
+    @staticmethod
+    def table_key(db: str, table: str) -> str:
+        return f"`{db}`.`{table}`"
+
+    def get(self, db: str, table: str) -> dict:
+        return self._data["tables"].get(self.table_key(db, table), {})
+
+    def status(self, db: str, table: str) -> int:
+        return self.get(db, table).get("status", 0)
+
+    def update(self, db: str, table: str, status: str, **fields) -> None:
+        key = self.table_key(db, table)
+        rec = self._data["tables"].setdefault(key, {})
+        rec["status"] = STATUS[status]
+        rec["status_name"] = status
+        rec["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        rec.update(fields)
+        self._save()
+
+    def source_signature(self, data_files) -> str:
+        """Change-detection key: (path, size) of every input file."""
+        import hashlib
+
+        h = hashlib.sha256()
+        for f in data_files:
+            h.update(f"{f.path}:{f.file_size};".encode())
+        return h.hexdigest()[:16]
+
+    def should_skip(self, db: str, table: str, signature: str) -> bool:
+        rec = self.get(db, table)
+        return (
+            rec.get("status", 0) >= STATUS["imported"]
+            and rec.get("signature") == signature
+        )
+
+    def remove(self, db: str | None = None, table: str | None = None) -> int:
+        if db is None:
+            n = len(self._data["tables"])
+            self._data["tables"] = {}
+        else:
+            key = self.table_key(db, table)
+            n = 1 if key in self._data["tables"] else 0
+            self._data["tables"].pop(key, None)
+        self._save()
+        return n
+
+    def dump(self) -> dict:
+        return self._data

@@ -1,0 +1,102 @@
+"""CLI (reference: cmd/tidb-lightning + cmd/tidb-lightning-ctl).
+
+    python -m tidb_lightning_spark.cli run --source DIR --target DIR \
+        [--config cfg.toml] [--no-schema] [--strict] [--checksum off|optional|required]
+    python -m tidb_lightning_spark.cli ctl --checkpoint-dump --target DIR
+    python -m tidb_lightning_spark.cli ctl --checkpoint-remove 'db.tbl' --target DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="tidb-lightning-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="restore a dump directory into the warehouse")
+    run.add_argument("--source", "-d", help="dump directory (data-source-dir)")
+    run.add_argument("--target", required=True, help="warehouse output directory")
+    run.add_argument("--config", help="TOML task config (reference-compatible)")
+    run.add_argument("--no-schema", action="store_true", default=None)
+    run.add_argument("--strict", action="store_true", default=None,
+                     help="strict sql_mode (error on lossy casts)")
+    run.add_argument("--checksum", choices=["off", "optional", "required"])
+    run.add_argument("--no-checkpoint", action="store_true")
+    run.add_argument("--log-level", default="INFO")
+
+    ctl = sub.add_parser("ctl", help="checkpoint operations")
+    ctl.add_argument("--target", required=True)
+    ctl.add_argument("--checkpoint-dump", action="store_true")
+    ctl.add_argument("--checkpoint-remove", metavar="DB.TBL or 'all'")
+
+    args = ap.parse_args(argv)
+    logging.basicConfig(level=args.log_level.upper() if hasattr(args, "log_level") else "INFO",
+                        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+
+    try:
+        if args.cmd == "ctl":
+            return _ctl(args)
+        return _run(args)
+    except (ValueError, FileNotFoundError) as exc:
+        # config/discovery errors: one-line message, no traceback
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+def _run(args) -> int:
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+    from tidb_lightning_spark.session import get_spark
+
+    cfg = Config.from_toml(
+        args.config,
+        source_dir=args.source,
+        target_dir=args.target,
+        no_schema=args.no_schema,
+        strict_sql_mode=args.strict,
+        checksum=args.checksum,
+        checkpoint_enable=False if args.no_checkpoint else None,
+    )
+    spark = get_spark(app_name="tidb-lightning-spark")
+    spark.sparkContext.setLogLevel("WARN")
+    report = Restorer(spark, cfg).run()
+    out = {
+        "tables": [vars(t) for t in report.tables],
+        "seconds": round(report.seconds, 3),
+        "ok": report.ok,
+    }
+    print(json.dumps(out, indent=2, default=str))
+    # the whole table: error summary map (restore.go:89-129)
+    failed = [t for t in report.tables if t.status == "failed"]
+    for t in failed:
+        logging.error("failed table `%s`.`%s`: %s", t.db, t.table, t.error)
+    return 1 if failed else 0
+
+
+def _ctl(args) -> int:
+    from tidb_lightning_spark.checkpoints import CheckpointStore
+
+    store = CheckpointStore(os.path.join(args.target, "_tls_checkpoints.json"))
+    if args.checkpoint_dump:
+        print(json.dumps(store.dump(), indent=2))
+        return 0
+    if args.checkpoint_remove:
+        if args.checkpoint_remove == "all":
+            n = store.remove()
+        else:
+            db, _, tbl = args.checkpoint_remove.partition(".")
+            n = store.remove(db, tbl)
+        print(f"removed {n} checkpoint(s)")
+        return 0
+    print("no ctl action given", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

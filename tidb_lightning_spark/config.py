@@ -1,0 +1,122 @@
+"""Task configuration (reference: lightning/config/config.go — TOML surface
++ Adjust() validation, config.go:499-786).
+
+Same-named TOML keys where the concept survives the Spark re-expression;
+Spark-obsolete knobs (engine batching, disk quota, io pools) are accepted
+but ignored so existing reference configs parse.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass, field
+from typing import Any
+
+from tidb_lightning_spark.sources.csv_source import CSVConfig
+
+
+@dataclass
+class Config:
+    source_dir: str = ""
+    target_dir: str = ""  # warehouse root for the files backend
+    backend: str = "local"  # local (files) | jdbc
+    no_schema: bool = False
+    case_sensitive: bool = False
+    filter: list[str] | None = None
+    file_routes: list[dict] = field(default_factory=list)
+    default_file_rules: bool = True
+    routes: list[dict] = field(default_factory=list)
+    csv: CSVConfig = field(default_factory=CSVConfig)
+    character_set: str = "utf-8"
+    strict_sql_mode: bool = False
+    checkpoint_enable: bool = True
+    checksum: str = "required"  # off | optional | required
+    analyze: str = "optional"
+    jdbc_url: str = ""
+    jdbc_table_prefix: str = ""
+    on_duplicate: str = "replace"  # replace | ignore | error
+    raw: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_toml(cls, path: str | None, **overrides) -> "Config":
+        raw: dict[str, Any] = {}
+        if path:
+            with open(path, "rb") as f:
+                raw = tomllib.load(f)
+        cfg = cls(raw=raw)
+        my = raw.get("mydumper", {})
+        cfg.source_dir = my.get("data-source-dir", cfg.source_dir)
+        cfg.no_schema = my.get("no-schema", cfg.no_schema)
+        cfg.case_sensitive = my.get("case-sensitive", cfg.case_sensitive)
+        cfg.filter = my.get("filter", cfg.filter)
+        cfg.file_routes = my.get("files", cfg.file_routes)
+        cfg.default_file_rules = my.get("default-file-rules", not cfg.file_routes)
+        cfg.character_set = _charset(my.get("character-set", "utf8mb4"))
+        csv = my.get("csv", {})
+        cfg.csv = CSVConfig(
+            separator=csv.get("separator", ","),
+            delimiter=csv.get("delimiter", '"'),
+            header=csv.get("header", True),
+            not_null=csv.get("not-null", False),
+            null=csv.get("null", r"\N"),
+            backslash_escape=csv.get("backslash-escape", True),
+            trim_last_sep=csv.get("trim-last-separator", False),
+            character_set=_charset(my.get("character-set", "utf8mb4")),
+        )
+        cfg.routes = raw.get("routes", [])
+        tikv = raw.get("tikv-importer", {})
+        cfg.backend = tikv.get("backend", "local")
+        cfg.on_duplicate = tikv.get("on-duplicate", cfg.on_duplicate)
+        cp = raw.get("checkpoint", {})
+        cfg.checkpoint_enable = cp.get("enable", True)
+        post = raw.get("post-restore", {})
+        cfg.checksum = _tristate(post.get("checksum", "required"))
+        cfg.analyze = _tristate(post.get("analyze", "optional"))
+        tidb = raw.get("tidb", {})
+        if tidb.get("sql-mode", ""):
+            cfg.strict_sql_mode = "STRICT_TRANS_TABLES" in tidb["sql-mode"].upper()
+        for k, v in overrides.items():
+            if v is not None:
+                setattr(cfg, k, v)
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> None:
+        """Adjust()-style checks (config.go:499-786 subset)."""
+        if not self.source_dir:
+            raise ValueError("mydumper.data-source-dir (--source) is required")
+        if self.backend not in ("local", "importer", "tidb", "jdbc", "files"):
+            raise ValueError(f"invalid backend {self.backend!r}")
+        c = self.csv
+        if not c.separator:
+            raise ValueError("csv.separator must not be empty")
+        if c.delimiter and (
+            c.separator.startswith(c.delimiter)
+            or c.delimiter.startswith(c.separator)
+        ):
+            raise ValueError("csv.separator and csv.delimiter must not be prefixes")
+        if self.routes and self.file_routes:
+            raise ValueError("can't configure both [routes] and [[mydumper.files]]")
+        if self.on_duplicate not in ("replace", "ignore", "error"):
+            raise ValueError(f"invalid on-duplicate {self.on_duplicate!r}")
+
+
+def _charset(name: str) -> str:
+    return {
+        "utf8": "utf-8",
+        "utf8mb4": "utf-8",
+        "gb18030": "gb18030",
+        "gbk": "gbk",
+        "latin1": "iso-8859-1",
+        "binary": "iso-8859-1",
+        "auto": "utf-8",
+    }.get(name.lower(), name)
+
+
+def _tristate(v) -> str:
+    if isinstance(v, bool):
+        return "required" if v else "off"
+    v = str(v).lower()
+    if v not in ("off", "optional", "required", "true", "false"):
+        raise ValueError(f"invalid tristate {v!r}")
+    return {"true": "required", "false": "off"}.get(v, v)

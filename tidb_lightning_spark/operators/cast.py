@@ -1,0 +1,177 @@
+"""MySQL-semantics cast library (reference: table.CastValue at
+lightning/backend/sql2kv.go:306-326 + SQL-mode flags session.go:186-204,
+pinned by tests/sqlmode and tests/various_types — see FIXTURES.md F1/F3/F8).
+
+Input columns are STRINGS (both CSV and SQL-dump parsers emit string
+datums); this module produces typed columns per the table schema with
+MySQL's non-strict coercions expressed as Catalyst expressions (no UDFs):
+
+  * numerics: numeric-prefix extraction, round-half-up at the integer
+    boundary, clamp to the type's range ('NaN' -> 0, 128 -> TINYINT 127,
+    99.999 -> 100);
+  * temporal: zero dates ('0000-00-00...') -> NULL (Spark has no zero
+    date; the departure is documented in SURVEY.md §7), unparseable -> NULL;
+  * CHAR/VARCHAR(n): truncate to n characters;
+  * ENUM: member name or 1-based ordinal; invalid -> NULL ('' in MySQL);
+  * SET: member list canonicalized to definition order with dedup, or a
+    numeric bitmask; any invalid member -> NULL;
+  * BIT(n): integer text or raw-byte string -> LongType;
+  * BINARY/BLOB: utf-8 bytes for CSV text, latin-1 (byte-preserving, for
+    hex literals) for SQL-dump values.
+
+In strict mode each cast also contributes to an `_err` indicator used by
+the pipeline to fail the load with row samples (the reference errors the
+row at encode time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tidb_lightning_spark.schema.ddl import ColumnInfo
+
+_NUM_PREFIX = r"^\s*([+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)"
+
+_INT_BOUNDS = {
+    "tinyint": (-128, 127, 0, 255),
+    "smallint": (-32768, 32767, 0, 65535),
+    "mediumint": (-8388608, 8388607, 0, 16777215),
+    "int": (-2147483648, 2147483647, 0, 4294967295),
+    "integer": (-2147483648, 2147483647, 0, 4294967295),
+    "bigint": (-(2**63), 2**63 - 1, 0, 2**64 - 1),
+    "year": (1901, 2155, 1901, 2155),
+    "bit": (0, 2**63 - 1, 0, 2**63 - 1),
+}
+
+
+def _dec_lit(v: int) -> Column:
+    return F.lit(str(v)).cast("decimal(38,9)")
+
+
+def _num(col: Column) -> Column:
+    """MySQL numeric-prefix parse: '99.9x' -> 99.9, junk -> 0."""
+    prefix = F.regexp_extract(col, _NUM_PREFIX, 1)
+    return F.when(prefix == "", F.lit(0)).otherwise(prefix.cast("decimal(38,9)"))
+
+
+def cast_column(
+    col: Column, info: ColumnInfo, binary_encoding: str = "UTF-8"
+) -> Column:
+    """Non-strict MySQL cast of a string column to the schema type."""
+    b = info.mysql.base
+    spark_t = info.mysql.spark_type()
+
+    if b in _INT_BOUNDS and b != "bit":
+        lo_s, hi_s, lo_u, hi_u = _INT_BOUNDS[b]
+        lo, hi = (lo_u, hi_u) if info.mysql.unsigned else (lo_s, hi_s)
+        v = F.round(_num(col))  # MySQL rounds fractional inserts (99.999->100)
+        # bounds as decimal literals: 2^64-1 exceeds a JVM long. greatest/
+        # least skip NULLs in Spark, so gate on the input being non-null.
+        v = F.least(F.greatest(v, _dec_lit(lo)), _dec_lit(hi))
+        return F.when(col.isNull(), F.lit(None)).otherwise(v).cast(spark_t)
+
+    if b in ("decimal", "numeric"):
+        return _num(col).cast(spark_t)
+
+    if b in ("float", "double", "real"):
+        return _num(col).cast("double").cast(spark_t)
+
+    if b == "date":
+        return F.when(col.rlike(r"^0000-00-00"), F.lit(None)).otherwise(
+            F.try_to_timestamp(col).cast(spark_t)
+        )
+
+    if b in ("datetime", "timestamp"):
+        zero = col.rlike(r"^0000-00-00")
+        return F.when(zero, F.lit(None)).otherwise(
+            F.try_to_timestamp(col).cast(spark_t)
+        )
+
+    if b in ("char", "varchar") and info.mysql.length:
+        return F.substring(col, 1, info.mysql.length)
+
+    if b == "enum":
+        members = list(info.mysql.members)
+        arr = F.array(*[F.lit(m) for m in members])
+        idx = col.cast("int")
+        by_ordinal = F.when(
+            (idx >= 1) & (idx <= len(members)), F.element_at(arr, idx)
+        )
+        return (
+            F.when(col.isNull(), F.lit(None))
+            .when(col.rlike(r"^[0-9]+$"), by_ordinal)
+            .when(F.array_contains(arr, col), col)
+            .otherwise(F.lit(None))
+        )
+
+    if b == "set":
+        members = list(info.mysql.members)
+        arr = F.array(*[F.lit(m) for m in members])
+        parts = F.split(col, ",")
+        all_valid = F.forall(parts, lambda x: F.array_contains(arr, x))
+        canonical = F.array_join(F.array_intersect(arr, parts), ",")
+        mask = col.cast("long")
+        from_mask = F.concat_ws(
+            ",",
+            *[
+                F.when(mask.bitwiseAND(F.lit(1 << i)) != 0, F.lit(m))
+                for i, m in enumerate(members)
+            ],
+        )
+        return (
+            F.when(col.isNull(), F.lit(None))
+            .when(col == "", F.lit(""))
+            .when(col.rlike(r"^[0-9]+$"), from_mask)
+            .when(all_valid, canonical)
+            .otherwise(F.lit(None))
+        )
+
+    if b == "bit":
+        raw_bytes = F.encode(col, "ISO-8859-1")
+        from_bytes = F.conv(F.hex(raw_bytes), 16, 10).cast("long")
+        return (
+            F.when(col.isNull(), F.lit(None))
+            .when(col.rlike(r"^[0-9]+$"), col.cast("long"))
+            .otherwise(from_bytes)
+        )
+
+    if isinstance(spark_t, T.BinaryType):
+        return F.encode(col, binary_encoding)
+
+    if b == "time":
+        return F.when(
+            col.rlike(r"^-?\d{1,3}:\d{1,2}:\d{1,2}(\.\d+)?$"), col
+        ).otherwise(F.lit(None))
+
+    if b == "json":
+        return col  # validated string pass-through
+
+    return col.cast(spark_t)
+
+
+def violation_flag(col: Column, casted: Column, info: ColumnInfo) -> Column:
+    """Strict-mode indicator: input the cast would lose data on
+    (zero-date, bad enum/set, out-of-range, overlong, null into NOT NULL)."""
+    lossy_null = col.isNotNull() & casted.isNull()
+    flag = lossy_null
+    b = info.mysql.base
+    if b in _INT_BOUNDS or b in ("decimal", "numeric", "float", "double", "real"):
+        parsed = F.regexp_extract(col, _NUM_PREFIX, 1)
+        full = F.regexp_extract(col, _NUM_PREFIX + r"\s*$", 1)
+        flag = flag | (col.isNotNull() & ((parsed == "") | (full == "")))
+        if b in _INT_BOUNDS:
+            lo_s, hi_s, lo_u, hi_u = _INT_BOUNDS[b]
+            lo, hi = (
+                (lo_u, hi_u) if info.mysql.unsigned else (lo_s, hi_s)
+            )
+            v = _num(col)
+            flag = flag | (
+                col.isNotNull() & ((v < _dec_lit(lo)) | (v > _dec_lit(hi)))
+            )
+    if b in ("char", "varchar") and info.mysql.length:
+        flag = flag | (F.length(col) > info.mysql.length)
+    if not info.nullable:
+        flag = flag | col.isNull()
+    return F.when(flag, F.lit(info.name)).otherwise(F.lit(None))

@@ -1,0 +1,278 @@
+"""The per-table transform chain: permute -> cast -> row-id -> defaults ->
+generated columns (reference pipeline restore.go:2382-2480 + sql2kv.go:282-386).
+
+Everything is Catalyst expressions over the all-string reader output; the
+chain is lazy and fuses into the scan stage (one pass, whole-stage codegen,
+no shuffle until the sink's range partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.operators.cast import cast_column, violation_flag
+from tidb_lightning_spark.operators.gencols import translate_mysql_expr
+from tidb_lightning_spark.schema.ddl import CURRENT_TIMESTAMP, ColumnInfo, TableInfo
+
+ROWID_COL = "_tidb_rowid"
+ERR_COL = "_err"
+
+
+def permute_columns(
+    df: DataFrame,
+    info: TableInfo,
+    file_columns: list[str] | None,
+) -> DataFrame:
+    """Map reader columns (positional `_c*`) to schema names.
+
+    `file_columns` comes from the CSV header or the INSERT column list
+    (restore.go:2055-2165): names are matched case-insensitively; schema
+    columns absent from the file become NULL (filled by defaults later);
+    the `_tidb_rowid` pseudo-column is honored. Positional files
+    (no header/column list) map `_c{i}` -> schema column i.
+    """
+    data_cols = [c for c in df.columns if c.startswith("_c")]
+    passthrough = [c for c in df.columns if not c.startswith("_c")]
+    known = {c.name.lower(): c.name for c in info.columns}
+    known[ROWID_COL] = ROWID_COL
+
+    selected: list[Column] = []
+    if file_columns is None:
+        if len(data_cols) < len(info.columns):
+            # fewer file fields than schema columns: trailing columns missing
+            pass
+        for i, col in enumerate(info.columns):
+            if i < len(data_cols):
+                selected.append(F.col(data_cols[i]).alias(col.name))
+            else:
+                selected.append(F.lit(None).cast("string").alias(col.name))
+    else:
+        if len(file_columns) != len(data_cols):
+            raise ValueError(
+                f"file has {len(data_cols)} fields but {len(file_columns)} "
+                f"column names for `{info.name}`"
+            )
+        lower_map = {}
+        for fc, dc in zip(file_columns, data_cols):
+            name = known.get(fc.lower())
+            if name is None:
+                # unknown file column -> ignored (reference errors unless
+                # it's _tidb_rowid; we log-and-drop, closer to ETL reality)
+                continue
+            lower_map[name] = dc
+        for col in info.columns:
+            src = lower_map.get(col.name)
+            if src is not None:
+                selected.append(F.col(src).alias(col.name))
+            else:
+                selected.append(F.lit(None).cast("string").alias(col.name))
+        if ROWID_COL in lower_map:
+            selected.append(F.col(lower_map[ROWID_COL]).alias(ROWID_COL))
+    return df.select(*selected, *[F.col(c) for c in passthrough])
+
+
+def assign_row_ids(df: DataFrame, base: int = 0, dense: bool = False) -> DataFrame:
+    """Deterministic row ids (SURVEY.md §2.D1, region.go:208-286).
+
+    Three strategies, cheapest that suffices:
+    * `_row_seq`+file base when the reader provides one (SQL dumps):
+      exact per-file ranges, zero extra work — the reference's scheme.
+    * dense=False: `monotonically_increasing_id()` — unique and stable for
+      a given (input, split conf); ids are sparse (partition-striped).
+      Fine when the id is internal (sort key for PK-less tables).
+    * dense=True (auto-inc/auto-random columns, which must fit the column
+      type): two-pass exact allocation — a per-partition count pass on the
+      driver builds cumulative bases (the analog of populateChunks'
+      pre-allocated ranges), then ids = base[pid] + row_number-in-partition.
+      One extra scan, no shuffle of the data itself.
+    """
+    if "_row_seq" in df.columns and "_file_base" in df.columns:
+        return df.withColumn(
+            ROWID_COL, (F.col("_file_base") + F.col("_row_seq") + 1 + base)
+        ).drop("_row_seq", "_file_base")
+    if not dense:
+        return df.withColumn(
+            ROWID_COL, F.monotonically_increasing_id() + F.lit(base + 1)
+        )
+    from pyspark.sql import Window
+
+    tmp = df.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mono", F.monotonically_increasing_id()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in tmp.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    bases: dict[int, int] = {}
+    acc = base
+    for pid in sorted(counts):
+        bases[pid] = acc
+        acc += counts[pid]
+    mapping = F.create_map(
+        *[x for pid, b in bases.items() for x in (F.lit(pid), F.lit(b))]
+    )
+    w = Window.partitionBy("_pid").orderBy("_mono")
+    return (
+        tmp.withColumn(
+            ROWID_COL, mapping[F.col("_pid")] + F.row_number().over(w)
+        )
+        .drop("_pid", "_mono")
+    )
+
+
+def cast_columns(
+    df: DataFrame,
+    info: TableInfo,
+    strict: bool = False,
+    binary_encoding: str = "UTF-8",
+) -> DataFrame:
+    cols: list[Column] = []
+    errs: list[Column] = []
+    for c in info.columns:
+        if c.generated_expr is not None:
+            continue  # computed later, never read from file
+        raw = F.col(c.name)
+        casted = cast_column(raw, c, binary_encoding)
+        cols.append(casted.alias(c.name))
+        if strict:
+            errs.append(violation_flag(raw, casted, c))
+    passthrough = [
+        F.col(c)
+        for c in df.columns
+        if c not in {x.name for x in info.columns} or c == ROWID_COL
+    ]
+    out = [*cols, *passthrough]
+    if strict and errs:
+        out.append(F.coalesce(*errs, F.lit(None)).alias(ERR_COL))
+    return df.select(*out)
+
+
+def fill_defaults(
+    df: DataFrame,
+    info: TableInfo,
+    file_columns: set[str],
+    pinned_timestamp: str,
+) -> DataFrame:
+    """Defaults for columns absent from the file + NOT NULL backstops
+    (sql2kv.go:306-355).
+
+    CURRENT_TIMESTAMP defaults use the job's pinned timestamp — a constant
+    per run for deterministic re-execution (session.go:203,
+    restore.go:2490-2496). Auto-increment/auto-random columns fill from
+    the row id (B3/B4).
+    """
+    out = df
+    ts = F.to_timestamp(F.lit(pinned_timestamp))
+    for c in info.columns:
+        if c.generated_expr is not None:
+            continue
+        col = F.col(c.name)
+        present = c.name.lower() in file_columns
+        default = _default_expr(c, ts)
+        if c.auto_increment or c.auto_random_bits:
+            fill = _auto_id_expr(c, info)
+            out = out.withColumn(c.name, F.coalesce(col, fill))
+        elif not present and c.has_default:
+            out = out.withColumn(
+                c.name, F.coalesce(col, default) if default is not None else col
+            )
+        elif not c.nullable:
+            # NULL into NOT NULL, non-strict: column default else type zero
+            backstop = default if default is not None else _type_zero(c)
+            if backstop is not None:
+                out = out.withColumn(c.name, F.coalesce(col, backstop))
+    return out
+
+
+def _default_expr(c: ColumnInfo, pinned_ts: Column) -> Column | None:
+    if not c.has_default:
+        return None
+    if c.default is CURRENT_TIMESTAMP:
+        return pinned_ts.cast(c.mysql.spark_type())
+    if c.default is None:
+        return None
+    return cast_column(F.lit(str(c.default)), c)
+
+
+def _auto_id_expr(c: ColumnInfo, info: TableInfo) -> Column:
+    rowid = F.col(ROWID_COL)
+    if c.auto_random_bits:
+        # AUTO_RANDOM: random bits in the top, rowid in the bottom
+        # (sql2kv.go:68-77, 313-320) — bits derived from a hash of the
+        # rowid so re-runs are deterministic.
+        shard_bits = c.auto_random_bits
+        field_bits = 63 - shard_bits
+        shard = F.abs(F.hash(rowid)) % (1 << shard_bits)
+        return (
+            F.shiftleft(shard.cast("long"), field_bits)
+            .bitwiseOR(rowid.bitwiseAND(F.lit((1 << field_bits) - 1)))
+            .cast(c.mysql.spark_type())
+        )
+    return rowid.cast(c.mysql.spark_type())
+
+
+def _type_zero(c: ColumnInfo) -> Column | None:
+    from pyspark.sql import types as T
+
+    t = c.mysql.spark_type()
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                      T.FloatType, T.DoubleType, T.DecimalType)):
+        return F.lit(0).cast(t)
+    if isinstance(t, T.StringType):
+        return F.lit("")
+    if isinstance(t, T.BinaryType):
+        return F.lit(b"")
+    return None  # temporal: zero-date has no Spark value -> stays NULL
+
+
+def eval_generated_columns(df: DataFrame, info: TableInfo) -> DataFrame:
+    """Stored/virtual generated columns in column-definition order
+    (sql2kv.go:103-166: dependency order == column offset order in MySQL,
+    since a gencol may only reference earlier columns)."""
+    out = df
+    for c in info.columns:
+        if c.generated_expr is None:
+            continue
+        spark_expr = translate_mysql_expr(c.generated_expr)
+        out = out.withColumn(
+            c.name, F.expr(spark_expr).cast(c.mysql.spark_type())
+        )
+    return out
+
+
+def finalize(df: DataFrame, info: TableInfo, keep_rowid: bool | None = None) -> DataFrame:
+    """Project to the declared schema (+ _tidb_rowid when the table has no
+    integer PK, mirroring the hidden-handle rule sql2kv.go:343-355)."""
+    keep = info.has_auto_row_id() if keep_rowid is None else keep_rowid
+    names = [c.name for c in info.columns]
+    if keep and ROWID_COL in df.columns:
+        names.append(ROWID_COL)
+    if ERR_COL in df.columns:
+        names.append(ERR_COL)
+    return df.select(*names)
+
+
+def transform_table(
+    df: DataFrame,
+    info: TableInfo,
+    file_columns: list[str] | None,
+    pinned_timestamp: str,
+    strict: bool = False,
+    binary_encoding: str = "UTF-8",
+    rowid_base: int = 0,
+) -> DataFrame:
+    present = (
+        {c.lower() for c in file_columns}
+        if file_columns is not None
+        else {c.name.lower() for c in info.columns}
+    )
+    needs_dense = any(
+        c.auto_increment or c.auto_random_bits for c in info.columns
+    )
+    out = permute_columns(df, info, file_columns)
+    out = assign_row_ids(out, rowid_base, dense=needs_dense)
+    out = cast_columns(out, info, strict=strict, binary_encoding=binary_encoding)
+    out = fill_defaults(out, info, present, pinned_timestamp)
+    out = eval_generated_columns(out, info)
+    return finalize(out, info)

@@ -1,0 +1,330 @@
+"""Restore orchestration (reference: lightning/restore/restore.go
+RestoreController.Run — the 7-step plan at restore.go:275-320, re-expressed
+as: discover -> per-table [read -> transform -> sink -> verify] -> report).
+
+Driver-side control flow only; all data movement is lazy DataFrame work.
+Tables run smallest-first (loader.go:267-281). The per-table unit is
+atomic (staged sink commit), so checkpoint/resume is table-granular —
+Spark's task retry covers everything below that, replacing the
+reference's chunk/engine machinery (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.checkpoints import CheckpointStore
+from tidb_lightning_spark.config import Config
+from tidb_lightning_spark.functions.checksum import Checksum, checksum
+from tidb_lightning_spark.operators.transform import ERR_COL, transform_table
+from tidb_lightning_spark.schema.ddl import TableInfo, parse_create_table
+from tidb_lightning_spark.sinks.files_sink import FilesSink
+from tidb_lightning_spark.sources import csv_source, sqldump_source
+from tidb_lightning_spark.sources.loader import MDTableMeta, discover
+from tidb_lightning_spark.sources.parquet_source import read_table
+from tidb_lightning_spark.sources.router import FileRouter
+from tidb_lightning_spark.sources.table_filter import TableFilter
+from tidb_lightning_spark.sources.table_router import TableRouter
+
+log = logging.getLogger("tidb_lightning_spark")
+
+
+class IngestError(RuntimeError):
+    pass
+
+
+@dataclass
+class TableReport:
+    db: str
+    table: str
+    status: str
+    rows: int = 0
+    files: int = 0
+    seconds: float = 0.0
+    checksum: dict | None = None
+    error: str | None = None
+
+
+@dataclass
+class RunReport:
+    tables: list[TableReport] = field(default_factory=list)
+    seconds: float = 0.0
+
+    @property
+    def ok(self) -> bool:
+        return all(t.status in ("imported", "skipped") for t in self.tables)
+
+
+class Restorer:
+    def __init__(self, spark: SparkSession, cfg: Config):
+        self.spark = spark
+        self.cfg = cfg
+        self.sink = FilesSink(cfg.target_dir)
+        self.checkpoints = CheckpointStore(
+            os.path.join(cfg.target_dir, "_tls_checkpoints.json"),
+            enabled=cfg.checkpoint_enable,
+        )
+        # pinned timestamp for CURRENT_TIMESTAMP defaults (determinism —
+        # session.go:203, restore.go:2490-2496)
+        self.pinned_ts = time.strftime("%Y-%m-%d %H:%M:%S")
+
+    # ------------------------------------------------------------------
+    def run(self) -> RunReport:
+        t0 = time.time()
+        cfg = self.cfg
+        result = discover(
+            cfg.source_dir,
+            file_router=FileRouter.build(cfg.file_routes, cfg.default_file_rules),
+            table_filter=TableFilter(cfg.filter, cfg.case_sensitive),
+            table_router=TableRouter(cfg.routes, cfg.case_sensitive)
+            if cfg.routes
+            else None,
+            no_schema=cfg.no_schema,
+        )
+        report = RunReport()
+        for tbl in result.sorted_tables():
+            report.tables.append(self.restore_table(tbl))
+        report.seconds = time.time() - t0
+        return report
+
+    # ------------------------------------------------------------------
+    def restore_table(self, tbl: MDTableMeta) -> TableReport:
+        t0 = time.time()
+        rep = TableReport(db=tbl.db, table=tbl.name, status="failed")
+        sig = self.checkpoints.source_signature(tbl.data_files)
+        try:
+            if self.checkpoints.should_skip(tbl.db, tbl.name, sig):
+                rep.status = "skipped"
+                return rep
+
+            info = self._table_info(tbl)
+            self.checkpoints.update(tbl.db, tbl.name, "loaded", signature=sig)
+
+            df = self._read_and_transform(tbl, info)
+            if df is None:
+                rep.status = "imported"  # schema-only table
+                self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
+                return rep
+
+            if self.cfg.strict_sql_mode and ERR_COL in df.columns:
+                bad = df.filter(F.col(ERR_COL).isNotNull())
+                sample = bad.select(ERR_COL).limit(3).collect()
+                if sample:
+                    raise IngestError(
+                        f"strict sql_mode violations in `{tbl.db}`.`{tbl.name}`: "
+                        f"columns {[r[0] for r in sample]}"
+                    )
+                df = df.drop(ERR_COL)
+            elif ERR_COL in df.columns:
+                df = df.drop(ERR_COL)
+
+            # ingest-side checksum accumulated from the same lazy plan the
+            # sink writes (verification/checksum.go analog)
+            ingest_cks = None
+            sort_cols = info.primary_key or None
+            commit = self.sink.write_table(
+                df,
+                tbl.db,
+                tbl.name,
+                sort_columns=sort_cols,
+                source_bytes=tbl.total_size,
+            )
+            self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
+
+            written = read_table(self.spark, commit.path)
+            cols = [c for c in written.columns]
+            readback = Checksum.from_row(checksum(written, cols).collect()[0])
+            rep.rows = readback.kvs
+            rep.files = commit.n_files
+            if self.cfg.checksum != "off":
+                ingest_cks = Checksum.from_row(
+                    checksum(df.select(*written.columns), cols).collect()[0]
+                )
+                if ingest_cks != readback:
+                    msg = (
+                        f"checksum mismatch `{tbl.db}`.`{tbl.name}`: "
+                        f"ingest {ingest_cks} != readback {readback}"
+                    )
+                    if self.cfg.checksum == "required":
+                        raise IngestError(msg)
+                    log.warning(msg)
+                rep.checksum = {
+                    "kvs": readback.kvs,
+                    "bytes": readback.total_bytes,
+                    "value": readback.value,
+                }
+                self.checkpoints.update(
+                    tbl.db, tbl.name, "checksummed",
+                    signature=sig, checksum=rep.checksum,
+                )
+            self.sink.write_meta(
+                tbl.db, tbl.name,
+                {
+                    "schema": [c.name for c in info.columns],
+                    "primary_key": info.primary_key,
+                    "rows": rep.rows,
+                    "checksum": rep.checksum,
+                    "pinned_timestamp": self.pinned_ts,
+                },
+            )
+            rep.status = "imported"
+        except Exception as exc:  # error summary (restore.go:89-129)
+            rep.error = f"{type(exc).__name__}: {exc}"
+            log.error("table `%s`.`%s` failed: %s", tbl.db, tbl.name, rep.error)
+        finally:
+            rep.seconds = time.time() - t0
+        return rep
+
+    # ------------------------------------------------------------------
+    def _table_info(self, tbl: MDTableMeta) -> TableInfo:
+        if tbl.schema_file:
+            with open(tbl.schema_file, "rb") as f:
+                sql = f.read().decode(self.cfg.character_set, errors="replace")
+            info = parse_create_table(sql)
+            info.db, info.name = tbl.db, tbl.name  # post-routing identity
+            return info
+        # no-schema mode: infer (parquet has real types; CSV header gives
+        # all-string columns typed as text)
+        first = tbl.data_files[0]
+        if first.type == "parquet":
+            df = read_table(self.spark, first.path)
+            from tidb_lightning_spark.schema.types import MySQLType
+            from tidb_lightning_spark.schema.ddl import ColumnInfo
+
+            info = TableInfo(db=tbl.db, name=tbl.name)
+            for name in df.columns:
+                info.columns.append(ColumnInfo(name=name, mysql=MySQLType("text")))
+            return info
+        from tidb_lightning_spark.schema.ddl import ColumnInfo
+        from tidb_lightning_spark.schema.types import MySQLType
+
+        header = (
+            csv_source.read_header(first.path, self.cfg.csv)
+            if first.type == "csv" and self.cfg.csv.header
+            else None
+        )
+        if header is None:
+            raise IngestError(
+                f"no-schema requires a CSV header or parquet for "
+                f"`{tbl.db}`.`{tbl.name}`"
+            )
+        info = TableInfo(db=tbl.db, name=tbl.name)
+        for name in header:
+            info.columns.append(ColumnInfo(name=name, mysql=MySQLType("text")))
+        return info
+
+    # ------------------------------------------------------------------
+    def _read_and_transform(
+        self, tbl: MDTableMeta, info: TableInfo
+    ) -> DataFrame | None:
+        if not tbl.data_files:
+            return None
+        parts: list[DataFrame] = []
+        rowid_base = 0
+
+        csv_files = [f for f in tbl.data_files if f.type == "csv"]
+        sql_files = [f for f in tbl.data_files if f.type == "sql"]
+        parquet_files = [f for f in tbl.data_files if f.type == "parquet"]
+
+        if csv_files:
+            for header, paths in csv_source.group_files_by_header(
+                [f.path for f in csv_files], self.cfg.csv
+            ):
+                df, names = csv_source.read_csv_files(
+                    self.spark,
+                    paths,
+                    self.cfg.csv,
+                    n_columns=len(info.columns),
+                    strict=self.cfg.strict_sql_mode,
+                )
+                file_cols = list(header) if header else None
+                group_bytes = sum(
+                    f.file_size for f in csv_files if f.path in set(paths)
+                )
+                parts.append(
+                    transform_table(
+                        df,
+                        info,
+                        file_cols,
+                        self.pinned_ts,
+                        strict=self.cfg.strict_sql_mode,
+                        rowid_base=rowid_base,
+                    )
+                )
+                # next group's ids start beyond this group's upper bound
+                # (region.go:208-225 divisor trick: bytes/#cols >= rows)
+                rowid_base += group_bytes // max(1, len(info.columns)) + 1
+
+        if sql_files:
+            groups: dict[tuple, list] = {}
+            for f in sql_files:
+                cols = sqldump_source.peek_columns(f.path, self.cfg.character_set)
+                key = tuple(cols) if cols else ()
+                groups.setdefault(key, []).append(f)
+            for key, files in groups.items():
+                file_cols = list(key) if key else None
+                n_cols = len(file_cols) if file_cols else len(info.columns)
+                df = sqldump_source.read_sql_files(
+                    self.spark,
+                    [f.path for f in files],
+                    n_cols,
+                    self.cfg.character_set,
+                )
+                # per-file row-id bases from file sizes (region.go:252-286)
+                bases, acc = {}, rowid_base
+                for f in files:
+                    bases[os.path.abspath(f.path)] = acc
+                    acc += f.file_size // (len(info.columns) + 2) + 1
+                rowid_base = acc
+                mapping = F.create_map(
+                    *[
+                        x
+                        for path, b in bases.items()
+                        for x in (F.lit(path), F.lit(b))
+                    ]
+                )
+                df = df.withColumn(
+                    "_file_base",
+                    mapping[
+                        F.regexp_replace(F.col("_src_file"), "^file:/+", "/")
+                    ],
+                ).drop("_src_file")
+                parts.append(
+                    transform_table(
+                        df,
+                        info,
+                        file_cols,
+                        self.pinned_ts,
+                        strict=self.cfg.strict_sql_mode,
+                        binary_encoding="ISO-8859-1",
+                    )
+                )
+
+        if parquet_files:
+            df = read_table(self.spark, [f.path for f in parquet_files])
+            # parquet arrives typed: permute by name, cast only where the
+            # declared schema differs (parquet_parser.go conversions are
+            # native here)
+            for c in info.columns:
+                if c.name in df.columns:
+                    df = df.withColumn(
+                        c.name, F.col(c.name).cast(c.mysql.spark_type())
+                    )
+                else:
+                    df = df.withColumn(
+                        c.name, F.lit(None).cast(c.mysql.spark_type())
+                    )
+            parts.append(df.select(*[c.name for c in info.columns]))
+
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out

@@ -1,0 +1,100 @@
+"""Files backend: sorted, range-partitioned parquet with staged atomic
+commit (the Spark-native re-expression of the reference's local backend,
+lightning/backend/local.go — SURVEY.md §2.K2).
+
+The reference's pipeline  encode -> memcache sort -> SST -> pebble ingest
+-> range-split -> scatter  collapses on Spark to:
+
+    df.repartitionByRange(N, pk).sortWithinPartitions(pk)
+      .write.parquet(<staging>)          # executors write sorted files
+    rename(<staging> -> <final>)         # atomic engine Import step
+
+* N is sized from the source bytes / 96 MiB — the reference's target
+  region size (local.go:77, backend const) — so each output file is a
+  "region"-sized sorted run; range partitioning gives globally
+  non-overlapping key ranges exactly like its split-and-ingest.
+* The staging dir mirrors engine Close -> Import atomicity
+  (backend.go:300-439): readers never observe a half-written table, and a
+  retry wipes staging and re-runs (idempotent re-import).
+* MySQL PARTITION BY tables map to `partitionBy(cols)` output layout (H4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+TARGET_FILE_BYTES = 96 * 1024 * 1024  # reference target region size
+
+
+@dataclass
+class CommitResult:
+    path: str
+    n_files: int
+    n_rows: int | None
+    seconds: float
+
+
+class FilesSink:
+    def __init__(self, warehouse: str, fmt: str = "parquet"):
+        self.warehouse = warehouse
+        self.fmt = fmt
+
+    def table_path(self, db: str, table: str) -> str:
+        return os.path.join(self.warehouse, db, table)
+
+    def write_table(
+        self,
+        df: DataFrame,
+        db: str,
+        table: str,
+        sort_columns: list[str] | None,
+        source_bytes: int = 0,
+        partition_columns: list[str] | None = None,
+        max_records_per_file: int = 0,
+    ) -> CommitResult:
+        t0 = time.time()
+        final = self.table_path(db, table)
+        staging = final + f"._staging_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+
+        out = df
+        if sort_columns:
+            n = max(1, source_bytes // TARGET_FILE_BYTES) if source_bytes else 1
+            # one shuffle: range-partition on the PK, then local sort —
+            # Spark's external sort handles spill (the SST/pebble analog)
+            if n > 1:
+                out = out.repartitionByRange(n, *sort_columns)
+            out = out.sortWithinPartitions(*sort_columns)
+
+        writer = out.write.mode("overwrite").format(self.fmt)
+        if partition_columns:
+            writer = writer.partitionBy(*partition_columns)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.save(staging)
+
+        # engine Import: atomic swap into the warehouse
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(staging, final)
+        n_files = sum(
+            1
+            for root, _, files in os.walk(final)
+            for f in files
+            if f.endswith((".parquet", ".orc"))
+        )
+        return CommitResult(final, n_files, None, time.time() - t0)
+
+    def write_meta(self, db: str, table: str, meta: dict) -> None:
+        path = os.path.join(self.table_path(db, table), "_tls_meta.json")
+        with open(path, "w") as f:
+            json.dump(meta, f, indent=2, default=str)

@@ -1,0 +1,184 @@
+"""MySQL-flavored CSV source (reference: lightning/mydump/csv_parser.go).
+
+The reference hand-rolls a byte-level CSV state machine; Spark's CSV reader
+covers that dialect surface natively (SURVEY.md §2.A7), so this module is
+option mapping, not parsing:
+
+  CSVConfig (config.go:382-390)      spark.read.csv option
+  ---------------------------------  ---------------------------------
+  separator (multi-char ok)          sep
+  delimiter                          quote ('' -> disable quoting)
+  backslash-escape                   escape='\\' (else escape=quote)
+  null sentinel (default '\\N')      nullValue (+ emptyValue='' so
+                                     quoted empty string != NULL,
+                                     csv_parser.go:108-117)
+  header                             header handled ourselves (below)
+  trim-last-separator                synthetic trailing column dropped
+  character-set                      encoding
+
+Every column is read as STRING — exactly the reference's model (CSV parser
+emits only string/NULL datums, csv_parser.go:539-554); typing happens in
+the cast operator against the table schema, not in the reader.
+
+Headers are read driver-side (first line, one small read per file — the
+analog of ReadColumns) because the *names* drive column permutation; files
+sharing a header are batched into one multi-path spark.read so a
+10k-file table stays a handful of scans.
+"""
+
+from __future__ import annotations
+
+import codecs
+import io
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class CSVConfig:
+    separator: str = ","
+    delimiter: str = '"'
+    header: bool = True
+    not_null: bool = False
+    null: str = r"\N"
+    backslash_escape: bool = True
+    trim_last_sep: bool = False
+    character_set: str = "utf-8"
+
+
+def _decompress_open(path: str):
+    if path.endswith(".gz"):
+        import gzip
+
+        return gzip.open(path, "rb")
+    if path.endswith((".zst", ".zstd")):
+        raise NotImplementedError("driver-side zstd header peek not supported")
+    return open(path, "rb")
+
+
+def read_header(path: str, cfg: CSVConfig) -> list[str]:
+    """Driver-side first-line read -> column names (csv_parser.go:513-538)."""
+    with _decompress_open(path) as f:
+        raw = f.read(1 << 20)
+    text = raw.decode(codecs.lookup(cfg.character_set).name, errors="replace")
+    line = io.StringIO(text).readline().rstrip("\r\n")
+    fields = _split_line(line, cfg)
+    if cfg.trim_last_sep and fields and fields[-1] == "":
+        fields = fields[:-1]
+    return [f.strip().strip(cfg.delimiter) if cfg.delimiter else f for f in fields]
+
+
+def _split_line(line: str, cfg: CSVConfig) -> list[str]:
+    """Split one physical line on the separator, honoring quotes."""
+    out, cur, i, n = [], [], 0, len(line)
+    q = cfg.delimiter
+    sep = cfg.separator
+    in_q = False
+    while i < n:
+        ch = line[i]
+        if in_q:
+            if cfg.backslash_escape and ch == "\\" and i + 1 < n:
+                cur.append(line[i : i + 2])
+                i += 2
+                continue
+            if q and ch == q:
+                in_q = False
+            else:
+                cur.append(ch)
+            i += 1
+            continue
+        if q and ch == q:
+            in_q = True
+            i += 1
+            continue
+        if sep and line.startswith(sep, i):
+            out.append("".join(cur))
+            cur = []
+            i += len(sep)
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
+def read_csv_files(
+    spark: SparkSession,
+    paths: list[str],
+    cfg: CSVConfig,
+    n_columns: int | None = None,
+    strict: bool = False,
+) -> tuple[DataFrame, list[str] | None]:
+    """Read data files as all-string columns.
+
+    Returns (df, header_names). With cfg.header, all `paths` must share one
+    header (the caller groups by header); header_names=None otherwise and
+    columns are positional `_c0.._cN`.
+    """
+    header_names: list[str] | None = None
+    width = n_columns
+    if cfg.header:
+        header_names = read_header(paths[0], cfg)
+        width = len(header_names)
+    if width is None:
+        # probe width from the first line of the first file
+        width = len(_split_line_first(paths[0], cfg))
+
+    n_read = width + (1 if cfg.trim_last_sep else 0)
+    schema = T.StructType(
+        [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n_read)]
+    )
+    reader = (
+        spark.read.format("csv")
+        .schema(schema)
+        .option("sep", cfg.separator)
+        .option("nullValue", cfg.null)
+        .option("emptyValue", "")
+        .option("multiLine", "true")  # quoted embedded newlines (F4)
+        .option("encoding", cfg.character_set)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("header", "true" if cfg.header else "false")
+        # we intentionally pass a positional _c* schema with header=true
+        # (names come from our own driver-side header read) — silence the
+        # per-file header-vs-schema warning
+        .option("enforceSchema", "true")
+    )
+    if cfg.delimiter:
+        reader = reader.option("quote", cfg.delimiter)
+        reader = reader.option(
+            "escape", "\\" if cfg.backslash_escape else cfg.delimiter
+        )
+    else:
+        reader = reader.option("quote", "\u0000")  # NUL char disables quoting
+    if cfg.not_null:
+        reader = reader.option("nullValue", "\u0000__never__")  # not-null: no sentinel
+    df = reader.load(paths)
+    if cfg.trim_last_sep:
+        df = df.drop(f"_c{width}")
+    return df, header_names
+
+
+def _split_line_first(path: str, cfg: CSVConfig) -> list[str]:
+    with _decompress_open(path) as f:
+        raw = f.read(1 << 20)
+    text = raw.decode(codecs.lookup(cfg.character_set).name, errors="replace")
+    return _split_line(io.StringIO(text).readline().rstrip("\r\n"), cfg)
+
+
+def group_files_by_header(
+    paths: list[str], cfg: CSVConfig
+) -> list[tuple[tuple[str, ...] | None, list[str]]]:
+    """Batch files sharing an identical header into one scan group."""
+    if not cfg.header:
+        return [(None, list(paths))]
+    groups: dict[tuple[str, ...], list[str]] = {}
+    order: list[tuple[str, ...]] = []
+    for p in paths:
+        h = tuple(read_header(p, cfg))
+        if h not in groups:
+            groups[h] = []
+            order.append(h)
+        groups[h].append(p)
+    return [(h, groups[h]) for h in order]

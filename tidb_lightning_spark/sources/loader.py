@@ -1,0 +1,173 @@
+"""Source-directory discovery (reference: lightning/mydump/loader.go).
+
+Walks the dump directory deterministically (lexicographic, like the
+reference's listFiles loader.go:205-331), routes every file
+(router -> type/schema/table), applies the table filter, applies
+shard-merge table routing, and produces the per-table ingest plan:
+
+    MDDatabaseMeta{name, schema_file, tables: {name: MDTableMeta}}
+    MDTableMeta{db, name, schema_file, data_files[], total_size}
+
+Tables are ordered smallest-first for scheduling (loader.go:267-281) and a
+table's data files by (sort_key, path) so row-ID allocation is stable
+across runs (SURVEY.md §2.D1).
+
+All of this is driver-side pure Python — at 100 TB the directory listing
+is still tiny metadata; the data itself is only ever touched by executors.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from tidb_lightning_spark.sources.router import FileRouter, RouteResult
+from tidb_lightning_spark.sources.table_filter import TableFilter
+from tidb_lightning_spark.sources.table_router import TableRouter
+
+
+@dataclass(frozen=True)
+class SourceFileMeta:
+    path: str
+    type: str  # table-schema | view-schema | sql | csv | parquet
+    compression: str = ""
+    sort_key: str = ""
+    file_size: int = 0
+
+
+@dataclass
+class MDTableMeta:
+    db: str
+    name: str
+    schema_file: str | None = None
+    view_schema_file: str | None = None
+    data_files: list[SourceFileMeta] = field(default_factory=list)
+
+    @property
+    def total_size(self) -> int:
+        return sum(f.file_size for f in self.data_files)
+
+
+@dataclass
+class MDDatabaseMeta:
+    name: str
+    schema_file: str | None = None
+    tables: dict[str, MDTableMeta] = field(default_factory=dict)
+
+
+@dataclass
+class LoadResult:
+    databases: dict[str, MDDatabaseMeta]
+    ignored: list[str]
+    unrecognized: list[str]
+
+    def sorted_tables(self) -> list[MDTableMeta]:
+        """Small-table-first scheduling order (loader.go:267-281)."""
+        out = [t for db in self.databases.values() for t in db.tables.values()]
+        out.sort(key=lambda t: (t.total_size, t.db, t.name))
+        return out
+
+
+def _walk(source_dir: str) -> list[str]:
+    paths = []
+    for root, dirs, files in os.walk(source_dir):
+        dirs.sort()
+        for f in sorted(files):
+            paths.append(os.path.join(root, f))
+    return paths
+
+
+def discover(
+    source_dir: str,
+    file_router: FileRouter | None = None,
+    table_filter: TableFilter | None = None,
+    table_router: TableRouter | None = None,
+    no_schema: bool = False,
+) -> LoadResult:
+    file_router = file_router or FileRouter.build()
+    table_filter = table_filter or TableFilter()
+
+    dbs: dict[str, MDDatabaseMeta] = {}
+    ignored: list[str] = []
+    unrecognized: list[str] = []
+
+    def db_of(name: str) -> MDDatabaseMeta:
+        return dbs.setdefault(name, MDDatabaseMeta(name=name))
+
+    def table_of(db: str, name: str) -> MDTableMeta:
+        return db_of(db).tables.setdefault(name, MDTableMeta(db=db, name=name))
+
+    routed: list[tuple[str, RouteResult, int]] = []
+    for path in _walk(source_dir):
+        rel = os.path.relpath(path, source_dir)
+        res = file_router.route(rel.replace(os.sep, "/"))
+        if res is None:
+            unrecognized.append(rel)
+            continue
+        if res.type == "ignore":
+            ignored.append(rel)
+            continue
+        routed.append((path, res, os.path.getsize(path)))
+
+    # filter (loader.go:333-338), then shard-merge route (loader.go:340-416)
+    routed_away: dict[str, int] = {}
+    for path, res, size in routed:
+        if res.type == "schema-schema":
+            if not table_filter.match_schema(res.schema):
+                ignored.append(path)
+                continue
+            db_of(res.schema).schema_file = path
+            continue
+        if not table_filter.match_table(res.schema, res.name):
+            ignored.append(path)
+            continue
+        schema, name = (
+            table_router.route(res.schema, res.name)
+            if table_router
+            else (res.schema, res.name)
+        )
+        if schema != res.schema:
+            routed_away[res.schema] = routed_away.get(res.schema, 0) + 1
+        tbl = table_of(schema, name)
+        if res.type == "table-schema":
+            # first shard's schema wins for a merged target (schema dedup)
+            if tbl.schema_file is None:
+                tbl.schema_file = path
+        elif res.type == "view-schema":
+            if tbl.view_schema_file is None:
+                tbl.view_schema_file = path
+        else:
+            tbl.data_files.append(
+                SourceFileMeta(
+                    path=path,
+                    type=res.type,
+                    compression=res.compression,
+                    sort_key=res.key,
+                    file_size=size,
+                )
+            )
+
+    # stable data-file order per table: (sort_key numeric-aware, path)
+    for db in dbs.values():
+        for tbl in db.tables.values():
+            tbl.data_files.sort(
+                key=lambda f: (
+                    int(f.sort_key) if f.sort_key.isdigit() else 0,
+                    f.sort_key,
+                    f.path,
+                )
+            )
+            if not no_schema and tbl.schema_file is None and tbl.data_files:
+                raise FileNotFoundError(
+                    f"missing table schema file for `{tbl.db}`.`{tbl.name}` "
+                    f"(set no-schema=true to infer from data)"
+                )
+
+    # drop source dbs fully routed away (loader.go:404-415); an empty db
+    # that simply has no tables is kept
+    dbs = {
+        name: db
+        for name, db in dbs.items()
+        if db.tables or (db.schema_file and routed_away.get(name, 0) == 0)
+    }
+    return LoadResult(databases=dbs, ignored=ignored, unrecognized=unrecognized)

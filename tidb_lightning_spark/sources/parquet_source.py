@@ -44,12 +44,13 @@ def _probe_nano_ts_columns(path: str) -> list[str]:
     ]
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
+def read_table(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Read a parquet table, normalizing nano timestamps to micros."""
-    nanos = _probe_nano_ts_columns(path)
+    paths = [path] if isinstance(path, str) else list(path)
+    nanos = sorted({c for p in paths for c in _probe_nano_ts_columns(p)})
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(*paths)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

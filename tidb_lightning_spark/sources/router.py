@@ -1,0 +1,172 @@
+"""File routing: map a source-dir path to (schema, table, type, key, compression).
+
+Re-expresses the reference's regex router (lightning/mydump/router.go:110-344):
+  * rules are tried in order; first match wins;
+  * each rule has a `pattern` (regex, searched — default rules self-anchor)
+    or a `path` (exact string);
+  * fields (schema/table/type/key/compression) are templates over the
+    pattern's capture groups: ``$1``, ``${name}``, ``$$`` for a literal $;
+  * the default Mydumper rules recognize
+    ``{db}-schema-create.sql``, ``{db}.{tbl}-schema.sql``,
+    ``{db}.{tbl}-schema-view.sql``, ``{db}.{tbl}[.{key}].{sql|csv|parquet}``
+    and ignore trigger/post schema files.
+
+Departure from the reference: compressed data files (.gz/.zst/...) are
+*accepted* (router.go:256-273 rejects them) because Spark's readers
+decompress these codecs natively (SURVEY.md §2.A9); non-splittable codecs
+simply yield one task per file.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+FILE_TYPES = {
+    "schema-schema",
+    "table-schema",
+    "view-schema",
+    "sql",
+    "csv",
+    "parquet",
+    "ignore",
+}
+
+COMPRESSIONS = {"": "", "gz": "gz", "lz4": "lz4", "zstd": "zstd", "xz": "xz"}
+
+# Default Mydumper filename conventions (router.go:107-128).
+DEFAULT_FILE_RULES: list[dict] = [
+    {"pattern": r"(?i).*(-schema-trigger|-schema-post)\.sql$", "type": "ignore"},
+    {
+        "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)-schema-create\.sql$",
+        "schema": "$1",
+        "table": "",
+        "type": "schema-schema",
+    },
+    {
+        "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)\.(.*?)-schema\.sql$",
+        "schema": "$1",
+        "table": "$2",
+        "type": "table-schema",
+    },
+    {
+        "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)\.(.*?)-schema-view\.sql$",
+        "schema": "$1",
+        "table": "$2",
+        "type": "view-schema",
+    },
+    {
+        "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)\.(.*?)(?:\.([0-9]+))?\.(sql|csv|parquet)$",
+        "schema": "$1",
+        "table": "$2",
+        "type": "$4",
+        "key": "$3",
+    },
+]
+
+_VAR = re.compile(r"\$(?:(\$)|(\d+)|([A-Za-z_]\w*)|\{(\w+)\})")
+
+
+@dataclass(frozen=True)
+class RouteResult:
+    schema: str
+    name: str
+    type: str
+    key: str = ""
+    compression: str = ""
+
+
+def _expand(template: str, m: re.Match) -> str:
+    """Go regexp.Expand semantics: $1 / $name / ${name}; unmatched -> ''."""
+
+    def sub(v: re.Match) -> str:
+        if v.group(1):
+            return "$"
+        ref = v.group(2) or v.group(3) or v.group(4)
+        try:
+            idx = int(ref)
+        except ValueError:
+            idx = ref
+        try:
+            return m.group(idx) or ""
+        except IndexError:
+            return ""
+
+    return _VAR.sub(sub, template)
+
+
+class _Rule:
+    def __init__(self, raw: dict):
+        pattern = raw.get("pattern", "")
+        path = raw.get("path", "")
+        if bool(pattern) == bool(path):
+            raise ValueError(
+                "`path` and `pattern`: exactly one must be set in [[mydumper.files]]"
+            )
+        if path:
+            pattern = re.escape(path)
+            esc = lambda t: t.replace("$", "$$")  # noqa: E731
+            raw = {
+                **raw,
+                "schema": esc(raw.get("schema", "")),
+                "table": esc(raw.get("table", "")),
+                "type": esc(raw.get("type", "")),
+                "key": esc(raw.get("key", "")),
+                "compression": esc(raw.get("compression", "")),
+            }
+        self.regex = re.compile(pattern)
+        self.type_tmpl = raw.get("type", "")
+        if not self.type_tmpl:
+            raise ValueError("field 'type' match pattern can't be empty")
+        self.schema_tmpl = raw.get("schema", "")
+        self.table_tmpl = raw.get("table", "")
+        self.key_tmpl = raw.get("key", "")
+        self.compression_tmpl = raw.get("compression", "")
+        if self.type_tmpl != "ignore":
+            if not self.schema_tmpl:
+                raise ValueError("field 'schema' match pattern can't be empty")
+            if self.type_tmpl != "schema-schema" and raw.get("table") is None:
+                raise ValueError("field 'table' match pattern can't be empty")
+
+    def route(self, path: str) -> RouteResult | None:
+        m = self.regex.search(path)
+        if m is None:
+            return None
+        ftype = _expand(self.type_tmpl, m).strip().lower()
+        if ftype not in FILE_TYPES:
+            raise ValueError(f"unknown source type '{ftype}' for path {path!r}")
+        if ftype == "ignore":
+            return RouteResult("", "", "ignore")
+        schema = _expand(self.schema_tmpl, m)
+        table = "" if ftype == "schema-schema" else _expand(self.table_tmpl, m)
+        key = _expand(self.key_tmpl, m) if self.key_tmpl else ""
+        comp = (
+            _expand(self.compression_tmpl, m).strip().lower()
+            if self.compression_tmpl
+            else ""
+        )
+        if comp not in COMPRESSIONS:
+            raise ValueError(f"invalid compression type '{comp}'")
+        return RouteResult(schema, table, ftype, key, comp)
+
+
+@dataclass
+class FileRouter:
+    rules: list[_Rule] = field(default_factory=list)
+
+    @classmethod
+    def build(
+        cls, custom_rules: list[dict] | None = None, default_rules: bool = True
+    ) -> "FileRouter":
+        raws = list(custom_rules or [])
+        if default_rules:
+            raws += DEFAULT_FILE_RULES
+        return cls([_Rule(r) for r in raws])
+
+    def route(self, path: str) -> RouteResult | None:
+        """First matching rule wins; None -> file not recognized."""
+        for rule in self.rules:
+            res = rule.route(path)
+            if res is not None:
+                return res
+        return None
