@@ -62,6 +62,7 @@ class Config:
             backslash_escape=csv.get("backslash-escape", True),
             trim_last_sep=csv.get("trim-last-separator", False),
             character_set=_charset(my.get("character-set", "utf8mb4")),
+            strict_format=my.get("strict-format", False),
         )
         cfg.routes = raw.get("routes", [])
         tikv = raw.get("tikv-importer", {})

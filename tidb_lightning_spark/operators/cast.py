@@ -51,9 +51,16 @@ def _dec_lit(v: int) -> Column:
 
 
 def _num(col: Column) -> Column:
-    """MySQL numeric-prefix parse: '99.9x' -> 99.9, junk -> 0."""
+    """MySQL numeric-prefix parse: '99.9x' -> 99.9, junk -> 0.
+
+    Fast path first: try_cast handles clean numerics entirely in codegen;
+    coalesce short-circuits, so the regexp fallback only ever evaluates on
+    rows that are actually dirty — the ingest hot loop stays regex-free.
+    """
+    fast = col.try_cast("decimal(38,9)")
     prefix = F.regexp_extract(col, _NUM_PREFIX, 1)
-    return F.when(prefix == "", F.lit(0)).otherwise(prefix.cast("decimal(38,9)"))
+    slow = F.when(prefix == "", F.lit(0)).otherwise(prefix.cast("decimal(38,9)"))
+    return F.coalesce(fast, slow)
 
 
 def cast_column(

@@ -65,13 +65,33 @@ class FilesSink:
         if os.path.exists(staging):
             shutil.rmtree(staging)
 
+        cached = None
         out = df
         if sort_columns:
-            n = max(1, source_bytes // TARGET_FILE_BYTES) if source_bytes else 1
+            # Range count: 96 MiB target files at scale (first term wins on
+            # big tables); floor at cluster parallelism for small inputs so
+            # the sort+write isn't single-threaded (second term, local
+            # bench / tail tables). More, smaller range partitions are
+            # still globally non-overlapping — correctness is unaffected.
+            spark = df.sparkSession
+            cores = spark.sparkContext.defaultParallelism
+            n = max(
+                (source_bytes + TARGET_FILE_BYTES - 1) // TARGET_FILE_BYTES,
+                min(cores, max(1, source_bytes // (8 * 1024 * 1024))),
+                1,
+            )
             # one shuffle: range-partition on the PK, then local sort —
-            # Spark's external sort handles spill (the SST/pebble analog)
+            # Spark's external sort handles spill (the SST/pebble analog).
+            # repartitionByRange SAMPLES its input, which would re-execute
+            # the whole read+transform chain; persisting first makes the
+            # sample+shuffle read the materialized rows instead — the same
+            # stage-the-sorted-runs-to-disk shape as the reference's
+            # pebble staging (local.go:1811-2053).
             if n > 1:
-                out = out.repartitionByRange(n, *sort_columns)
+                from pyspark import StorageLevel
+
+                cached = out.persist(StorageLevel.MEMORY_AND_DISK)
+                out = cached.repartitionByRange(n, *sort_columns)
             out = out.sortWithinPartitions(*sort_columns)
 
         writer = out.write.mode("overwrite").format(self.fmt)
@@ -79,7 +99,11 @@ class FilesSink:
             writer = writer.partitionBy(*partition_columns)
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.save(staging)
+        try:
+            writer.save(staging)
+        finally:
+            if cached is not None:
+                cached.unpersist()
 
         # engine Import: atomic swap into the warehouse
         if os.path.exists(final):

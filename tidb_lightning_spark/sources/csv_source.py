@@ -46,6 +46,12 @@ class CSVConfig:
     backslash_escape: bool = True
     trim_last_sep: bool = False
     character_set: str = "utf-8"
+    # mydumper.strict-format (config.go:262): rows never contain embedded
+    # newlines, so files are byte-range splittable. The reference only
+    # splits large CSVs under this flag (region.go:236-286); for Spark it
+    # maps to multiLine=false -> line-splittable scans (task per 256 MiB
+    # instead of task per file).
+    strict_format: bool = False
 
 
 def _decompress_open(path: str):
@@ -136,7 +142,9 @@ def read_csv_files(
         .option("sep", cfg.separator)
         .option("nullValue", cfg.null)
         .option("emptyValue", "")
-        .option("multiLine", "true")  # quoted embedded newlines (F4)
+        # embedded newlines in quoted fields (F4) need multiLine, which
+        # makes a file one task; strict-format promises none exist
+        .option("multiLine", "false" if cfg.strict_format else "true")
         .option("encoding", cfg.character_set)
         .option("mode", "FAILFAST" if strict else "PERMISSIVE")
         .option("header", "true" if cfg.header else "false")
