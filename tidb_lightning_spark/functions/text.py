@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-corpus pipelines (beyond-reference
+surface: language-ID, quality scoring, token counting, fingerprinting).
+
+Everything is built-in Catalyst expressions (no UDFs) and every operator
+has an exact ANSI-SQL twin runnable by DuckDB, so the driver's oracle can
+hash-match values. Shared determinism rules:
+
+  * tokenization = regex split on \\s+ with empty strings dropped —
+    identical semantics in Spark `split`/`filter` and DuckDB
+    `string_split_regex`/`list_filter`;
+  * all hashes derive from md5 -> first 15 hex chars -> BIGINT (60-bit),
+    the same construction as functions/checksum.py;
+  * ratios are single IEEE divisions of exact integer counts — bit-equal
+    across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Order matters: ties resolve to the earlier language.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def hash60(col: Column) -> Column:
+    """60-bit md5-derived hash (cross-engine reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def stopword_hits(col: Column, words: list[str]) -> Column:
+    """Number of tokens (with repeats) that are in `words`."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(F.lower(col)), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-profile language ID; 'und' when nothing matches."""
+    hits = {lang: stopword_hits(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # build the CASE back-to-front so earlier languages win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: alpha ratio + mean-word-length window +
+    stopword presence. Deterministic double arithmetic."""
+    n_chars = F.length(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_tok = token_count(col)
+    mean_wl = n_alpha.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    alpha_ratio = n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    sw = stopword_hits(col, LANG_STOPWORDS["en"]).cast("double") / F.greatest(
+        n_tok, F.lit(1)
+    ).cast("double")
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return alpha_ratio * 0.5 + wl_ok * 0.3 + F.least(sw * 5.0, F.lit(1.0)) * 0.2
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: lower-case, whitespace-collapsed,
+    trimmed text -> 60-bit hash. The exact-dedup key for noisy corpora."""
+    canon = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return hash60(canon)
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL twins (DuckDB)
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS = (
+    "list_filter(string_split_regex({col}, '\\s+'), x -> x != '')"
+)
+
+
+def sql_token_count(col: str) -> str:
+    return f"len({SQL_TOKENS.format(col=col)})"
+
+
+def sql_hash60(col: str) -> str:
+    return f"CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+
+
+def sql_stopword_hits(col: str, words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    toks = SQL_TOKENS.format(col=f"lower({col})")
+    return f"len(list_filter({toks}, t -> list_contains({arr}, t)))"
+
+
+def sql_lang_id(col: str) -> str:
+    hits = {
+        lang: sql_stopword_hits(col, ws) for lang, ws in LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    out = "'und'"
+    for lang in reversed(list(LANG_STOPWORDS)):
+        h = hits[lang]
+        out = f"CASE WHEN {h} > 0 AND {h} = {best} THEN '{lang}' ELSE {out} END"
+    return out
+
+
+def sql_quality_score(col: str) -> str:
+    n_chars = f"length({col})"
+    n_alpha = f"length(regexp_replace({col}, '[^A-Za-z]', '', 'g'))"
+    n_tok = sql_token_count(col)
+    mean_wl = f"(CAST({n_alpha} AS DOUBLE) / CAST(greatest({n_tok}, 1) AS DOUBLE))"
+    alpha_ratio = f"(CAST({n_alpha} AS DOUBLE) / CAST(greatest({n_chars}, 1) AS DOUBLE))"
+    sw = (
+        f"(CAST({sql_stopword_hits(col, LANG_STOPWORDS['en'])} AS DOUBLE) "
+        f"/ CAST(greatest({n_tok}, 1) AS DOUBLE))"
+    )
+    wl_ok = f"(CASE WHEN {mean_wl} >= 3.0 AND {mean_wl} <= 10.0 THEN 1.0 ELSE 0.0 END)"
+    return (
+        f"({alpha_ratio} * 0.5 + {wl_ok} * 0.3 + least({sw} * 5.0, 1.0) * 0.2)"
+    )
+
+
+def sql_fingerprint(col: str) -> str:
+    canon = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    return sql_hash60(canon)

@@ -46,6 +46,20 @@ def dec(col: str, p: int = 18, s: int = 2):
     return F.col(col).cast(f"decimal({p},{s})")
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition up to cluster parallelism when the scan produced fewer
+    partitions than cores. Scan splitting is byte-based, which starves
+    compute-heavy per-row operators (shingling, hashing, vector math) on
+    small-byte inputs; the repartition shuffles only the small raw input.
+    At scale the scan already yields >= cores partitions and this no-ops.
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     name: str
@@ -432,4 +446,363 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (beyond-reference: language-ID, quality, fingerprint)
+# ---------------------------------------------------------------------------
+
+from tidb_lightning_spark.functions import dedup as D  # noqa: E402
+from tidb_lightning_spark.functions import text as TX  # noqa: E402
+
+
+@register(
+    "text_analysis",
+    f"""
+    SELECT doc_id,
+           {TX.sql_lang_id('text')} AS lang_pred,
+           {TX.sql_quality_score('text')} AS quality,
+           {TX.sql_token_count('text')} AS n_tokens,
+           {TX.sql_fingerprint('text')} AS fingerprint
+    FROM documents
+    """,
+)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword profiles), quality score, token count and
+    canonical fingerprint in ONE scan — all Catalyst expressions, so the
+    whole operator is a single codegen stage with no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.lang_id(t).alias("lang_pred"),
+        TX.quality_score(t).alias("quality"),
+        TX.token_count(t).alias("n_tokens"),
+        TX.fingerprint(t).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_signatures",
+    D.sql_minhash_signatures("documents", "doc_id", "text"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded MinHash signatures (8 hashes over word-3-gram shingles).
+    One linear scan, map-side only; the signature (8 longs) is what
+    shuffles downstream, never the text."""
+    d = widen(load(spark, sf_dir, "documents"))
+    return D.minhash_signature_df(d, "doc_id", "text")
+
+
+@register(
+    "near_dup_minhash_lsh",
+    f"""
+    WITH sig AS ({D.sql_minhash_signatures("documents", "doc_id", "text")})
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(count(*) AS DOUBLE) / {D.N_MINHASH}.0 AS est_jaccard
+    FROM sig a JOIN sig b
+      ON a.hash_idx = b.hash_idx AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any MinHash band (r=1, high
+    recall); est_jaccard = fraction of matching hashes. The join key is a
+    (hash_idx, minhash) long pair — the corpus never self-joins on text."""
+    d = widen(load(spark, sf_dir, "documents"))
+    # signatures are tiny (8 longs/doc) — persist so the self-join reads
+    # them instead of re-deriving from text on both sides
+    sig = D.minhash_signature_df(d, "doc_id", "text").persist()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.hash_idx") == F.col("b.hash_idx"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(
+            (F.count(F.lit(1)).cast("double") / F.lit(float(D.N_MINHASH))).alias(
+                "est_jaccard"
+            )
+        )
+    )
+
+
+@register(
+    "simhash_documents",
+    D.sql_simhash("documents", "doc_id", "text"),
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = widen(load(spark, sf_dir, "documents"))
+    return D.simhash_df(d, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_vs_first_doc",
+    f"""
+    WITH q AS (SELECT text AS qtext FROM documents
+               ORDER BY doc_id LIMIT 1)
+    SELECT doc_id, {D.sql_jaccard_tokens('text', 'qtext')} AS jaccard
+    FROM documents, q
+    ORDER BY jaccard DESC, doc_id
+    LIMIT 20
+    """,
+)
+def ngram_jaccard_vs_first_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard of every doc against the first doc; top-20.
+    The query doc broadcasts; one scan of the corpus."""
+    d = load(spark, sf_dir, "documents")
+    q = (
+        d.orderBy("doc_id")
+        .limit(1)
+        .select(F.col("text").alias("qtext"))
+    )
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id", D.jaccard_tokens(F.col("text"), F.col("qtext")).alias("jaccard")
+        )
+        .orderBy(F.col("jaccard").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "near_dup_embeddings",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT a, b, cosine FROM pairs
+    ORDER BY cosine DESC, a, b
+    LIMIT 20
+    """,
+)
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 closest pairs, exact all-pairs —
+    the correctness baseline (knn_cosine_lsh is the bucketed scale path)."""
+    from tidb_lightning_spark.functions.similarity import dot
+
+    e = (
+        widen(load(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+        )
+        .withColumn("norm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    )
+    a = e.select(
+        F.col("vec_id").alias("a"), F.col("e").alias("ea"), F.col("norm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("b"), F.col("e").alias("eb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), "a", "b")
+        .limit(20)
+    )
+
+
+@register("knn_cosine_lsh", None)  # rows-only: ANN recall is probabilistic
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the 100 TB path: bucket once, join
+    within buckets). No SQL oracle — results depend on bucket recall; the
+    driver records the weaker rows-only check."""
+    from tidb_lightning_spark.functions.similarity import knn_lsh
+
+    e = load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    # 6 planes -> 64 buckets: ~n/64 candidates per query. More planes =
+    # higher precision, lower recall; tune per corpus size.
+    return knn_lsh(
+        e, "vec_id", "embedding", lambda c: c < 10, dim=dim, k=5, n_planes=6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage: sessionization, rollup, semi/anti, set ops, as-of
+# (reference supplies none of these — Spark SQL surface, SURVEY.md §2.J)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,4)) AS v,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, v,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq, min(ts) AS session_start,
+           count(*) AS n_events,
+           CAST(sum(v) AS DECIMAL(38,4)) AS sum_value
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization — the batch twin of the streaming
+    session window (streaming module uses session_window on the same
+    semantics)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 1800
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = marked.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("decimal(38,4)").alias("sum_value"),
+    )
+
+
+@register(
+    "rollup_events_daily",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+)
+def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_value"),
+        )
+        .select("event_type", "day", "n_events", "sum_value")
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS). Spark plans a broadcast/shuffled anti join;
+    only the key column of orders is scanned (column pruning)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "user_key_set_ops",
+    """
+    SELECT 'events_and_customers' AS op, count(*) AS n FROM (
+      SELECT DISTINCT user_id FROM events
+      INTERSECT
+      SELECT c_custkey FROM customer
+    )
+    UNION ALL
+    SELECT 'events_not_customers' AS op, count(*) AS n FROM (
+      SELECT DISTINCT user_id FROM events
+      EXCEPT
+      SELECT c_custkey FROM customer
+    )
+    ORDER BY op
+    """,
+)
+def user_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(F.col("user_id")).distinct()
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    inter = e.intersect(c).count()
+    diff = e.exceptAll(c.distinct()).count()
+    rows = [("events_and_customers", inter), ("events_not_customers", diff)]
+    return spark.createDataFrame(rows, "op string, n bigint").orderBy("op")
+
+
+@register(
+    "asof_latest_order_per_event",
+    """
+    WITH joined AS (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey, o_orderdate
+    FROM joined WHERE rn = 1
+    """,
+)
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native operator): inequality join + keep
+    latest per left row. At 100 TB the range join benefits from bucketing
+    both sides on the key; AQE handles the skewed-user case."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    joined = e.join(
+        o,
+        (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
     )
