@@ -1,0 +1,88 @@
+"""Streaming operator tests: file-source replay of the events table must
+agree with the batch twins (availableNow trigger -> memory sink)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.streaming import events as S
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    # re-materialize the events table as micro-batch files
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    return d
+
+
+def _prepare(spark, d):
+    if not os.listdir(d):
+        from tidb_lightning_spark.sources.parquet_source import read_table
+
+        ev = read_table(spark, f"{SF_SMOKE}/events.parquet")
+        ev.select(*[f.name for f in S.EVENT_SCHEMA.fields]).repartition(
+            4
+        ).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_windowed_counts_match_batch(spark, stream_dir):
+    d = _prepare(spark, stream_dir)
+    stream = S.read_event_stream(spark, d)
+    # complete mode: append would hold back windows newer than the final
+    # watermark (they are still "open" when the replay ends)
+    S.run_to_memory(S.windowed_counts(stream), "win_counts", "complete")
+    got = {
+        (r["bucket"], r["event_type"]): (r["n_events"], str(r["sum_value"]))
+        for r in spark.table("win_counts").collect()
+    }
+
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    batch = (
+        read_table(spark, f"{SF_SMOKE}/events.parquet")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("sum_value"),
+        )
+    )
+    want = {
+        (r["bucket"], r["event_type"]): (r["n_events"], str(r["sum_value"]))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_sessionize_stream_total_events(spark, stream_dir):
+    d = _prepare(spark, stream_dir)
+    stream = S.read_event_stream(spark, d)
+    S.run_to_memory(S.sessionize(stream), "sessions", "complete")
+    rows = spark.table("sessions").collect()
+    assert sum(r["n_events"] for r in rows) == 1000  # sf0.001 events count
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_dedup_stream(spark, stream_dir, tmp_path):
+    d = str(tmp_path / "dup_events")
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    ev = read_table(spark, f"{SF_SMOKE}/events.parquet").select(
+        *[f.name for f in S.EVENT_SCHEMA.fields]
+    )
+    # write the same events twice -> duplicated ids across files
+    ev.write.mode("overwrite").parquet(d)
+    ev.write.mode("append").parquet(d)
+    stream = S.read_event_stream(spark, d)
+    S.run_to_memory(S.dedup_stream(stream), "deduped")
+    n = spark.table("deduped").count()
+    assert n == 1000

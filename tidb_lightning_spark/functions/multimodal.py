@@ -1,0 +1,204 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+Schema convention for a 100 TB multimodal corpus:
+
+    content   BINARY                      -- the raw encoded media bytes
+    meta      STRUCT<mime STRING, width INT, height INT,
+                     duration_ms BIGINT, sample_rate INT, n_frames INT>
+
+The heavy steps (decode, resize, feature-extract, frame-sample) run as
+Arrow-batched `mapInPandas` — one Python worker per partition, media bytes
+never pass through the driver, output schemas are fixed up front so
+Catalyst can prune/plan around them.
+
+The actual codecs (PIL/cv2/librosa) are NOT in this container, so the
+decode kernels are STUBBED: with `fake=True` (default here) they emit
+deterministic md5-derived pseudo-results so the distributed plumbing is
+fully testable; with `fake=False` they raise NotImplementedError at the
+import site. Swapping in a real decoder changes only the inner function —
+partitioning, schemas and batch shapes stay as tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def _ship(df: DataFrame) -> None:
+    from tidb_lightning_spark._shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+
+def _fake_u32(data: bytes, salt: str) -> int:
+    return int.from_bytes(
+        hashlib.md5(salt.encode() + data).digest()[:4], "little"
+    )
+
+
+def _decode_image_stub(data: bytes, fake: bool):
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/cv2 (not in this container); "
+            "run with fake=True or install a codec"
+        )
+    w = 64 + _fake_u32(data, "w") % 1984
+    h = 64 + _fake_u32(data, "h") % 1984
+    return w, h
+
+
+def image_metadata(
+    df: DataFrame, content_col: str = "content", fake: bool = True
+) -> DataFrame:
+    """content -> (*, width, height, mime) via Arrow-batched mapInPandas."""
+    _ship(df)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            dims = [
+                _decode_image_stub(bytes(b), fake) for b in pdf[content_col]
+            ]
+            pdf = pdf.copy()
+            pdf["width"] = [d[0] for d in dims]
+            pdf["height"] = [d[1] for d in dims]
+            pdf["mime"] = "image/stub"
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    content_col: str = "content",
+    fake: bool = True,
+) -> DataFrame:
+    """content -> resized content (stub: truncated/size-stamped bytes)."""
+    out_schema = df.schema
+    _ship(df)
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real resize requires PIL/cv2")
+            pdf = pdf.copy()
+            pdf[content_col] = [
+                hashlib.md5(bytes(b)).digest() + bytes([target_w % 256, target_h % 256])
+                for b in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def image_embedding(
+    df: DataFrame,
+    dim: int = 16,
+    content_col: str = "content",
+    id_cols: list[str] | None = None,
+    fake: bool = True,
+) -> DataFrame:
+    """content -> float embedding (stub: md5-derived, deterministic).
+
+    Output: id columns + `embedding array<float>` — feeds directly into
+    functions/similarity.knn_lsh for multimodal near-dup at scale.
+    """
+    _ship(df)
+    id_cols = id_cols or [c for c in df.columns if c != content_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("real embedding requires a model")
+            embs = []
+            for b in pdf[content_col]:
+                data = bytes(b)
+                embs.append(
+                    [
+                        (_fake_u32(data, f"e{i}") / 2**31 - 1.0)
+                        for i in range(dim)
+                    ]
+                )
+            out = pdf[id_cols].copy()
+            out["embedding"] = embs
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    content_col: str = "content",
+    fake: bool = True,
+) -> DataFrame:
+    """video content -> exploded (frame_idx, frame_ts_ms, frame BINARY).
+
+    One input row fans out to N frame rows inside the same partition —
+    no shuffle; downstream ops see an ordinary binary column.
+    """
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    other = [f.name for f in df.schema.fields if f.name != content_col]
+    _ship(df)
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r[content_col])
+                if not fake:
+                    raise NotImplementedError("real frame sampling requires cv2")
+                duration_ms = 1000 + _fake_u32(data, "dur") % 9000
+                n = max(1, duration_ms // every_ms)
+                for i in range(n):
+                    rows.append(
+                        {
+                            **{c: r[c] for c in other},
+                            "frame_idx": i,
+                            "frame_ts_ms": i * every_ms,
+                            "frame": hashlib.md5(
+                                data + i.to_bytes(4, "little")
+                            ).digest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=other + ["frame_idx", "frame_ts_ms", "frame"])
+
+    return df.mapInPandas(kernel, schema=out_schema)

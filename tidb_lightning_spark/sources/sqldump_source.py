@@ -300,6 +300,9 @@ def read_sql_files(
         ]
     )
 
+    from tidb_lightning_spark._shipping import ensure_shipped
+
+    ensure_shipped(spark)
     raw = (
         spark.read.format("text")
         .option("wholetext", "true")
