@@ -1,0 +1,67 @@
+"""Charset transcoding (A10, model: tests/character_sets) and compressed
+sources (A9 — a departure: the reference rejects them, Spark reads them)."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from tidb_lightning_spark.config import Config
+from tidb_lightning_spark.pipeline import Restorer
+
+
+def write(path, content: bytes | str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    mode = "wb" if isinstance(content, bytes) else "w"
+    with open(path, mode) as f:
+        f.write(content)
+
+
+def test_gb18030_csv(spark, tmp_path):
+    d = str(tmp_path / "dump")
+    write(f"{d}/cs-schema-create.sql", "CREATE DATABASE cs;")
+    write(f"{d}/cs.t-schema.sql", "CREATE TABLE t (id INT PRIMARY KEY, name TEXT);")
+    data = "id,name\n1,你好世界\n2,数据库\n"
+    write(f"{d}/cs.t.csv", data.encode("gb18030"))
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, checkpoint_enable=False
+    )
+    cfg.character_set = "gb18030"
+    import dataclasses
+
+    cfg.csv = dataclasses.replace(cfg.csv, character_set="gb18030")
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    rows = {r["id"]: r["name"] for r in spark.read.parquet(f"{target}/cs/t").collect()}
+    assert rows == {1: "你好世界", 2: "数据库"}
+
+
+def test_gzip_csv_source(spark, tmp_path):
+    d = str(tmp_path / "dump")
+    write(f"{d}/gz-schema-create.sql", "CREATE DATABASE gz;")
+    write(f"{d}/gz.t-schema.sql", "CREATE TABLE t (a INT, b TEXT, PRIMARY KEY (a));")
+    csv = "a,b\n1,one\n2,two\n3,three\n"
+    with gzip.open(f"{d}/gz.t.csv.gz", "wt") as f:
+        f.write(csv)
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, checkpoint_enable=False
+    )
+    # route *.csv.gz as csv with compression captured
+    cfg.file_routes = [
+        {
+            "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)\.(.*?)\.csv\.(gz)$",
+            "schema": "$1",
+            "table": "$2",
+            "type": "csv",
+            "compression": "$3",
+        }
+    ]
+    cfg.default_file_rules = True
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    rows = {r["a"]: r["b"] for r in spark.read.parquet(f"{target}/gz/t").collect()}
+    assert rows == {1: "one", 2: "two", 3: "three"}

@@ -29,7 +29,9 @@ sharing a header are batched into one multi-path spark.read so a
 from __future__ import annotations
 
 import codecs
+import dataclasses
 import io
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,6 +112,50 @@ def _split_line(line: str, cfg: CSVConfig) -> list[str]:
     return out
 
 
+# charsets Spark 4's CSV reader accepts natively; anything else goes
+# through the transcode step (the reference transcodes at read time too:
+# lightning/mydump/reader.go:39-118)
+SPARK_NATIVE_CHARSETS = {
+    "iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le", "utf-32", "utf-8",
+}
+
+
+def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
+    """Stream-transcode legacy-charset files (gb18030/gbk/...) to UTF-8
+    copies cached by (path, size, mtime).
+
+    Driver-side IO — appropriate for legacy dump files which are rare and
+    bounded; a 100 TB corpus in gb18030 should be pre-transcoded with a
+    distributed text pass instead (mapInPandas decode), which this
+    function's contract allows swapping in.
+    """
+    import codecs
+    import hashlib
+    import tempfile
+
+    cache = os.path.join(tempfile.gettempdir(), "tls_transcode")
+    os.makedirs(cache, exist_ok=True)
+    out = []
+    for p in paths:
+        st = os.stat(p)
+        key = hashlib.md5(
+            f"{p}:{st.st_size}:{st.st_mtime_ns}:{charset}".encode()
+        ).hexdigest()[:16]
+        dst = os.path.join(cache, f"{key}_{os.path.basename(p)}.utf8")
+        if not os.path.exists(dst):
+            tmp = dst + ".part"
+            with open(p, "rb") as fin, open(tmp, "w", encoding="utf-8") as fout:
+                reader = codecs.getreader(charset)(fin, errors="replace")
+                while True:
+                    chunk = reader.read(1 << 20)
+                    if not chunk:
+                        break
+                    fout.write(chunk)
+            os.replace(tmp, dst)
+        out.append(dst)
+    return out
+
+
 def read_csv_files(
     spark: SparkSession,
     paths: list[str],
@@ -128,6 +174,11 @@ def read_csv_files(
     if cfg.header:
         header_names = read_header(paths[0], cfg)
         width = len(header_names)
+
+    charset = codecs.lookup(cfg.character_set).name
+    if charset not in SPARK_NATIVE_CHARSETS:
+        paths = transcode_to_utf8(paths, charset)
+        cfg = dataclasses.replace(cfg, character_set="utf-8")
     if width is None:
         # probe width from the first line of the first file
         width = len(_split_line_first(paths[0], cfg))
