@@ -166,6 +166,12 @@ class Restorer:
                     tbl.db, tbl.name, "checksummed",
                     signature=sig, checksum=rep.checksum,
                 )
+            if rep.rows == 0 and tbl.total_size > 0:
+                log.warning(
+                    "table `%s`.`%s` imported 0 rows from %d bytes of source "
+                    "— check charset/dialect/compression configuration",
+                    tbl.db, tbl.name, tbl.total_size,
+                )
             self.sink.write_meta(
                 tbl.db, tbl.name,
                 {

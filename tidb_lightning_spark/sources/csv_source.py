@@ -138,13 +138,18 @@ def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
     out = []
     for p in paths:
         st = os.stat(p)
+        # v2 salt: invalidates caches from before the decompress-first fix
         key = hashlib.md5(
-            f"{p}:{st.st_size}:{st.st_mtime_ns}:{charset}".encode()
+            f"v2:{p}:{st.st_size}:{st.st_mtime_ns}:{charset}".encode()
         ).hexdigest()[:16]
         dst = os.path.join(cache, f"{key}_{os.path.basename(p)}.utf8")
         if not os.path.exists(dst):
             tmp = dst + ".part"
-            with open(p, "rb") as fin, open(tmp, "w", encoding="utf-8") as fout:
+            # compressed sources must be decompressed BEFORE transcoding
+            # (the byte stream is not text); output is plain UTF-8
+            with _decompress_open(p) as fin, open(
+                tmp, "w", encoding="utf-8"
+            ) as fout:
                 reader = codecs.getreader(charset)(fin, errors="replace")
                 while True:
                     chunk = reader.read(1 << 20)
