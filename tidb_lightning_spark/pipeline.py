@@ -39,6 +39,51 @@ class IngestError(RuntimeError):
     pass
 
 
+def _partition_columns(info: TableInfo) -> list[str] | None:
+    """Hive-style output partitioning for MySQL RANGE/LIST COLUMNS tables
+    (H4). Only value-based single-column partitioning maps cleanly to a
+    directory layout (one dir per value — dates, categories); HASH/KEY
+    partitioning stays physical-only (the range sink already spreads it).
+    """
+    import re
+
+    if not info.partition_by:
+        return None
+    m = re.search(
+        r"(RANGE|LIST)\s+COLUMNS?\s*\(\s*([^)]+?)\s*\)",
+        info.partition_by,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+    known = {c.name.lower() for c in info.columns}
+    if len(cols) == 1 and cols[0].lower() in known:
+        return cols
+    return None
+
+
+def _column_stats(df: DataFrame) -> dict:
+    from pyspark.sql import functions as SF
+
+    aggs = []
+    numeric_ish = ("int", "bigint", "smallint", "tinyint", "double", "float",
+                   "decimal", "date", "timestamp")
+    for f in df.schema.fields:
+        name = f.name
+        aggs.append(SF.sum(SF.col(name).isNull().cast("long")).alias(f"nulls__{name}"))
+        aggs.append(SF.approx_count_distinct(name).alias(f"ndv__{name}"))
+        if any(f.dataType.simpleString().startswith(t) for t in numeric_ish):
+            aggs.append(SF.min(name).alias(f"min__{name}"))
+            aggs.append(SF.max(name).alias(f"max__{name}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    stats: dict[str, dict] = {}
+    for k, v in row.items():
+        stat, _, col = k.partition("__")
+        stats.setdefault(col, {})[stat] = v
+    return stats
+
+
 @dataclass
 class TableReport:
     db: str
@@ -134,6 +179,7 @@ class Restorer:
                 tbl.name,
                 sort_columns=sort_cols,
                 source_bytes=tbl.total_size,
+                partition_columns=_partition_columns(info),
             )
             self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
 
@@ -172,17 +218,32 @@ class Restorer:
                     "— check charset/dialect/compression configuration",
                     tbl.db, tbl.name, tbl.total_size,
                 )
-            self.sink.write_meta(
-                tbl.db, tbl.name,
-                {
-                    "schema": [c.name for c in info.columns],
-                    "primary_key": info.primary_key,
-                    "rows": rep.rows,
-                    "checksum": rep.checksum,
-                    "pinned_timestamp": self.pinned_ts,
-                },
-            )
+            meta = {
+                "schema": [c.name for c in info.columns],
+                "primary_key": info.primary_key,
+                "rows": rep.rows,
+                "checksum": rep.checksum,
+                "pinned_timestamp": self.pinned_ts,
+            }
+            # ANALYZE (L3): one agg pass of per-column stats into the table
+            # meta; feeds size estimation the way ANALYZE TABLE feeds the
+            # optimizer (restore.go:2215-2220)
+            if self.cfg.analyze != "off":
+                meta["column_stats"] = _column_stats(written)
+                self.checkpoints.update(
+                    tbl.db, tbl.name, "analyzed", signature=sig
+                )
+            self.sink.write_meta(tbl.db, tbl.name, meta)
             rep.status = "imported"
+            # progress line mirroring restore.go:960-969 fields
+            log.info(
+                "restored `%s`.`%s`: %d rows, %d files, %.1f MiB source in "
+                "%.1fs (%.1f rows/s, %.2f MiB/s)",
+                tbl.db, tbl.name, rep.rows, rep.files,
+                tbl.total_size / 1048576, time.time() - t0,
+                rep.rows / max(time.time() - t0, 0.001),
+                tbl.total_size / 1048576 / max(time.time() - t0, 0.001),
+            )
         except Exception as exc:  # error summary (restore.go:89-129)
             rep.error = f"{type(exc).__name__}: {exc}"
             log.error("table `%s`.`%s` failed: %s", tbl.db, tbl.name, rep.error)

@@ -764,13 +764,25 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def user_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT counts in ONE distributed pass: distinct event keys
+    left-join the customer key set, then a conditional aggregation — no
+    driver-side counts, one shuffle per side + one broadcast join."""
     e = load(spark, sf_dir, "events").select(F.col("user_id")).distinct()
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id")
+    c = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"))
+        .distinct()
+        .withColumn("_is_cust", F.lit(1))
     )
-    inter = e.intersect(c).count()
-    diff = e.exceptAll(c.distinct()).count()
-    rows = [("events_and_customers", inter), ("events_not_customers", diff)]
+    flags = e.join(F.broadcast(c), "user_id", "left")
+    counts = flags.agg(
+        F.count(F.col("_is_cust")).alias("inter"),
+        F.sum(F.when(F.col("_is_cust").isNull(), 1).otherwise(0)).alias("diff"),
+    ).collect()[0]
+    rows = [
+        ("events_and_customers", counts["inter"]),
+        ("events_not_customers", counts["diff"]),
+    ]
     return spark.createDataFrame(rows, "op string, n bigint").orderBy("op")
 
 
