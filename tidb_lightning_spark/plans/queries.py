@@ -775,15 +775,25 @@ def user_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_is_cust", F.lit(1))
     )
     flags = e.join(F.broadcast(c), "user_id", "left")
-    counts = flags.agg(
+    agg = flags.agg(
         F.count(F.col("_is_cust")).alias("inter"),
-        F.sum(F.when(F.col("_is_cust").isNull(), 1).otherwise(0)).alias("diff"),
-    ).collect()[0]
-    rows = [
-        ("events_and_customers", counts["inter"]),
-        ("events_not_customers", counts["diff"]),
-    ]
-    return spark.createDataFrame(rows, "op string, n bigint").orderBy("op")
+        F.coalesce(
+            F.sum(F.when(F.col("_is_cust").isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("diff"),
+    )
+    # unpivot the 1-row agg into (op, n) rows — stays one lazy job, no
+    # driver collect
+    pairs = F.array(
+        F.struct(F.lit("events_and_customers").alias("op"), F.col("inter").alias("n")),
+        F.struct(F.lit("events_not_customers").alias("op"), F.col("diff").alias("n")),
+    )
+    return (
+        agg.select(F.explode(pairs).alias("p"))
+        .select("p.op", "p.n")
+        .orderBy("op")
+    )
 
 
 @register(
@@ -886,4 +896,105 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (the reference's JSON datum, SURVEY §1.2):
+    extract/aggregate over a JSON string column — get_json_object is
+    evaluated JVM-side inside the scan stage, no shuffle beyond the agg."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.count(k).alias("n_with_k"),
+            F.min(k).cast("bigint").alias("min_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS with a correlated predicate): left_semi keeps
+    orders with at least one late-shipping line — lineitem is only probed,
+    never materialized into the output."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-10-01")))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE inside SUM) over a fact-fact join."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
     )
