@@ -63,25 +63,28 @@ def _partition_columns(info: TableInfo) -> list[str] | None:
     return None
 
 
-def _column_stats(df: DataFrame) -> dict:
+def _column_stats(df: DataFrame) -> tuple[int, dict]:
+    """One-pass ANALYZE: (row count, per-column null/ndv/min/max). The row
+    count rides the same scan, so callers never pay a separate count job."""
     from pyspark.sql import functions as SF
 
-    aggs = []
+    aggs = [SF.count(SF.lit(1)).alias("rows___")]
     numeric_ish = ("int", "bigint", "smallint", "tinyint", "double", "float",
                    "decimal", "date", "timestamp")
     for f in df.schema.fields:
         name = f.name
         aggs.append(SF.sum(SF.col(name).isNull().cast("long")).alias(f"nulls__{name}"))
-        aggs.append(SF.approx_count_distinct(name).alias(f"ndv__{name}"))
+        aggs.append(SF.approx_count_distinct(name, rsd=0.1).alias(f"ndv__{name}"))
         if any(f.dataType.simpleString().startswith(t) for t in numeric_ish):
             aggs.append(SF.min(name).alias(f"min__{name}"))
             aggs.append(SF.max(name).alias(f"max__{name}"))
     row = df.agg(*aggs).collect()[0].asDict()
+    rows = row.pop("rows___")
     stats: dict[str, dict] = {}
     for k, v in row.items():
         stat, _, col = k.partition("__")
         stats.setdefault(col, {})[stat] = v
-    return stats
+    return rows, stats
 
 
 @dataclass
@@ -186,9 +189,14 @@ class Restorer:
             written = read_table(self.spark, commit.path)
             cols = [c for c in written.columns]
             rep.files = commit.n_files
+            column_stats = None
+            if self.cfg.analyze != "off":
+                # ANALYZE (L3) readback pass; row count rides along free
+                rep.rows, column_stats = _column_stats(written)
             if self.cfg.checksum == "off":
-                # footer-metadata count only — no data scan
-                rep.rows = written.count()
+                if column_stats is None:
+                    # footer-metadata count only — no data scan
+                    rep.rows = written.count()
             else:
                 readback = Checksum.from_row(checksum(written, cols).collect()[0])
                 rep.rows = readback.kvs
@@ -225,11 +233,11 @@ class Restorer:
                 "checksum": rep.checksum,
                 "pinned_timestamp": self.pinned_ts,
             }
-            # ANALYZE (L3): one agg pass of per-column stats into the table
-            # meta; feeds size estimation the way ANALYZE TABLE feeds the
-            # optimizer (restore.go:2215-2220)
-            if self.cfg.analyze != "off":
-                meta["column_stats"] = _column_stats(written)
+            # ANALYZE (L3): per-column stats into the table meta; feeds size
+            # estimation the way ANALYZE TABLE feeds the optimizer
+            # (restore.go:2215-2220)
+            if column_stats is not None:
+                meta["column_stats"] = column_stats
                 self.checkpoints.update(
                     tbl.db, tbl.name, "analyzed", signature=sig
                 )

@@ -43,6 +43,12 @@ def get_spark(
         # cluster the TPC-H-ish dims (region/nation/supplier) always fit.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # PySpark's per-API-call origin capture does a Python stack walk
+        # plus an extra JVM round trip per Column/DataFrame op; our
+        # transform chains build thousands of Column expressions, where
+        # this costs ~1s of pure driver time per table. Error context is
+        # a debugging nicety, not worth it on the hot path.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
