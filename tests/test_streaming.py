@@ -86,3 +86,36 @@ def test_dedup_stream(spark, stream_dir, tmp_path):
     S.run_to_memory(S.dedup_stream(stream), "deduped")
     n = spark.table("deduped").count()
     assert n == 1000
+
+
+def test_running_user_totals_stateful(spark, stream_dir):
+    d = _prepare(spark, stream_dir)
+    # one file per micro-batch so state must survive across batches
+    stream = S.read_event_stream(spark, d, max_files_per_trigger=1)
+    S.run_to_memory(S.running_user_totals(stream), "running_totals", "update")
+    # update mode emits one row per user per micro-batch that touched it;
+    # the LAST emission per user carries the accumulated state
+    rows = spark.table("running_totals").collect()
+    assert len(rows) > len({r["user_id"] for r in rows})  # multi-batch emissions
+    final = {}
+    for r in rows:  # memory sink preserves batch order
+        final[r["user_id"]] = (r["n_events"], r["total_value"], r["last_ts"])
+
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    batch = (
+        read_table(spark, f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["total"], r["last_ts"]) for r in batch.collect()}
+    assert set(final) == set(want)
+    for uid, (n, total, last) in want.items():
+        gn, gtotal, glast = final[uid]
+        assert gn == n, uid
+        assert abs(gtotal - (total or 0.0)) < 1e-6, uid
+        assert glast == last, uid

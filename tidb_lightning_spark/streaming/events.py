@@ -7,6 +7,7 @@ user can run the same semantics over a live feed:
   batch events_hourly_rollup   <->  windowed_counts (tumbling window)
   batch sessionize_events      <->  sessionize (session_window, same 30-min gap)
   exact dedup                  <->  dedup_stream (dropDuplicatesWithinWatermark)
+  batch per-user groupBy agg   <->  running_user_totals (applyInPandasWithState)
 
 Late data is handled by watermarks; every operator works with
 `trigger(availableNow=True)` for batch-replay and continuous triggers for
@@ -33,13 +34,14 @@ EVENT_SCHEMA = T.StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, fmt: str = "parquet"
+    spark: SparkSession, path: str, fmt: str = "parquet",
+    max_files_per_trigger: int = 8,
 ) -> DataFrame:
     """File-based event stream (each new file = a micro-batch of events)."""
     return (
         spark.readStream.format(fmt)
         .schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 8)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
 
@@ -97,6 +99,51 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value total, last-seen ts) maintained across
+    micro-batches — semantics Spark's built-in windowed aggs can't
+    express (unbounded, update-on-every-batch, arbitrary state).
+
+    State is partitioned by user_id (the shuffle key), so each task owns
+    a disjoint user range and the state store scales horizontally; the
+    per-batch payload into Python is the Arrow-batched group delta, not
+    the accumulated history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value double, last_ts timestamp"
+    )
+    state_schema = "n bigint, total double, last_ts timestamp"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total, last = (state.get if state.exists else (0, 0.0, None))
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            mx = pdf["ts"].max()
+            last = mx if last is None or (mx is not None and mx > last) else last
+        state.update((n, total, last))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts": [last],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 
