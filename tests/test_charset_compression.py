@@ -65,3 +65,50 @@ def test_gzip_csv_source(spark, tmp_path):
     assert rep.ok, [t.error for t in rep.tables]
     rows = {r["a"]: r["b"] for r in spark.read.parquet(f"{target}/gz/t").collect()}
     assert rows == {1: "one", 2: "two", 3: "three"}
+
+
+def test_gzip_sql_dump_source(spark, tmp_path):
+    # A9 departure: reference rejects compressed sources; Spark's text
+    # reader decompresses .sql.gz transparently (single-partition caveat)
+    import gzip
+
+    d = str(tmp_path / "dump")
+    os.makedirs(d)
+    write(f"{d}/d-schema-create.sql", "CREATE DATABASE d;")
+    write(f"{d}/d.t-schema.sql",
+       "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a));")
+    with gzip.open(f"{d}/d.t.sql.gz", "wt") as f:
+        f.write("INSERT INTO t (a, b) VALUES (1, 'x'), (2, 'y');\n"
+                "INSERT INTO t (a, b) VALUES (3, NULL);\n")
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(None, source_dir=d, target_dir=target,
+                           checkpoint_enable=False)
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    rows = {r["a"]: r["b"] for r in spark.read.parquet(f"{target}/d/t").collect()}
+    assert rows == {1: "x", 2: "y", 3: None}
+
+
+def test_zstd_csv_source(spark, tmp_path):
+    import shutil as sh
+    import subprocess
+
+    if not sh.which("zstd"):
+        import pytest
+
+        pytest.skip("zstd CLI unavailable")
+    d = str(tmp_path / "dump")
+    os.makedirs(d)
+    write(f"{d}/d-schema-create.sql", "CREATE DATABASE d;")
+    write(f"{d}/d.t-schema.sql",
+       "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a));")
+    write(f"{d}/d.t.csv", "a,b\n1,x\n2,\\N\n")
+    subprocess.run(["zstd", "-q", "--rm", f"{d}/d.t.csv"], check=True)
+    assert os.path.exists(f"{d}/d.t.csv.zst")
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(None, source_dir=d, target_dir=target,
+                           checkpoint_enable=False)
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    rows = {r["a"]: r["b"] for r in spark.read.parquet(f"{target}/d/t").collect()}
+    assert rows == {1: "x", 2: None}

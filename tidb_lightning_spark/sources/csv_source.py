@@ -56,13 +56,58 @@ class CSVConfig:
     strict_format: bool = False
 
 
+class _ProcStream:
+    """Read-only stream over an external decompressor's stdout. Used only
+    for driver-side peeks/transcodes of codecs Python lacks natively; the
+    executor-side scan decompresses in the JVM (Hadoop codecs)."""
+
+    def __init__(self, args: list[str]):
+        import subprocess
+
+        self._p = subprocess.Popen(
+            args, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+        )
+
+    def read(self, n: int = -1) -> bytes:
+        return self._p.stdout.read(n)
+
+    def readable(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        self._p.stdout.close()
+        self._p.kill()
+        self._p.wait()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _decompress_open(path: str):
     if path.endswith(".gz"):
         import gzip
 
         return gzip.open(path, "rb")
+    if path.endswith(".xz"):
+        import lzma
+
+        return lzma.open(path, "rb")
+    if path.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
     if path.endswith((".zst", ".zstd")):
-        raise NotImplementedError("driver-side zstd header peek not supported")
+        import shutil as _sh
+
+        if _sh.which("zstd"):
+            return _ProcStream(["zstd", "-dc", path])
+        raise NotImplementedError(
+            "driver-side zstd peek needs the `zstd` CLI or the zstandard "
+            "module; executor-side scans decompress natively regardless"
+        )
     return open(path, "rb")
 
 

@@ -32,7 +32,11 @@ FILE_TYPES = {
     "ignore",
 }
 
-COMPRESSIONS = {"": "", "gz": "gz", "lz4": "lz4", "zstd": "zstd", "xz": "xz"}
+# normalized codec names; gzip/zst are accepted aliases (router.go:88-103)
+COMPRESSIONS = {
+    "": "", "gz": "gz", "gzip": "gz", "lz4": "lz4",
+    "zst": "zstd", "zstd": "zstd", "xz": "xz", "snappy": "snappy",
+}
 
 # Default Mydumper filename conventions (router.go:107-128).
 DEFAULT_FILE_RULES: list[dict] = [
@@ -56,11 +60,12 @@ DEFAULT_FILE_RULES: list[dict] = [
         "type": "view-schema",
     },
     {
-        "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)\.(.*?)(?:\.([0-9]+))?\.(sql|csv|parquet)$",
+        "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)\.(.*?)(?:\.([0-9]+))?\.(sql|csv|parquet)(?:\.(\w+))?$",
         "schema": "$1",
         "table": "$2",
         "type": "$4",
         "key": "$3",
+        "compression": "$5",
     },
 ]
 
@@ -147,7 +152,7 @@ class _Rule:
         )
         if comp not in COMPRESSIONS:
             raise ValueError(f"invalid compression type '{comp}'")
-        return RouteResult(schema, table, ftype, key, comp)
+        return RouteResult(schema, table, ftype, key, COMPRESSIONS[comp])
 
 
 @dataclass

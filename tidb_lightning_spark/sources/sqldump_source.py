@@ -272,8 +272,11 @@ def parse_insert_statements(text: str) -> Iterator[Statement]:
 
 
 def peek_columns(path: str, encoding: str = "utf-8") -> list[str] | None:
-    """Driver-side: column list of the first INSERT (None = positional)."""
-    with open(path, "rb") as f:
+    """Driver-side: column list of the first INSERT (None = positional).
+    Compressed dumps are peeked through the shared decompressing opener."""
+    from tidb_lightning_spark.sources.csv_source import _decompress_open
+
+    with _decompress_open(path) as f:
         head = f.read(1 << 20)
     text = head.decode(encoding, errors="replace")
     for stmt in parse_insert_statements(text):
