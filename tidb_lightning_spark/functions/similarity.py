@@ -89,3 +89,153 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path next to LSH
+# ---------------------------------------------------------------------------
+
+N_LISTS = 16
+N_PROBE = 4
+KMEANS_ITERS = 2
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_i ||vec - c_i||^2 as a pure Catalyst expression: an array of
+    (dist, idx) structs reduced with array_min (struct ordering compares
+    dist first). Centroids are driver-side constants -> broadcast literals."""
+    entries = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(v) for v in c])
+        d = F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        entries.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
+    return F.array_min(F.array(*entries))["idx"]
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = N_LISTS,
+    iters: int = KMEANS_ITERS,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means, deterministic seeding.
+
+    Seeds = the n_lists corpus vectors with the smallest md5(id) (a
+    deterministic pseudo-random draw — no RNG, stable across runs and
+    resumes). Each iteration: broadcast centroids, assign every vector to
+    its nearest centroid (one scan, no shuffle of the vectors), then
+    per-dimension means via posexplode + groupBy — the shuffle payload is
+    (cluster, dim, partial sums), i.e. O(n_lists * dim) per partition
+    after map-side combine, not the corpus.
+
+    At 100 TB you train on a sample; callers pass df.sample(...) for
+    that — the math is identical.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    )
+    seeds = (
+        base.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(n_lists)
+        .select("_v")
+        .collect()
+    )
+    centroids = [list(r["_v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = base.withColumn(
+            "_c", _nearest_centroid(F.col("_v"), centroids)
+        )
+        means = (
+            assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_c", "_d")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(r["_c"], {})[r["_d"]] = r["_m"]
+        centroids = [
+            [new[i][d] for d in sorted(new[i])] if i in new else centroids[i]
+            for i in range(n_lists)
+        ]
+    return centroids
+
+
+def knn_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_filter,
+    k: int = 5,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in their nearest-centroid list;
+    each query probes its n_probe closest lists and exact-cosine re-ranks
+    the candidates. n_probe == n_lists degrades to exact brute force
+    (the property the unit test asserts).
+
+    Scale shape: one corpus scan to attach `_list` (centroids broadcast
+    as literals), queries broadcast; the join fans out each corpus row to
+    at most the probing queries of its list — the corpus never
+    self-joins or shuffles.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(df, id_col, vec_col, n_lists)
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    base = base.withColumn("_list", _nearest_centroid(F.col("_v"), centroids))
+
+    # per-query probe set: the n_probe nearest centroid ids, as an array
+    dists = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(v) for v in c])
+        d = F.aggregate(
+            F.zip_with(F.col("_qv"), carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
+    probe = F.transform(
+        F.slice(F.array_sort(F.array(*dists)), 1, n_probe), lambda s: s["idx"]
+    )
+
+    q = (
+        base.filter(query_filter(F.col("_id")))
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_v").alias("_qv"),
+            F.col("_norm").alias("_qnorm"),
+        )
+        .withColumn("_probe", probe)
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        F.array_contains(F.col("_probe"), F.col("_list"))
+        & (F.col("_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("_id").alias("neighbor_id"),
+        (dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
+    )

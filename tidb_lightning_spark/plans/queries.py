@@ -639,6 +639,20 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_cosine_ivf", None)  # rows-only: ANN recall is probabilistic
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the second scale path: k-means lists + n_probe search).
+    Deterministically seeded distributed Lloyd training; n_probe==n_lists
+    degrades to exact search (asserted in tests/test_similarity.py). No
+    SQL oracle — recall depends on list assignment."""
+    from tidb_lightning_spark.functions.similarity import knn_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        e, "vec_id", "embedding", lambda c: c < 10, k=5, n_lists=8, n_probe=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage: sessionization, rollup, semi/anti, set ops, as-of
 # (reference supplies none of these — Spark SQL surface, SURVEY.md §2.J)
