@@ -81,12 +81,20 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: ingest failed: {exc}", file=sys.stderr)
 
+    # Headline value = the ingest wall (the reference-comparable number:
+    # BASELINE.md anchors 28 MiB/s bulk-import throughput; BASELINE.md §
+    # "Our benchmark harness" defines BENCH as ingest wall + rows/s at the
+    # bench SF, with the query timings recorded alongside). Query wall is
+    # reported as queries_total_sec — it grows as the registry widens, so
+    # it must not skew the round-over-round headline.
     total = round(sum(t for t in timings.values() if t > 0), 4)
     line = {
-        "metric": "headline_queries_plus_ingest_wall",
-        "value": total,
+        "metric": "ingest_wall",
+        "value": timings.get("ingest_lineitem_csv", total),
         "unit": "sec",
         "queries": timings,
+        "queries_total_sec": total,
+        "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extras,
     }
