@@ -112,3 +112,23 @@ def test_zstd_csv_source(spark, tmp_path):
     assert rep.ok, [t.error for t in rep.tables]
     rows = {r["a"]: r["b"] for r in spark.read.parquet(f"{target}/d/t").collect()}
     assert rows == {1: "x", 2: None}
+
+
+def test_gb18030_sql_dump(spark, tmp_path):
+    # A10 for SQL dumps: the text reader is UTF-8-only, so legacy-charset
+    # dumps must transcode before the scan (reader.go:39-69 analog)
+    d = str(tmp_path / "dump")
+    os.makedirs(d)
+    write(f"{d}/d-schema-create.sql", "CREATE DATABASE d;")
+    write(f"{d}/d.t-schema.sql",
+          "CREATE TABLE t (a INT, b VARCHAR(40), PRIMARY KEY (a));")
+    body = "INSERT INTO t (a, b) VALUES (1, '中文测试'), (2, '数据');"
+    with open(f"{d}/d.t.sql", "wb") as f:
+        f.write(body.encode("gb18030"))
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(None, source_dir=d, target_dir=target,
+                           checkpoint_enable=False, character_set="gb18030")
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    rows = {r["a"]: r["b"] for r in spark.read.parquet(f"{target}/d/t").collect()}
+    assert rows == {1: "中文测试", 2: "数据"}

@@ -169,3 +169,40 @@ def test_cli_run_and_ctl(spark, dump_dir, tmp_path, capsys):
     rc = cli.main(["ctl", "--target", target, "--checkpoint-dump"])
     assert rc == 0
     assert "`mydb`.`people`" in capsys.readouterr().out
+
+
+def test_duplicate_resolution_files_backend(spark, tmp_path):
+    # tidb_duplicate_data scenario analog on the files backend: the same
+    # PK appears twice; replace keeps the LAST occurrence, ignore the
+    # FIRST, error fails the table.
+    import dataclasses as _dc
+
+    def build(policy):
+        d = str(tmp_path / f"dump_{policy}")
+        os.makedirs(d, exist_ok=True)
+        write(f"{d}/d-schema-create.sql", "CREATE DATABASE d;")
+        write(f"{d}/d.t-schema.sql",
+               "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a));")
+        write(f"{d}/d.t.csv", "a,b\n1,first\n2,only\n1,last\n")
+        target = str(tmp_path / f"wh_{policy}")
+        cfg = Config.from_toml(None, source_dir=d, target_dir=target,
+                               checkpoint_enable=False, checksum="off",
+                               duplicate_resolution=policy)
+        return cfg, target
+
+    cfg, target = build("replace")
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    rows = {r["a"]: r["b"] for r in spark.read.parquet(f"{target}/d/t").collect()}
+    assert rows == {1: "last", 2: "only"}
+
+    cfg, target = build("ignore")
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok
+    rows = {r["a"]: r["b"] for r in spark.read.parquet(f"{target}/d/t").collect()}
+    assert rows == {1: "first", 2: "only"}
+
+    cfg, target = build("error")
+    rep = Restorer(spark, cfg).run()
+    assert not rep.ok
+    assert "duplicate primary key" in rep.tables[0].error

@@ -34,7 +34,11 @@ class Config:
     analyze: str = "optional"
     jdbc_url: str = ""
     jdbc_table_prefix: str = ""
-    on_duplicate: str = "replace"  # replace | ignore | error
+    on_duplicate: str = "replace"  # replace | ignore | error (jdbc backend)
+    # files-backend PK-conflict resolution (reference duplicate-resolution
+    # knob): none = write as-is (fastest), else resolve via on_duplicate
+    # semantics before the sort-write
+    duplicate_resolution: str = "none"  # none | replace | ignore | error
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -68,6 +72,9 @@ class Config:
         tikv = raw.get("tikv-importer", {})
         cfg.backend = tikv.get("backend", "local")
         cfg.on_duplicate = tikv.get("on-duplicate", cfg.on_duplicate)
+        cfg.duplicate_resolution = tikv.get(
+            "duplicate-resolution", cfg.duplicate_resolution
+        )
         cp = raw.get("checkpoint", {})
         cfg.checkpoint_enable = cp.get("enable", True)
         post = raw.get("post-restore", {})
@@ -100,6 +107,10 @@ class Config:
             raise ValueError("can't configure both [routes] and [[mydumper.files]]")
         if self.on_duplicate not in ("replace", "ignore", "error"):
             raise ValueError(f"invalid on-duplicate {self.on_duplicate!r}")
+        if self.duplicate_resolution not in ("none", "replace", "ignore", "error"):
+            raise ValueError(
+                f"invalid duplicate-resolution {self.duplicate_resolution!r}"
+            )
 
 
 def _charset(name: str) -> str:

@@ -261,6 +261,7 @@ def transform_table(
     strict: bool = False,
     binary_encoding: str = "UTF-8",
     rowid_base: int = 0,
+    keep_rowid: bool | None = None,
 ) -> DataFrame:
     present = (
         {c.lower() for c in file_columns}
@@ -275,4 +276,4 @@ def transform_table(
     out = cast_columns(out, info, strict=strict, binary_encoding=binary_encoding)
     out = fill_defaults(out, info, present, pinned_timestamp)
     out = eval_generated_columns(out, info)
-    return finalize(out, info)
+    return finalize(out, info, keep_rowid=keep_rowid)

@@ -160,6 +160,24 @@ class Restorer:
                 self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
                 return rep
 
+            if self.cfg.duplicate_resolution != "none" and info.primary_key:
+                from tidb_lightning_spark.operators.transform import ROWID_COL
+                from tidb_lightning_spark.sinks.jdbc_sink import (
+                    apply_duplicate_policy,
+                )
+
+                # PK-conflict resolution before the sort-write (the local
+                # backend's same-key-overwrites semantics made explicit;
+                # tidb.go:80-88 policy names). Row id orders first/last.
+                df = apply_duplicate_policy(
+                    df,
+                    info.primary_key,
+                    self.cfg.duplicate_resolution,
+                    order_col=ROWID_COL,
+                )
+                if ROWID_COL in df.columns and not info.has_auto_row_id():
+                    df = df.drop(ROWID_COL)
+
             if self.cfg.strict_sql_mode and ERR_COL in df.columns:
                 bad = df.filter(F.col(ERR_COL).isNotNull())
                 sample = bad.select(ERR_COL).limit(3).collect()
@@ -305,6 +323,11 @@ class Restorer:
             return None
         parts: list[DataFrame] = []
         rowid_base = 0
+        # duplicate resolution needs the row id downstream as the
+        # deterministic first/last ordering key
+        keep_rowid = (
+            True if self.cfg.duplicate_resolution != "none" else None
+        )
 
         csv_files = [f for f in tbl.data_files if f.type == "csv"]
         sql_files = [f for f in tbl.data_files if f.type == "sql"]
@@ -333,6 +356,7 @@ class Restorer:
                         self.pinned_ts,
                         strict=self.cfg.strict_sql_mode,
                         rowid_base=rowid_base,
+                        keep_rowid=keep_rowid,
                     )
                 )
                 # next group's ids start beyond this group's upper bound
@@ -340,9 +364,21 @@ class Restorer:
                 rowid_base += group_bytes // max(1, len(info.columns)) + 1
 
         if sql_files:
+            # the Spark text reader is UTF-8-only: legacy-charset dumps are
+            # stream-transcoded driver-side first (A10 — same contract as
+            # the CSV path; reader.go:39-69)
+            import codecs as _codecs
+
+            charset = _codecs.lookup(self.cfg.character_set or "utf-8").name
+            actual = {f.path: f.path for f in sql_files}
+            if charset not in ("utf-8", "ascii"):
+                transcoded = csv_source.transcode_to_utf8(
+                    [f.path for f in sql_files], charset
+                )
+                actual = dict(zip((f.path for f in sql_files), transcoded))
             groups: dict[tuple, list] = {}
             for f in sql_files:
-                cols = sqldump_source.peek_columns(f.path, self.cfg.character_set)
+                cols = sqldump_source.peek_columns(actual[f.path], "utf-8")
                 key = tuple(cols) if cols else ()
                 groups.setdefault(key, []).append(f)
             for key, files in groups.items():
@@ -350,14 +386,15 @@ class Restorer:
                 n_cols = len(file_cols) if file_cols else len(info.columns)
                 df = sqldump_source.read_sql_files(
                     self.spark,
-                    [f.path for f in files],
+                    [actual[f.path] for f in files],
                     n_cols,
-                    self.cfg.character_set,
+                    "utf-8",
                 )
-                # per-file row-id bases from file sizes (region.go:252-286)
+                # per-file row-id bases from file sizes (region.go:252-286);
+                # keys are the paths the scan actually read (= _src_file)
                 bases, acc = {}, rowid_base
                 for f in files:
-                    bases[os.path.abspath(f.path)] = acc
+                    bases[os.path.abspath(actual[f.path])] = acc
                     acc += f.file_size // (len(info.columns) + 2) + 1
                 rowid_base = acc
                 mapping = F.create_map(
@@ -381,6 +418,7 @@ class Restorer:
                         self.pinned_ts,
                         strict=self.cfg.strict_sql_mode,
                         binary_encoding="ISO-8859-1",
+                        keep_rowid=keep_rowid,
                     )
                 )
 
@@ -398,7 +436,14 @@ class Restorer:
                     df = df.withColumn(
                         c.name, F.lit(None).cast(c.mysql.spark_type())
                     )
-            parts.append(df.select(*[c.name for c in info.columns]))
+            pq = df.select(*[c.name for c in info.columns])
+            if keep_rowid:
+                from tidb_lightning_spark.operators.transform import ROWID_COL
+
+                # parquet rows carry no parser row id; a split-stable
+                # monotonic id gives dedup a deterministic ordering key
+                pq = pq.withColumn(ROWID_COL, F.monotonically_increasing_id())
+            parts.append(pq)
 
         if not parts:
             return None
