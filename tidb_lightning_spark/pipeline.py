@@ -63,28 +63,51 @@ def _partition_columns(info: TableInfo) -> list[str] | None:
     return None
 
 
-def _column_stats(df: DataFrame) -> tuple[int, dict]:
-    """One-pass ANALYZE: (row count, per-column null/ndv/min/max). The row
-    count rides the same scan, so callers never pay a separate count job."""
+def _readback_pass(
+    df: DataFrame,
+    cols: list[str],
+    want_checksum: bool,
+    want_stats: bool,
+) -> tuple[int, Checksum | None, dict | None]:
+    """ONE readback scan serving every post-process consumer: row count,
+    the verification checksum triple (L2) and ANALYZE column stats (L3)
+    ride the same aggregate, so enabling checksum+analyze costs one pass,
+    not three."""
     from pyspark.sql import functions as SF
 
+    from tidb_lightning_spark.functions.checksum import canonical_row, row_hash64
+
     aggs = [SF.count(SF.lit(1)).alias("rows___")]
+    if want_checksum:
+        canon = canonical_row(cols)
+        aggs.append(SF.sum(SF.length(canon)).cast("bigint").alias("cks_bytes___"))
+        aggs.append(SF.bit_xor(row_hash64(cols)).alias("cks_value___"))
     numeric_ish = ("int", "bigint", "smallint", "tinyint", "double", "float",
                    "decimal", "date", "timestamp")
-    for f in df.schema.fields:
-        name = f.name
-        aggs.append(SF.sum(SF.col(name).isNull().cast("long")).alias(f"nulls__{name}"))
-        aggs.append(SF.approx_count_distinct(name, rsd=0.1).alias(f"ndv__{name}"))
-        if any(f.dataType.simpleString().startswith(t) for t in numeric_ish):
-            aggs.append(SF.min(name).alias(f"min__{name}"))
-            aggs.append(SF.max(name).alias(f"max__{name}"))
+    if want_stats:
+        for f in df.schema.fields:
+            name = f.name
+            aggs.append(
+                SF.sum(SF.col(name).isNull().cast("long")).alias(f"nulls__{name}")
+            )
+            aggs.append(SF.approx_count_distinct(name, rsd=0.1).alias(f"ndv__{name}"))
+            if any(f.dataType.simpleString().startswith(t) for t in numeric_ish):
+                aggs.append(SF.min(name).alias(f"min__{name}"))
+                aggs.append(SF.max(name).alias(f"max__{name}"))
     row = df.agg(*aggs).collect()[0].asDict()
     rows = row.pop("rows___")
-    stats: dict[str, dict] = {}
-    for k, v in row.items():
-        stat, _, col = k.partition("__")
-        stats.setdefault(col, {})[stat] = v
-    return rows, stats
+    cks = (
+        Checksum(rows, row.pop("cks_bytes___") or 0, row.pop("cks_value___") or 0)
+        if want_checksum
+        else None
+    )
+    stats: dict[str, dict] | None = None
+    if want_stats:
+        stats = {}
+        for k, v in row.items():
+            stat, _, col = k.partition("__")
+            stats.setdefault(col, {})[stat] = v
+    return rows, cks, stats
 
 
 @dataclass
@@ -207,17 +230,17 @@ class Restorer:
             written = read_table(self.spark, commit.path)
             cols = [c for c in written.columns]
             rep.files = commit.n_files
-            column_stats = None
-            if self.cfg.analyze != "off":
-                # ANALYZE (L3) readback pass; row count rides along free
-                rep.rows, column_stats = _column_stats(written)
-            if self.cfg.checksum == "off":
-                if column_stats is None:
-                    # footer-metadata count only — no data scan
-                    rep.rows = written.count()
+            want_cks = self.cfg.checksum != "off"
+            want_stats = self.cfg.analyze != "off"
+            if not (want_cks or want_stats):
+                # footer-metadata count only — no data scan
+                rep.rows = written.count()
+                column_stats = None
             else:
-                readback = Checksum.from_row(checksum(written, cols).collect()[0])
-                rep.rows = readback.kvs
+                rep.rows, readback, column_stats = _readback_pass(
+                    written, cols, want_cks, want_stats
+                )
+            if want_cks:
                 ingest_cks = Checksum.from_row(
                     checksum(df.select(*written.columns), cols).collect()[0]
                 )
