@@ -90,3 +90,35 @@ def test_embedded_newline_in_quoted_field(spark, tmp_path):
     target = run(spark, tmp_path, d)
     rows = spark.read.parquet(f"{target}/d/t").collect()
     assert rows[0]["b"] == "line1\nline2"
+
+
+def test_exotic_unicode_filenames(spark, tmp_path):
+    # reference tests/exotic_filenames: unicode db/table names flow from
+    # filename routing through the warehouse directory layout
+    d = str(tmp_path / "dump")
+    write(f"{d}/中文庫-schema-create.sql", "CREATE DATABASE `中文庫`;")
+    write(f"{d}/中文庫.中文表-schema.sql",
+          "CREATE TABLE `中文表` (a INT, b VARCHAR(8), PRIMARY KEY (a));")
+    write(f"{d}/中文庫.中文表.csv", "a,b\n1,你好\n2,世界\n")
+    target = run(spark, tmp_path, d)
+    rows = {r["a"]: r["b"]
+            for r in spark.read.parquet(f"{target}/中文庫/中文表").collect()}
+    assert rows == {1: "你好", 2: "世界"}
+
+
+def test_wide_table_256_columns(spark, tmp_path):
+    # reference tests/too_many_columns: a 256-column table round-trips
+    n = 256
+    cols = [f"COL{i:03d}" for i in range(1, n + 1)]
+    d = str(tmp_path / "dump")
+    write(f"{d}/w-schema-create.sql", "CREATE DATABASE w;")
+    write(f"{d}/w.t-schema.sql",
+          "CREATE TABLE t (" + ", ".join(f"{c} VARCHAR(16)" for c in cols) + ");")
+    write(f"{d}/w.t.csv",
+          ",".join(cols) + "\n" + ",".join(str(1000 + i) for i in range(1, n + 1))
+          + "\n")
+    target = run(spark, tmp_path, d)
+    got = spark.read.parquet(f"{target}/w/t").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["COL001"] == "1001" and r["COL100"] == "1100" and r["COL256"] == "1256"

@@ -1415,3 +1415,37 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "quantiles_by_returnflag",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.25) AS q1_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.95) AS p95_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates (exact percentile with linear interpolation —
+    both engines sort-and-interpolate identically, so doubles bit-match).
+    Spark's `percentile` is a full-sort-per-group aggregate: fine at any
+    group count since each group sorts independently post-shuffle; for
+    sketch-accuracy-is-enough cases `percentile_approx` keeps it one pass."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5D)").alias("median_qty"),
+            F.expr("percentile(l_quantity, 0.25D)").alias("q1_qty"),
+            F.expr("percentile(l_quantity, 0.9D)").alias("p90_qty"),
+            F.expr("percentile(l_extendedprice, 0.95D)").alias("p95_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
