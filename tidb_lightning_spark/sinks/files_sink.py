@@ -122,3 +122,42 @@ class FilesSink:
         path = os.path.join(self.table_path(db, table), "_tls_meta.json")
         with open(path, "w") as f:
             json.dump(meta, f, indent=2, default=str)
+
+    def write_bucketed_table(
+        self,
+        df: DataFrame,
+        db: str,
+        table: str,
+        bucket_columns: list[str],
+        n_buckets: int,
+        sort_columns: list[str] | None = None,
+    ) -> str:
+        """Catalog-registered bucketed output (H: co-located joins).
+
+        `bucketBy(n, keys)` hash-partitions rows into a fixed bucket count
+        recorded in the catalog; two tables bucketed the same way join
+        WITHOUT a shuffle (no Exchange in the plan) — the Spark-native
+        equivalent of the reference pre-splitting the target key space
+        (SplitAndScatterRegionByRanges, localhelper.go:54-207) so ingest
+        lands co-located. At 100 TB this is the difference between a
+        full-fact shuffle per join and none; pick n_buckets ~ total_bytes
+        / 128 MiB, and the SAME n for every table sharing join keys.
+
+        Requires a catalog (saveAsTable); the plain path-based sink stays
+        the default. Returns the qualified table name.
+        """
+        spark = df.sparkSession
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        name = f"`{db}`.`{table}`"
+        writer = (
+            df.write.mode("overwrite")
+            .format(self.fmt)
+            # external table rooted in THIS sink's warehouse, not the
+            # session default (keeps all engine output under target_dir)
+            .option("path", self.table_path(db, table))
+            .bucketBy(n_buckets, *bucket_columns)
+        )
+        if sort_columns:
+            writer = writer.sortBy(*sort_columns)
+        writer.saveAsTable(f"{db}.{table}")
+        return name
