@@ -206,3 +206,19 @@ def test_duplicate_resolution_files_backend(spark, tmp_path):
     rep = Restorer(spark, cfg).run()
     assert not rep.ok
     assert "duplicate primary key" in rep.tables[0].error
+
+
+def test_orc_output_format(spark, tmp_path):
+    d = str(tmp_path / "dump_orc")
+    os.makedirs(d, exist_ok=True)
+    write(f"{d}/d-schema-create.sql", "CREATE DATABASE d;")
+    write(f"{d}/d.t-schema.sql",
+          "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a));")
+    write(f"{d}/d.t.csv", "a,b\n1,x\n2,y\n")
+    target = str(tmp_path / "wh_orc")
+    cfg = Config.from_toml(None, source_dir=d, target_dir=target,
+                           checkpoint_enable=False, output_format="orc")
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    rows = {r["a"]: r["b"] for r in spark.read.orc(f"{target}/d/t").collect()}
+    assert rows == {1: "x", 2: "y"}

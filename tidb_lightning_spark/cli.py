@@ -35,6 +35,15 @@ def main(argv: list[str] | None = None) -> int:
     ctl.add_argument("--checkpoint-dump", action="store_true")
     ctl.add_argument("--checkpoint-remove", metavar="DB.TBL or 'all'")
 
+    q = sub.add_parser(
+        "sql", help="run Spark SQL over an ingested warehouse"
+    )
+    q.add_argument("--target", required=True, help="warehouse directory")
+    q.add_argument("query", help="SQL text; tables addressable as db.tbl")
+    q.add_argument("--format", choices=["json", "csv", "table"], default="table")
+    q.add_argument("--limit", type=int, default=1000,
+                   help="max rows printed (the plan itself is unlimited)")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level.upper() if hasattr(args, "log_level") else "INFO",
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
@@ -42,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "ctl":
             return _ctl(args)
+        if args.cmd == "sql":
+            return _sql(args)
         return _run(args)
     except (ValueError, FileNotFoundError) as exc:
         # config/discovery errors: one-line message, no traceback
@@ -77,6 +88,46 @@ def _run(args) -> int:
     for t in failed:
         logging.error("failed table `%s`.`%s`: %s", t.db, t.table, t.error)
     return 1 if failed else 0
+
+
+def _sql(args) -> int:
+    """Expose full Spark SQL on the ingested warehouse (SURVEY §7.9): every
+    `<wh>/<db>/<table>` parquet dir is registered as a temp view named
+    db.tbl (dots are legal in view names when backtick-quoted; an
+    underscore alias db_tbl is registered too)."""
+    from tidb_lightning_spark.session import get_spark
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    spark = get_spark(app_name="tls-sql")
+    spark.sparkContext.setLogLevel("ERROR")
+    found = 0
+    for db in sorted(os.listdir(args.target)):
+        dpath = os.path.join(args.target, db)
+        if not os.path.isdir(dpath) or db.startswith("_"):
+            continue
+        for tbl in sorted(os.listdir(dpath)):
+            tpath = os.path.join(dpath, tbl)
+            if not os.path.isdir(tpath) or tbl.startswith("_"):
+                continue
+            df = read_table(spark, tpath)
+            df.createOrReplaceTempView(f"`{db}.{tbl}`")
+            df.createOrReplaceTempView(f"{db}_{tbl}")
+            found += 1
+    if not found:
+        print(f"error: no tables under {args.target}", file=sys.stderr)
+        return 1
+    out = spark.sql(args.query)
+    rows = out.limit(args.limit).collect()
+    if args.format == "json":
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    elif args.format == "csv":
+        print(",".join(out.columns))
+        for r in rows:
+            print(",".join("" if v is None else str(v) for v in r))
+    else:
+        out.limit(args.limit).show(args.limit, truncate=False)
+    return 0
 
 
 def _ctl(args) -> int:

@@ -20,6 +20,7 @@ class Config:
     source_dir: str = ""
     target_dir: str = ""  # warehouse root for the files backend
     backend: str = "local"  # local (files) | jdbc
+    output_format: str = "parquet"  # parquet | orc (files backend)
     no_schema: bool = False
     case_sensitive: bool = False
     filter: list[str] | None = None
@@ -71,6 +72,7 @@ class Config:
         cfg.routes = raw.get("routes", [])
         tikv = raw.get("tikv-importer", {})
         cfg.backend = tikv.get("backend", "local")
+        cfg.output_format = tikv.get("output-format", cfg.output_format)
         cfg.on_duplicate = tikv.get("on-duplicate", cfg.on_duplicate)
         cfg.duplicate_resolution = tikv.get(
             "duplicate-resolution", cfg.duplicate_resolution
@@ -95,6 +97,8 @@ class Config:
             raise ValueError("mydumper.data-source-dir (--source) is required")
         if self.backend not in ("local", "importer", "tidb", "jdbc", "files"):
             raise ValueError(f"invalid backend {self.backend!r}")
+        if self.output_format not in ("parquet", "orc"):
+            raise ValueError(f"invalid output-format {self.output_format!r}")
         c = self.csv
         if not c.separator:
             raise ValueError("csv.separator must not be empty")

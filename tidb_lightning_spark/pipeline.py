@@ -136,7 +136,7 @@ class Restorer:
     def __init__(self, spark: SparkSession, cfg: Config):
         self.spark = spark
         self.cfg = cfg
-        self.sink = FilesSink(cfg.target_dir)
+        self.sink = FilesSink(cfg.target_dir, fmt=cfg.output_format)
         self.checkpoints = CheckpointStore(
             os.path.join(cfg.target_dir, "_tls_checkpoints.json"),
             enabled=cfg.checkpoint_enable,
@@ -227,7 +227,11 @@ class Restorer:
             )
             self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
 
-            written = read_table(self.spark, commit.path)
+            written = (
+                read_table(self.spark, commit.path)
+                if self.cfg.output_format == "parquet"
+                else self.spark.read.format(self.cfg.output_format).load(commit.path)
+            )
             cols = [c for c in written.columns]
             rep.files = commit.n_files
             want_cks = self.cfg.checksum != "off"
