@@ -67,6 +67,10 @@ def main() -> None:
         except Exception as exc:  # keep the bench line intact on a bad query
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        # Queries must not pollute each other: drop any persist() a query
+        # made (e.g. minhash signature reuse) so later timings aren't
+        # skewed by lingering cached blocks / GC pressure.
+        spark.catalog.clearCache()
 
     # ingestion throughput (the reference's headline number: MiB/s)
     try:

@@ -59,3 +59,17 @@ def test_ivf_training_deterministic(spark):
     assert len(c1) == 4
     for a, b in zip(c1, c2):
         assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+
+def test_allpairs_block_count_invariance(spark):
+    """The blocked all-pairs top-k is exact: the result is identical (bit
+    for bit) whatever the block count — blocking changes placement only."""
+    from tidb_lightning_spark.functions.similarity import allpairs_cosine_topk
+
+    e = Q.load(spark, SF_CORRECTNESS, "embeddings")
+    one = allpairs_cosine_topk(e, "vec_id", "embedding", k=15, n_blocks=1)
+    many = allpairs_cosine_topk(e, "vec_id", "embedding", k=15, n_blocks=5)
+    rows1 = [tuple(r) for r in one.collect()]
+    rows5 = [tuple(r) for r in many.collect()]
+    assert rows1 == rows5
+    assert len(rows1) == 15

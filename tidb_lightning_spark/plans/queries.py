@@ -592,35 +592,14 @@ def ngram_jaccard_vs_first_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: top-20 closest pairs, exact all-pairs —
-    the correctness baseline (knn_cosine_lsh is the bucketed scale path)."""
-    from tidb_lightning_spark.functions.similarity import dot
+    """Embedding-cosine near-dup: exact top-20 closest pairs via the
+    blocked all-pairs operator (numpy-vectorized block tasks, bit-identical
+    fold order to the SQL oracle — see allpairs_cosine_topk docstring;
+    knn_cosine_lsh / knn_cosine_ivf are the approximate scale paths)."""
+    from tidb_lightning_spark.functions.similarity import allpairs_cosine_topk
 
-    e = (
-        widen(load(spark, sf_dir, "embeddings"))
-        .select(
-            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-        )
-        .withColumn("norm", F.sqrt(dot(F.col("e"), F.col("e"))))
-    )
-    a = e.select(
-        F.col("vec_id").alias("a"), F.col("e").alias("ea"), F.col("norm").alias("na")
-    )
-    b = e.select(
-        F.col("vec_id").alias("b"), F.col("e").alias("eb"), F.col("norm").alias("nb")
-    )
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias(
-                "cosine"
-            ),
-        )
-        .orderBy(F.col("cosine").desc(), "a", "b")
-        .limit(20)
-    )
+    e = load(spark, sf_dir, "embeddings")
+    return allpairs_cosine_topk(e, "vec_id", "embedding", k=20, n_blocks=8)
 
 
 @register("knn_cosine_lsh", None)  # rows-only: ANN recall is probabilistic
@@ -825,22 +804,29 @@ def user_key_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (Spark has no native operator): inequality join + keep
-    latest per left row. At 100 TB the range join benefits from bucketing
-    both sides on the key; AQE handles the skewed-user case."""
+    """As-of join (Spark has no native operator): equi-join on the user
+    key with the time predicate as join condition, then keep the latest
+    qualifying order per event via max(struct(date, key)) — lexicographic
+    max == ORDER BY date DESC, key DESC LIMIT 1, but unlike a row_number
+    window it partial-aggregates map-side BEFORE the shuffle, so the
+    joined blowup (events x orders-per-user) never crosses the wire. At
+    100 TB, bucket both sides on the user key; AQE splits skewed users."""
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
     joined = e.join(
         o,
         (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
+    latest = F.max(F.struct("o_orderdate", "o_orderkey")).alias("m")
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+        joined.groupBy("event_id", "user_id")
+        .agg(latest)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("m.o_orderkey").alias("o_orderkey"),
+            F.col("m.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 
@@ -1448,4 +1434,384 @@ def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes q2/q8/q9/q11/q16/q20/q21, adapted to the synthetic schema
+# (no partsupp table; lineitem carries the part-supplier relationship, and
+# lineitem has no commit/receipt dates — the join/subquery SHAPES are what
+# these exercise: correlated min, share-of-total, multi-way joins, distinct
+# agg with exclusion, nested semi joins, exists/not-exists).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                 / CAST(l_quantity AS DOUBLE)) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM cost
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+    WHERE p_size = 15 AND r_name = 'EUROPE'
+      AND unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                       WHERE c2.l_partkey = cost.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated min
+    subquery, expressed as agg + self-join on (partkey, min). Dimension
+    joins (part/supplier/nation/region) broadcast; the only shuffles are
+    the two aggs over lineitem, and the second reuses the first's output."""
+    l = load(spark, sf_dir, "lineitem")
+    unit = dec("l_extendedprice").cast("double") / F.col("l_quantity").cast(
+        "double"
+    )
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit).alias("unit_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == best.l_partkey)
+            & (cost.unit_cost == best.best_cost),
+        )
+        .drop(best.l_partkey)
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH all_nations AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA'
+    )
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS DOUBLE)
+             / CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS DOUBLE) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share = conditional share-of-total
+    per year. Six-way join, every dimension broadcast; exact decimal sums
+    then ONE double division per group keeps both engines bit-identical."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = dec("l_extendedprice") * (one - dec("l_discount"))
+    nations = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(n.alias("n1")),
+            F.col("n1.n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1.n_regionkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(n.alias("n2")),
+            F.col("n2.n_nationkey") == F.col("s_nationkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        nations.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                    .otherwise(zero)
+                )
+                .cast("decimal(38,4)")
+                .cast("double")
+                / F.sum("volume").cast("decimal(38,4)").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(38,4)) AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (retailprice stands in for ps_supplycost — no
+    partsupp table): profit by supplier nation and year for parts matching
+    a name pattern ('%red%' — the synthetic corpus vocabulary). The part filter prunes lineitem early via the
+    broadcast join; only orders is a shuffle join."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    one = F.lit(1).cast("decimal(3,2)")
+    profit = dec("l_extendedprice") * (one - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("decimal(38,4)").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH value_by_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM value_by_part
+    WHERE value > (SELECT CAST(CAST(sum(value) AS DOUBLE) * 0.001 AS DECIMAL(38,4))
+                   FROM value_by_part)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stocked value exceeds a fraction of
+    the national total — group-by + scalar-subquery threshold. The
+    threshold is a 1-row broadcast join against the reused agg subtree."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    value_by_part = (
+        l.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_quantity"))
+            .cast("decimal(38,4)")
+            .alias("value")
+        )
+    )
+    threshold = value_by_part.agg(
+        (F.sum("value").cast("double") * F.lit(0.001))
+        .cast("decimal(38,4)")
+        .alias("thr")
+    )
+    return (
+        value_by_part.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type NOT LIKE 'MEDIUM POLISHED%'
+      AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    NOT IN supplier exclusion (negative balance stands in for the comment
+    filter — no s_comment column). The exclusion is a broadcast anti join;
+    count(DISTINCT) expands to a two-level agg."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & ~F.col("p_type").like("MEDIUM POLISHED%")
+        & F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(l_quantity) > 50
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi join — suppliers who moved >50 units
+    of any 'forest%' part in 1994. Inner agg on (suppkey, partkey) then a
+    LEFT SEMI join into the nation-filtered supplier list."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM ship l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM ship l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM ship l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late = 1)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (shipdate > orderdate+60d stands in for
+    receipt>commit): suppliers who were the ONLY late supplier on a
+    multi-supplier order — EXISTS + NOT EXISTS correlated subqueries.
+    Expressed as one per-order aggregate over the deduped (order,
+    supplier, late) set: n_suppliers>=2 AND n_late==1 selects exactly the
+    sole-late rows, replacing two correlated self-joins with a single
+    reduction (same trick as the reference's single-pass checksum merge)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late_flag = F.max(
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            1,
+        ).otherwise(0)
+    ).alias("late")
+    ship = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late_flag)
+    )
+    per_order = ship.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    sole = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select(F.col("late_supp").alias("l_suppkey"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
     )
