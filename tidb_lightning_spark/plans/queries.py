@@ -7,8 +7,12 @@ oracle the driver runs in DuckDB over the same parquet tables.
 Cross-engine determinism rules (the driver hash-compares values):
   * money/measure SUMs: cast inputs to DECIMAL before aggregating —
     decimal addition is exact and associative, so Spark's partition-order
-    nondeterminism cannot change the result; final CAST pins (p,s) on both
-    sides.
+    nondeterminism cannot change the result; the exact decimal is then
+    final-CAST to DOUBLE on BOTH sides (one deterministic nearest-double
+    conversion of the same exact value — bit-identical across engines).
+    Raw decimal outputs stringify differently between engines when the
+    last fractional digit is 0 ("1.50" vs "1.5"), which fails the
+    driver's value hash even on numerically exact results.
   * AVGs: exact decimal sum -> CAST AS DOUBLE -> divide by count. One
     deterministic IEEE division, bit-identical in both engines.
   * top-k ORDER BY keys are exact types (decimal/int/timestamp) with a
@@ -92,10 +96,10 @@ def registry() -> dict[str, QuerySpec]:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
            CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
            CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -117,10 +121,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").cast("double").alias("sum_charge"),
             (F.sum(dec("l_quantity")).cast("double") / cnt).alias("avg_qty"),
             (F.sum(dec("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
             (F.sum(dec("l_discount")).cast("double") / cnt).alias("avg_disc"),
@@ -134,7 +138,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -163,7 +167,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
                F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -174,7 +178,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     """
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -210,7 +214,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -219,7 +223,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_orders",
     """
     SELECT o_orderkey, o_custkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total_price
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price
     FROM orders
     ORDER BY total_price DESC, o_orderkey
     LIMIT 10
@@ -230,7 +234,11 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition heap + driver merge, no global sort.
     o = load(spark, sf_dir, "orders")
     return (
-        o.select("o_orderkey", "o_custkey", dec("o_totalprice").alias("total_price"))
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            dec("o_totalprice").cast("double").alias("total_price"),
+        )
         .orderBy(F.col("total_price").desc(), "o_orderkey")
         .limit(10)
     )
@@ -241,7 +249,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS bucket, event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     ORDER BY 1, 2
@@ -257,6 +265,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)"))
             .cast("decimal(38,4)")
+            .cast("double")
             .alias("sum_value"),
         )
         .orderBy("bucket", "event_type")
@@ -268,7 +277,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-           lag(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+           CAST(lag(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS prev_value
     FROM events
     """,
 )
@@ -279,7 +288,7 @@ def window_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.row_number().over(w).alias("rn"),
-        F.lag(F.col("value").cast("decimal(18,4)")).over(w).alias("prev_value"),
+        F.lag(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("prev_value"),
     )
 
 
@@ -656,7 +665,7 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, session_seq, min(ts) AS session_start,
            count(*) AS n_events,
-           CAST(sum(v) AS DECIMAL(38,4)) AS sum_value
+           CAST(CAST(sum(v) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
     FROM sessions GROUP BY user_id, session_seq
     """,
 )
@@ -689,7 +698,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("v").cast("decimal(38,4)").alias("sum_value"),
+        F.sum("v").cast("decimal(38,4)").cast("double").alias("sum_value"),
     )
 
 
@@ -698,7 +707,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY ROLLUP(event_type, CAST(date_trunc('day', ts) AS DATE))
     """,
@@ -712,6 +721,7 @@ def rollup_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,4)"))
             .cast("decimal(38,4)")
+            .cast("double")
             .alias("sum_value"),
         )
         .select("event_type", "day", "n_events", "sum_value")
@@ -833,7 +843,7 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -855,6 +865,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(dec("l_extendedprice") * dec("l_discount"))
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("revenue")
     )
 
@@ -863,7 +874,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     """
     SELECT c_custkey, c_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
            n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -892,7 +903,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(revenue).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("decimal(38,4)").cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -1004,7 +1015,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_volume",
     """
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DECIMAL(38,4)) AS revenue
+           CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              EXTRACT(year FROM l_shipdate) AS l_year,
@@ -1056,7 +1067,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("bigint"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(volume).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(volume).cast("decimal(38,4)").cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -1146,7 +1157,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
     FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
     ORDER BY s_suppkey
@@ -1174,7 +1185,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue0.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
         .orderBy("s_suppkey")
     )
 
@@ -1187,8 +1202,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
-           AS DECIMAL(18,2)) AS avg_yearly
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
     FROM lineitem
       JOIN part ON p_partkey = l_partkey
       JOIN part_avg ON pk = l_partkey
@@ -1210,7 +1225,6 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
-            .cast("decimal(18,2)")
             .alias("avg_yearly")
         )
     )
@@ -1220,7 +1234,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
@@ -1252,7 +1266,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, F.col("o_orderkey") == l.l_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"))
+        .agg(F.sum(dec("l_quantity")).cast("decimal(38,2)").cast("double").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -1261,8 +1275,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_or_predicates",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 11)
        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
@@ -1291,6 +1305,7 @@ def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec("l_extendedprice") * (one - dec("l_discount")))
             .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue")
         )
     )
@@ -1301,7 +1316,7 @@ def q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name,
            count(*) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > (
         SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
@@ -1336,7 +1351,7 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(dec("c_acctbal")).cast("decimal(38,2)").alias("totacctbal"),
+            F.sum(dec("c_acctbal")).cast("decimal(38,2)").cast("double").alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -1380,7 +1395,7 @@ def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -1394,7 +1409,7 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("total"),
+            F.sum(dec("o_totalprice")).cast("decimal(38,2)").cast("double").alias("total"),
         )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
@@ -1581,10 +1596,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     """
     SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
                     - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
-                AS DECIMAL(38,4)) AS sum_profit
+                AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
     FROM lineitem
       JOIN part ON p_partkey = l_partkey
       JOIN supplier ON s_suppkey = l_suppkey
@@ -1618,7 +1633,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("decimal(38,4)").alias("sum_profit"))
+        .agg(F.sum(profit).cast("decimal(38,4)").cast("double").alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -1635,7 +1650,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_name = 'NATION_7'
       GROUP BY l_partkey
     )
-    SELECT l_partkey, value FROM value_by_part
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM value_by_part
     WHERE value > (SELECT CAST(CAST(sum(value) AS DOUBLE) * 0.001 AS DECIMAL(38,4))
                    FROM value_by_part)
     ORDER BY value DESC, l_partkey
@@ -1665,7 +1680,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         value_by_part.join(F.broadcast(threshold), F.col("value") > F.col("thr"))
-        .select("l_partkey", "value")
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
