@@ -59,3 +59,38 @@ def test_range_columns_partitioned_output(spark, tmp_path):
     assert meta["column_stats"]["v"]["min"] == 10
     assert meta["column_stats"]["v"]["max"] == 30
     assert meta["column_stats"]["id"]["nulls"] == 0
+
+
+def test_partition_values_roundtrip_leading_zeros(spark, tmp_path):
+    """ADVICE r1: directory-name partition-type inference would read CHAR
+    '00123' back as int 123, failing checksum=required on correct data;
+    readback must use the declared schema."""
+    d = str(tmp_path / "dump_lz")
+    write(f"{d}/lz-schema-create.sql", "CREATE DATABASE lz;")
+    write(
+        f"{d}/lz.t-schema.sql",
+        """
+        CREATE TABLE t (
+            id INT, code CHAR(5) NOT NULL, v INT,
+            PRIMARY KEY (id, code)
+        ) PARTITION BY LIST COLUMNS(code) (
+            PARTITION p0 VALUES IN ('00123'),
+            PARTITION p1 VALUES IN ('99000')
+        );
+        """,
+    )
+    write(f"{d}/lz.t.csv", "id,code,v\n1,00123,10\n2,99000,20\n")
+    target = str(tmp_path / "wh_lz")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, checksum="required",
+        checkpoint_enable=False,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    codes = sorted(
+        r["code"]
+        for r in spark.read.schema("id INT, code STRING, v INT")
+        .parquet(f"{target}/lz/t")
+        .collect()
+    )
+    assert codes == ["00123", "99000"]

@@ -222,3 +222,66 @@ def test_orc_output_format(spark, tmp_path):
     assert rep.ok, [t.error for t in rep.tables]
     rows = {r["a"]: r["b"] for r in spark.read.orc(f"{target}/d/t").collect()}
     assert rows == {1: "x", 2: "y"}
+
+
+def test_resume_reverifies_unchecksummed(spark, tmp_path):
+    """ADVICE r1: a table recorded `imported` but never `checksummed` must
+    NOT be skipped on resume when verification is on — otherwise a failed
+    checksum phase is permanently masked as `skipped`/ok."""
+    d = str(tmp_path / "dump_cv")
+    write(f"{d}/cv-schema-create.sql", "CREATE DATABASE cv;")
+    write(f"{d}/cv.t-schema.sql",
+          "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a));")
+    write(f"{d}/cv.t.csv", "a,b\n1,x\n2,y\n")
+    target = str(tmp_path / "wh_cv")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, checksum="required"
+    )
+    r1 = Restorer(spark, cfg)
+    rep1 = r1.run()
+    assert rep1.ok
+    # fully verified run -> resume skips
+    rep2 = Restorer(spark, cfg).run()
+    assert rep2.tables[0].status == "skipped"
+    # simulate a crash between import and checksum: downgrade to imported
+    r3 = Restorer(spark, cfg)
+    rec = r3.checkpoints.get("cv", "t")
+    r3.checkpoints.update("cv", "t", "imported", signature=rec["signature"])
+    rep3 = r3.run()
+    assert rep3.tables[0].status == "imported"  # re-ran, not skipped
+    # with verification off, `imported` is a legitimate skip point
+    cfg_off = Config.from_toml(
+        None, source_dir=d, target_dir=target, checksum="off"
+    )
+    r4 = Restorer(spark, cfg_off)
+    rec = r4.checkpoints.get("cv", "t")
+    r4.checkpoints.update("cv", "t", "imported", signature=rec["signature"])
+    assert Restorer(spark, cfg_off).run().tables[0].status == "skipped"
+
+
+def test_sqldump_exotic_filename_rowids(spark, tmp_path):
+    """ADVICE r1: input_file_name() returns a percent-encoded URI; the
+    row-id base lookup must decode it or auto-increment fills go NULL for
+    non-ASCII / spaced file names (CSV path was covered; this pins SQL)."""
+    d = str(tmp_path / "dump_exo")
+    write(f"{d}/exo-schema-create.sql", "CREATE DATABASE exo;")
+    tbl = "tablé x"
+    write(
+        f"{d}/exo.{tbl}-schema.sql",
+        "CREATE TABLE `tablé x` ("
+        "id INT PRIMARY KEY AUTO_INCREMENT, v VARCHAR(10));",
+    )
+    write(
+        f"{d}/exo.{tbl}.sql",
+        "INSERT INTO `tablé x` (v) VALUES ('a'), ('b'), ('c');\n",
+    )
+    target = str(tmp_path / "wh_exo")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, checkpoint_enable=False
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    rows = spark.read.parquet(f"{target}/exo/{tbl}").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert None not in ids and len(set(ids)) == 3
+    assert ids == [1, 2, 3]

@@ -74,3 +74,30 @@ def test_empty_tuple_and_errors():
         rows("INSERT INTO t SET a = 1;")
     with pytest.raises(SQLDumpError):
         rows("INSERT INTO t VALUES (1")
+
+
+def test_peek_columns_statement_longer_than_window(tmp_path):
+    """ADVICE r1: the first INSERT can exceed the peek read window
+    (mydumper statement-size is configurable); peek must parse only the
+    header, growing the window as needed, not the whole statement."""
+    from tidb_lightning_spark.sources.sqldump_source import peek_columns
+
+    p = tmp_path / "big.sql"
+    rows = ",\n".join(f"({i}, '{'x' * 64}')" for i in range(4000))
+    p.write_text(
+        "/* header comment */\n"
+        "INSERT INTO `t` (`id`, `payload`) VALUES\n" + rows + ";\n"
+    )
+    assert p.stat().st_size > (1 << 18)
+    assert peek_columns(str(p)) == ["id", "payload"]
+
+
+def test_peek_columns_positional_and_noise(tmp_path):
+    from tidb_lightning_spark.sources.sqldump_source import peek_columns
+
+    p = tmp_path / "pos.sql"
+    p.write_text("SET NAMES utf8;\nINSERT INTO t VALUES (1), (2);\n")
+    assert peek_columns(str(p)) is None
+    empty = tmp_path / "empty.sql"
+    empty.write_text("-- nothing here\n")
+    assert peek_columns(str(empty)) is None

@@ -30,9 +30,13 @@ CREATE TABLE lineitem (
 """
 
 
-def _prepare_source(sf_dir: str) -> str:
+def _prepare_source(sf_dir: str, scale: int = 1) -> str:
+    """Mydumper-style CSV dump dir generated from the SF's lineitem parquet
+    (not timed). scale>1 hardlinks the base CSV into N numbered data files
+    (`bench.lineitem.{i}.csv`) — the standard multi-file table layout — to
+    measure fixed-cost amortization on a bigger import without new data."""
     tag = sf_dir.rstrip("/").replace("/", "_")
-    src = f"/tmp/tls_bench_src{tag}"
+    src = f"/tmp/tls_bench_src{tag}" + (f"_x{scale}" if scale > 1 else "")
     marker = os.path.join(src, "_ready")
     if os.path.exists(marker):
         return src
@@ -44,24 +48,32 @@ def _prepare_source(sf_dir: str) -> str:
         f.write("CREATE DATABASE IF NOT EXISTS bench;")
     with open(os.path.join(src, "bench.lineitem-schema.sql"), "w") as f:
         f.write(LINEITEM_DDL)
-    con = duckdb.connect()
-    con.execute(
-        f"COPY (SELECT * FROM '{sf_dir}/lineitem.parquet') TO "
-        f"'{src}/bench.lineitem.csv' (FORMAT CSV, HEADER)"
-    )
-    con.close()
+    base = _prepare_source(sf_dir) if scale > 1 else src
+    if scale > 1:
+        for i in range(scale):
+            os.link(
+                os.path.join(base, "bench.lineitem.csv"),
+                os.path.join(src, f"bench.lineitem.{i:03d}.csv"),
+            )
+    else:
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT * FROM '{sf_dir}/lineitem.parquet') TO "
+            f"'{src}/bench.lineitem.csv' (FORMAT CSV, HEADER)"
+        )
+        con.close()
     with open(marker, "w") as f:
         f.write("ok")
     return src
 
 
-def run_ingest_bench(spark, sf_dir: str) -> dict:
+def run_ingest_bench(spark, sf_dir: str, scale: int = 1) -> dict:
     import time
 
     from tidb_lightning_spark.config import Config
     from tidb_lightning_spark.pipeline import Restorer
 
-    src = _prepare_source(sf_dir)
+    src = _prepare_source(sf_dir, scale=scale)
     target = "/tmp/tls_bench_wh"
     shutil.rmtree(target, ignore_errors=True)
     cfg = Config.from_toml(
@@ -76,7 +88,11 @@ def run_ingest_bench(spark, sf_dir: str) -> dict:
     import dataclasses
 
     cfg.csv = dataclasses.replace(cfg.csv, strict_format=True)
-    csv_bytes = os.path.getsize(os.path.join(src, "bench.lineitem.csv"))
+    csv_bytes = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src)
+        if f.endswith(".csv")
+    )
 
     t0 = time.time()
     report = Restorer(spark, cfg).run()

@@ -78,10 +78,22 @@ class CheckpointStore:
             h.update(f"{f.path}:{f.file_size};".encode())
         return h.hexdigest()[:16]
 
-    def should_skip(self, db: str, table: str, signature: str) -> bool:
+    def should_skip(
+        self,
+        db: str,
+        table: str,
+        signature: str,
+        min_status: str = "imported",
+    ) -> bool:
+        """A table is skippable only once it reached `min_status` — when
+        verification is on, that is `checksummed`, so a run that imported
+        but failed (or never ran) the checksum phase is re-verified on
+        resume instead of being silently reported ok (the reference's
+        state machine re-runs every phase below the recorded status,
+        checkpoints.go:43-56)."""
         rec = self.get(db, table)
         return (
-            rec.get("status", 0) >= STATUS["imported"]
+            rec.get("status", 0) >= STATUS[min_status]
             and rec.get("signature") == signature
         )
 

@@ -162,8 +162,11 @@ def fill_defaults(
     restore.go:2490-2496). Auto-increment/auto-random columns fill from
     the row id (B3/B4).
     """
-    out = df
     ts = F.to_timestamp(F.lit(pinned_timestamp))
+    # build all replacement expressions first, apply in ONE withColumns —
+    # a per-column withColumn loop costs a py4j round-trip + plan analysis
+    # each, which is pure driver latency on wide tables
+    repl: dict[str, Column] = {}
     for c in info.columns:
         if c.generated_expr is not None:
             continue
@@ -171,18 +174,16 @@ def fill_defaults(
         present = c.name.lower() in file_columns
         default = _default_expr(c, ts)
         if c.auto_increment or c.auto_random_bits:
-            fill = _auto_id_expr(c, info)
-            out = out.withColumn(c.name, F.coalesce(col, fill))
+            repl[c.name] = F.coalesce(col, _auto_id_expr(c, info))
         elif not present and c.has_default:
-            out = out.withColumn(
-                c.name, F.coalesce(col, default) if default is not None else col
-            )
+            if default is not None:
+                repl[c.name] = F.coalesce(col, default)
         elif not c.nullable:
             # NULL into NOT NULL, non-strict: column default else type zero
             backstop = default if default is not None else _type_zero(c)
             if backstop is not None:
-                out = out.withColumn(c.name, F.coalesce(col, backstop))
-    return out
+                repl[c.name] = F.coalesce(col, backstop)
+    return df.withColumns(repl) if repl else df
 
 
 def _default_expr(c: ColumnInfo, pinned_ts: Column) -> Column | None:

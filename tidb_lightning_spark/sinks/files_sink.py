@@ -65,33 +65,35 @@ class FilesSink:
         if os.path.exists(staging):
             shutil.rmtree(staging)
 
-        cached = None
         out = df
         if sort_columns:
             # Range count: 96 MiB target files at scale (first term wins on
             # big tables); floor at cluster parallelism for small inputs so
             # the sort+write isn't single-threaded (second term, local
-            # bench / tail tables). More, smaller range partitions are
-            # still globally non-overlapping — correctness is unaffected.
+            # bench / tail tables — 2 MiB floor keeps every core busy; on a
+            # shared cluster ingesting many tables concurrently, idle cores
+            # do other tables, so the 96 MiB term is what governs at scale).
+            # More, smaller range partitions are still globally
+            # non-overlapping — correctness is unaffected.
             spark = df.sparkSession
             cores = spark.sparkContext.defaultParallelism
             n = max(
                 (source_bytes + TARGET_FILE_BYTES - 1) // TARGET_FILE_BYTES,
-                min(cores, max(1, source_bytes // (8 * 1024 * 1024))),
+                min(cores, max(1, source_bytes // (2 * 1024 * 1024))),
                 1,
             )
             # one shuffle: range-partition on the PK, then local sort —
             # Spark's external sort handles spill (the SST/pebble analog).
-            # repartitionByRange SAMPLES its input, which would re-execute
-            # the whole read+transform chain; persisting first makes the
-            # sample+shuffle read the materialized rows instead — the same
-            # stage-the-sorted-runs-to-disk shape as the reference's
-            # pebble staging (local.go:1811-2053).
+            # repartitionByRange SAMPLES its input, re-executing the
+            # read+transform chain once to pick bounds. That extra scan is
+            # deliberately NOT avoided with persist(): measured at 37 MiB
+            # and 373 MiB, caching the parsed rows costs 2-3x more (cache
+            # build + columnar re-read) than re-parsing, and at 100 TB a
+            # full-input persist is a second copy of the dataset on
+            # executor disks while the sampling scan remains a ~1x read
+            # with pruning intact.
             if n > 1:
-                from pyspark import StorageLevel
-
-                cached = out.persist(StorageLevel.MEMORY_AND_DISK)
-                out = cached.repartitionByRange(n, *sort_columns)
+                out = out.repartitionByRange(n, *sort_columns)
             out = out.sortWithinPartitions(*sort_columns)
 
         writer = out.write.mode("overwrite").format(self.fmt)
@@ -99,17 +101,21 @@ class FilesSink:
             writer = writer.partitionBy(*partition_columns)
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        try:
-            writer.save(staging)
-        finally:
-            if cached is not None:
-                cached.unpersist()
+        writer.save(staging)
 
-        # engine Import: atomic swap into the warehouse
-        if os.path.exists(final):
-            shutil.rmtree(final)
+        # engine Import: atomic swap into the warehouse. The old table is
+        # renamed aside (atomic) before staging renames in, so a crash
+        # between the two renames leaves the previous table recoverable at
+        # the trash path instead of a window where neither version exists;
+        # the trash delete happens only after the new table is in place.
         os.makedirs(os.path.dirname(final), exist_ok=True)
+        trash = None
+        if os.path.exists(final):
+            trash = final + f"._trash_{uuid.uuid4().hex[:8]}"
+            os.replace(final, trash)
         os.replace(staging, final)
+        if trash is not None:
+            shutil.rmtree(trash, ignore_errors=True)
         n_files = sum(
             1
             for root, _, files in os.walk(final)

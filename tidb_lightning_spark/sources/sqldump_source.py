@@ -271,17 +271,77 @@ def parse_insert_statements(text: str) -> Iterator[Statement]:
             sc.pos = len(sc.text) if end < 0 else end + 1
 
 
+class _Truncated(Exception):
+    """Peek window ended mid-statement; retry with a bigger read."""
+
+
+def _peek_insert_header(text: str, complete: bool) -> list[str] | None:
+    """Column list of the first INSERT, parsing ONLY up to the VALUES
+    keyword — never the row data, so a multi-MiB first statement (mydumper
+    statement-size is configurable) costs a few KiB of parsing, not a full
+    statement parse. `complete` = text covers the whole file; when False,
+    any parse failure means the window clipped the header mid-token."""
+    sc = _Scanner(text)
+    try:
+        while not sc.eof():
+            w = sc.word().upper()
+            if w in ("INSERT", "REPLACE"):
+                if sc.word().upper() != "INTO":
+                    raise SQLDumpError("expected INTO")
+                sc.ident()
+                if sc.try_char("."):
+                    sc.ident()
+                sc.skip_ws_comments()
+                columns: list[str] | None = None
+                if sc.peek() == "(":
+                    sc.expect("(")
+                    columns = []
+                    if not sc.try_char(")"):
+                        while True:
+                            columns.append(sc.ident())
+                            if sc.try_char(","):
+                                continue
+                            sc.expect(")")
+                            break
+                kw = sc.word().upper()
+                if kw not in ("VALUES", "VALUE", "SET"):
+                    raise SQLDumpError(f"expected VALUES, got {kw!r}")
+                return columns
+            # non-INSERT statement: skip to its terminator
+            end = sc.text.find(";", sc.pos)
+            if end < 0:
+                if complete:
+                    return None
+                raise _Truncated()
+            sc.pos = end + 1
+        if not complete:
+            # the window may end inside a comment/whitespace run that
+            # continues into an INSERT beyond it
+            raise _Truncated()
+        return None
+    except SQLDumpError:
+        if complete:
+            raise
+        raise _Truncated() from None
+
+
 def peek_columns(path: str, encoding: str = "utf-8") -> list[str] | None:
     """Driver-side: column list of the first INSERT (None = positional).
-    Compressed dumps are peeked through the shared decompressing opener."""
+    Compressed dumps are peeked through the shared decompressing opener.
+    The read window starts small and grows until one complete statement
+    HEADER parses — immune to first statements longer than the window."""
     from tidb_lightning_spark.sources.csv_source import _decompress_open
 
-    with _decompress_open(path) as f:
-        head = f.read(1 << 20)
-    text = head.decode(encoding, errors="replace")
-    for stmt in parse_insert_statements(text):
-        return stmt.columns
-    return None
+    size = 1 << 16
+    while True:
+        with _decompress_open(path) as f:
+            head = f.read(size)
+        complete = len(head) < size
+        text = head.decode(encoding, errors="replace")
+        try:
+            return _peek_insert_header(text, complete)
+        except _Truncated:
+            size *= 4
 
 
 def read_sql_files(
