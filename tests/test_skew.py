@@ -43,3 +43,35 @@ def test_salted_left_matches_plain(spark):
     got, want = _norm(salted), _norm(plain)
     assert len(got) == len(want) == 1000  # unmatched rows kept exactly once
     assert got == want
+
+
+def test_banded_lsh_bounds_popular_shingle_buckets(spark):
+    """r=1 LSH made any two docs sharing one popular min-shingle a
+    candidate pair (quadratic on templated corpora). Banded r=8 requires a
+    full band of 8 minhash agreements: docs sharing a template phrase but
+    otherwise distinct must produce ~zero candidates, while exact/near
+    duplicates still collide."""
+    import random
+
+    from tidb_lightning_spark.functions.dedup import lsh_candidate_pairs
+
+    rng = random.Random(7)
+    template = "lorem ipsum dolor sit amet consectetur"
+    rows = []
+    for i in range(300):
+        uniq = " ".join(f"tok{rng.randrange(10**9)}" for _ in range(30))
+        rows.append((i, f"{template} {uniq}"))
+    # 5 exact duplicate pairs that MUST be found
+    for j in range(5):
+        rows.append((1000 + j, rows[j][1]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(df, "doc_id", "text").collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    for j in range(5):
+        assert (j, 1000 + j) in found
+    # shared template must not blow up the candidate set: allow a small
+    # number of chance collisions beyond the 5 planted duplicates
+    assert len(found) <= 10, f"{len(found)} candidate pairs (hot bucket?)"
+    dup_sims = [r["est_jaccard"] for r in pairs if (r["a"], r["b"]) in
+                {(j, 1000 + j) for j in range(5)}]
+    assert all(s == 1.0 for s in dup_sims)

@@ -21,14 +21,23 @@ from pyspark.sql import functions as F
 
 from tidb_lightning_spark.functions.text import hash60, sql_hash60, tokens
 
-N_MINHASH = 8
+N_MINHASH = 64
+N_BANDS = 8
+BAND_R = 8  # rows per band; N_BANDS * BAND_R == N_MINHASH
 SHINGLE_K = 3
 
-# MinHash permutation family: one base hash per shingle, then 8 linear
+# MinHash permutation family: one base hash per shingle, then 64 linear
 # permutations h_j = (a_j*h + b_j) mod M over the Mersenne prime M=2^31-1.
-# One md5 instead of 8 per shingle (the dominant cost), and a_j*h < 2^62
+# One md5 instead of 64 per shingle (the dominant cost), and a_j*h < 2^62
 # never overflows BIGINT, so DuckDB reproduces the values with plain
 # integer arithmetic.
+#
+# Banding (b=8 bands of r=8 rows): a candidate pair must agree on ALL 8
+# minhashes of some band. With r=1 (round 1) any two docs sharing ONE
+# popular min-shingle collided — on templated corpora that is a quadratic
+# hot bucket; at r=8 the collision probability is j^8 per band (j =
+# Jaccard), so ~0.9-similar pairs still collide (1-(1-0.43)^8 ~ 99%)
+# while ~0.3-similar ones effectively never do (8 * 0.3^8 ~ 5e-4).
 MERSENNE31 = (1 << 31) - 1
 PERM_A = [(j * 2654435761 + 40503) % MERSENNE31 or 1 for j in range(N_MINHASH)]
 PERM_B = [(j * 1779033703 + 7) % MERSENNE31 for j in range(N_MINHASH)]
@@ -47,21 +56,21 @@ def shingles(col: Column) -> Column:
     return F.when(n >= SHINGLE_K, grams).otherwise(F.array(col))
 
 
-def minhash_signature_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, hash_idx, minhash) — exploded signature rows.
+def minhash_wide_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, mh0..mh63) — one row per doc, the full MinHash signature.
 
-    Shape: explode shingles once -> ONE base hash per shingle -> 8 linear
-    permutations -> 8 map-side-combinable MIN aggregates. Only (id, 8
-    longs) ever shuffles; building the 8 minhashes as one nested
-    expression would recompute the shingle array per hash and fall out of
-    codegen (measured 40x slower), and salting 8 separate md5s doubles
-    the scan time vs the permutation family (measured 2x).
+    Shape: explode shingles once -> ONE base hash per shingle -> 64 linear
+    permutations -> 64 map-side-combinable MIN aggregates. Only (id, 64
+    longs) ever shuffles; building the minhashes as one nested expression
+    would recompute the shingle array per hash and fall out of codegen
+    (measured 40x slower), and salting 64 separate md5s multiplies the
+    scan time vs the permutation family.
     """
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s")
     )
     h31 = hash60(F.col("s")) % F.lit(MERSENNE31)
-    mins = sh.groupBy(id_col).agg(
+    return sh.groupBy(id_col).agg(
         *[
             F.min(
                 (F.lit(PERM_A[j]) * h31 + F.lit(PERM_B[j])) % F.lit(MERSENNE31)
@@ -69,6 +78,11 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             for j in range(N_MINHASH)
         ]
     )
+
+
+def minhash_signature_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, hash_idx, minhash) — exploded signature rows."""
+    mins = minhash_wide_df(df, id_col, text_col)
     pairs = F.array(
         *[
             F.struct(F.lit(j).alias("hash_idx"), F.col(f"mh{j}").alias("minhash"))
@@ -81,12 +95,86 @@ def minhash_signature_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def sql_minhash_signatures(table: str, id_col: str, text_col: str) -> str:
-    """CTE query: (id, hash_idx, minhash) exploded signature rows (DuckDB).
+def band_hashes_df(wide: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_idx, band_hash) from a wide signature — band_hash is a
+    60-bit hash of the band's r concatenated minhashes, so the LSH join
+    key is (int, long), a few bytes/doc/band on the wire."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                hash60(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh{b * BAND_R + r}").cast("string")
+                            for r in range(BAND_R)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(bands).alias("p")).select(
+        id_col, "p.band_idx", "p.band_hash"
+    )
 
-    DuckDB's scalar range(a,b) returns the list [a, b), so shingling is a
-    list_transform — the same shape as the Spark implementation.
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(a, b, est_jaccard) — banded-LSH near-duplicate candidates.
+
+    Pipeline: wide signatures (one corpus scan) -> 8 band hashes/doc ->
+    self-join on (band_idx, band_hash) -> distinct pairs -> join the two
+    full signatures back to estimate Jaccard as the fraction of the 64
+    minhashes that agree. The self-join shuffles (int, long) keys, the
+    estimate joins shuffle (id, 64 longs) — never the text. Hot buckets
+    are genuinely-identical content (exact dedup's job); dissimilar docs
+    sharing popular shingles no longer collide (r=8 banding).
     """
+    wide = minhash_wide_df(df, id_col, text_col).persist()
+    bands = band_hashes_df(wide, id_col)
+    left = bands.select(
+        F.col(id_col).alias("_a"), "band_idx", "band_hash"
+    )
+    right = bands.select(
+        F.col(id_col).alias("_b"), "band_idx", "band_hash"
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("_a") < F.col("_b"))
+        .select("_a", "_b")
+        .distinct()
+    )
+    wa = wide.select(
+        F.col(id_col).alias("_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    )
+    wb = wide.select(
+        F.col(id_col).alias("_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    return (
+        cand.join(wa, "_a")
+        .join(wb, "_b")
+        .select(
+            F.col("_a").alias("a"),
+            F.col("_b").alias("b"),
+            (matches.cast("double") / F.lit(float(N_MINHASH))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def _sql_wide_ctes(table: str, id_col: str, text_col: str) -> str:
+    """Shared DuckDB CTE chain ending in `sig` = the wide (id, mh0..mh63)
+    signature. DuckDB's scalar range(a,b) returns the list [a, b), so
+    shingling is a list_transform — the same shape as the Spark side."""
     t = f"list_filter(string_split_regex({text_col}, '\\s+'), x -> x != '')"
     parts = " || ' ' || ".join(f"t[i+{off}]" for off in range(SHINGLE_K))
     h31 = f"({sql_hash60('s')} % {MERSENNE31})"
@@ -95,17 +183,53 @@ def sql_minhash_signatures(table: str, id_col: str, text_col: str) -> str:
         f"({PERM_A[j]} * {h31} + {PERM_B[j]}) % {MERSENNE31})) AS mh{j}"
         for j in range(N_MINHASH)
     )
+    return (
+        f"tk AS (SELECT {id_col}, {text_col} AS txt, {t} AS t FROM {table}), "
+        f"sh AS (SELECT {id_col}, CASE WHEN len(t) >= {SHINGLE_K} THEN "
+        f"list_transform(range(1, len(t) - {SHINGLE_K - 2}), i -> {parts}) "
+        f"ELSE [txt] END AS sh FROM tk), "
+        f"sig AS (SELECT {id_col}, {mins} FROM sh)"
+    )
+
+
+def sql_minhash_signatures(table: str, id_col: str, text_col: str) -> str:
+    """CTE query: (id, hash_idx, minhash) exploded signature rows (DuckDB)."""
     unions = " UNION ALL ".join(
         f"SELECT {id_col}, {j} AS hash_idx, mh{j} AS minhash FROM sig"
         for j in range(N_MINHASH)
     )
+    return f"WITH {_sql_wide_ctes(table, id_col, text_col)} {unions}"
+
+
+def sql_lsh_candidate_pairs(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of lsh_candidate_pairs: banded join + signature-match
+    Jaccard estimate."""
+    band_rows = " UNION ALL ".join(
+        "SELECT {id}, {b} AS band_idx, {h} AS band_hash FROM sig".format(
+            id=id_col,
+            b=b,
+            h=sql_hash60(
+                "concat_ws('_', "
+                + ", ".join(f"mh{b * BAND_R + r}" for r in range(BAND_R))
+                + ")"
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
+    )
     return (
-        f"WITH tk AS (SELECT {id_col}, {text_col} AS txt, {t} AS t FROM {table}), "
-        f"sh AS (SELECT {id_col}, CASE WHEN len(t) >= {SHINGLE_K} THEN "
-        f"list_transform(range(1, len(t) - {SHINGLE_K - 2}), i -> {parts}) "
-        f"ELSE [txt] END AS sh FROM tk), "
-        f"sig AS (SELECT {id_col}, {mins} FROM sh) "
-        f"{unions}"
+        f"WITH {_sql_wide_ctes(table, id_col, text_col)}, "
+        f"bands AS ({band_rows}), "
+        f"cand AS (SELECT DISTINCT ba.{id_col} AS a, bb.{id_col} AS b "
+        f"FROM bands ba JOIN bands bb ON ba.band_idx = bb.band_idx "
+        f"AND ba.band_hash = bb.band_hash AND ba.{id_col} < bb.{id_col}) "
+        f"SELECT cand.a, cand.b, CAST(({matches}) AS DOUBLE) / {N_MINHASH}.0 "
+        f"AS est_jaccard "
+        f"FROM cand JOIN sig sa ON sa.{id_col} = cand.a "
+        f"JOIN sig sb ON sb.{id_col} = cand.b"
     )
 
 

@@ -511,39 +511,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "near_dup_minhash_lsh",
-    f"""
-    WITH sig AS ({D.sql_minhash_signatures("documents", "doc_id", "text")})
-    SELECT a.doc_id AS a, b.doc_id AS b,
-           CAST(count(*) AS DOUBLE) / {D.N_MINHASH}.0 AS est_jaccard
-    FROM sig a JOIN sig b
-      ON a.hash_idx = b.hash_idx AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-    """,
+    D.sql_lsh_candidate_pairs("documents", "doc_id", "text"),
 )
 def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any MinHash band (r=1, high
-    recall); est_jaccard = fraction of matching hashes. The join key is a
-    (hash_idx, minhash) long pair — the corpus never self-joins on text."""
+    """Banded MinHash LSH candidate pairs (b=8 bands x r=8 rows over a
+    64-hash signature): a pair is a candidate only when some band's 8
+    minhashes ALL agree, so popular single shingles no longer create
+    quadratic hot buckets (the r=1 failure mode on templated corpora);
+    est_jaccard = fraction of the 64 minhashes that agree. Join keys are
+    (band_idx, band_hash) int/long pairs — the text never self-joins."""
     d = widen(load(spark, sf_dir, "documents"))
-    # signatures are tiny (8 longs/doc) — persist so the self-join reads
-    # them instead of re-deriving from text on both sides
-    sig = D.minhash_signature_df(d, "doc_id", "text").persist()
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.hash_idx") == F.col("b.hash_idx"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(
-            (F.count(F.lit(1)).cast("double") / F.lit(float(D.N_MINHASH))).alias(
-                "est_jaccard"
-            )
-        )
-    )
+    return D.lsh_candidate_pairs(d, "doc_id", "text")
 
 
 @register(
