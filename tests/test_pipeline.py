@@ -285,3 +285,63 @@ def test_sqldump_exotic_filename_rowids(spark, tmp_path):
     ids = sorted(r["id"] for r in rows)
     assert None not in ids and len(set(ids)) == 3
     assert ids == [1, 2, 3]
+
+
+def test_parquet_rowids_resume_stable(spark, tmp_path):
+    """Parquet row ids come from footer row counts + in-file row index
+    (reference mydump/region.go:290-315) — identical across runs with
+    different split configs, unlike monotonically_increasing_id."""
+    import pandas as pd
+
+    d = str(tmp_path / "dump_pq")
+    os.makedirs(d, exist_ok=True)
+    write(f"{d}/pq-schema-create.sql", "CREATE DATABASE pq;")
+    write(
+        f"{d}/pq.t-schema.sql",
+        "CREATE TABLE t (k INT, v VARCHAR(10), PRIMARY KEY (k));",
+    )
+    pd.DataFrame({"k": range(0, 50), "v": [f"a{i}" for i in range(50)]}).to_parquet(
+        f"{d}/pq.t.0.parquet"
+    )
+    pd.DataFrame({"k": range(50, 80), "v": [f"b{i}" for i in range(30)]}).to_parquet(
+        f"{d}/pq.t.1.parquet"
+    )
+
+    def run_ids(split_bytes):
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_bytes))
+        try:
+            target = str(tmp_path / f"wh_pq_{split_bytes}")
+            cfg = Config.from_toml(
+                None, source_dir=d, target_dir=target,
+                checkpoint_enable=False, duplicate_resolution="replace",
+            )
+            rep = Restorer(spark, cfg).run()
+            assert rep.ok, [t.error for t in rep.tables]
+            from tidb_lightning_spark.sources.loader import discover
+            from tidb_lightning_spark.sources.router import FileRouter
+            from tidb_lightning_spark.sources.table_filter import TableFilter
+
+            res = discover(
+                d,
+                file_router=FileRouter.build(cfg.file_routes, cfg.default_file_rules),
+                table_filter=TableFilter(cfg.filter, cfg.case_sensitive),
+                table_router=None,
+                no_schema=False,
+            )
+            tbl = res.sorted_tables()[0]
+            info = Restorer(spark, cfg)._table_info(tbl)
+            df = Restorer(spark, cfg)._read_and_transform(tbl, info)
+            return {
+                r["k"]: r["_tidb_rowid"] for r in df.select("k", "_tidb_rowid").collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    ids_small = run_ids(1024)        # many splits
+    ids_big = run_ids(256 * 1024 * 1024)  # one split per file
+    assert ids_small == ids_big
+    assert len(set(ids_small.values())) == 80  # unique
+    # per-file bases: file 0 rows get 1..50, file 1 rows 51..80
+    assert ids_small[0] == 1 and ids_small[49] == 50
+    assert ids_small[50] == 51 and ids_small[79] == 80

@@ -474,6 +474,38 @@ class Restorer:
 
         if parquet_files:
             df = read_table(self.spark, [f.path for f in parquet_files])
+            if keep_rowid:
+                # resume-stable row ids (SURVEY §4 row-ID rule; reference
+                # makeParquetFileRegion, mydump/region.go:290-315): per-file
+                # bases from parquet FOOTER row counts (metadata-only read,
+                # no data scan) + the in-file row position — identical
+                # across runs regardless of split size or task scheduling,
+                # unlike monotonically_increasing_id which is
+                # partition-striped.
+                import pyarrow.parquet as papq
+
+                ordered = sorted(f.path for f in parquet_files)
+                bases, acc = {}, rowid_base
+                for p in ordered:
+                    bases[os.path.abspath(p)] = acc
+                    acc += papq.ParquetFile(p).metadata.num_rows
+                rowid_base = acc
+                mapping = F.create_map(
+                    *[
+                        x
+                        for p, b in bases.items()
+                        for x in (F.lit(p), F.lit(b))
+                    ]
+                )
+                decoded = F.url_decode(
+                    F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+                )
+                df = df.withColumn(
+                    "_pq_rowid",
+                    mapping[F.regexp_replace(decoded, "^file:/+", "/")]
+                    + F.col("_metadata.row_index")
+                    + 1,
+                )
             # parquet arrives typed: permute by name, cast only where the
             # declared schema differs (parquet_parser.go conversions are
             # native here) — one select, not a withColumn-per-column loop
@@ -483,14 +515,13 @@ class Restorer:
                         F.col(c.name) if c.name in df.columns else F.lit(None)
                     ).cast(c.mysql.spark_type()).alias(c.name)
                     for c in info.columns
-                ]
+                ],
+                *([F.col("_pq_rowid")] if keep_rowid else []),
             )
             if keep_rowid:
                 from tidb_lightning_spark.operators.transform import ROWID_COL
 
-                # parquet rows carry no parser row id; a split-stable
-                # monotonic id gives dedup a deterministic ordering key
-                pq = pq.withColumn(ROWID_COL, F.monotonically_increasing_id())
+                pq = pq.withColumnRenamed("_pq_rowid", ROWID_COL)
             parts.append(pq)
 
         if not parts:
