@@ -97,6 +97,32 @@ class CheckpointStore:
             and rec.get("signature") == signature
         )
 
+    # ----- engine-level (chunk) records -------------------------------
+    # The reference resumes per chunk/engine (checkpoints.go:43-56,
+    # tests/checkpoint_chunks); our engine = a deterministic group of a
+    # table's source files, committed independently (pipeline._plan_engines).
+
+    def engine_done(self, db: str, table: str, engine: int, esig: str) -> bool:
+        rec = self.get(db, table)
+        e = rec.get("engines", {}).get(str(engine))
+        return bool(e) and e.get("status") == "imported" and e.get("signature") == esig
+
+    def engine_update(
+        self, db: str, table: str, engine: int, status: str, **fields
+    ) -> None:
+        key = self.table_key(db, table)
+        rec = self._data["tables"].setdefault(key, {})
+        e = rec.setdefault("engines", {}).setdefault(str(engine), {})
+        e["status"] = status
+        e["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        e.update(fields)
+        self._save()
+
+    def clear_engines(self, db: str, table: str) -> None:
+        rec = self._data["tables"].get(self.table_key(db, table))
+        if rec and rec.pop("engines", None) is not None:
+            self._save()
+
     def remove(self, db: str | None = None, table: str | None = None) -> int:
         if db is None:
             n = len(self._data["tables"])

@@ -435,11 +435,15 @@ class Restorer:
                     "utf-8",
                 )
                 # per-file row-id bases from file sizes (region.go:252-286);
-                # keys are the paths the scan actually read (= _src_file)
+                # keys are the paths the scan actually read (= _src_file).
+                # The divisor MUST match read_sql_files' (n_cols + 2, the
+                # file's arity): chunk bases inside a file go up to
+                # size // that divisor, so reserving less here would let a
+                # split file's sequence overrun the next file's base.
                 bases, acc = {}, rowid_base
                 for f in files:
                     bases[os.path.abspath(actual[f.path])] = acc
-                    acc += f.file_size // (len(info.columns) + 2) + 1
+                    acc += f.file_size // (n_cols + 2) + 1
                 rowid_base = acc
                 mapping = F.create_map(
                     *[
@@ -448,17 +452,12 @@ class Restorer:
                         for x in (F.lit(path), F.lit(b))
                     ]
                 )
-                # _src_file is a percent-encoded URI (spaces -> %20,
-                # non-ASCII escaped): decode before the map lookup or
-                # exotic filenames miss and _tidb_rowid goes NULL. Literal
-                # '+' is pre-escaped because url_decode follows
-                # application/x-www-form-urlencoded ('+' -> space).
-                decoded = F.url_decode(
-                    F.regexp_replace(F.col("_src_file"), r"\+", "%2B")
-                )
+                # _src_file is the plain abspath the range reader was
+                # handed (NOT a percent-encoded URI — the reader emits the
+                # path it opened), so the lookup is a direct match even
+                # for exotic filenames
                 df = df.withColumn(
-                    "_file_base",
-                    mapping[F.regexp_replace(decoded, "^file:/+", "/")],
+                    "_file_base", mapping[F.col("_src_file")]
                 ).drop("_src_file")
                 parts.append(
                     transform_table(

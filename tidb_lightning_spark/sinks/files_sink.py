@@ -124,6 +124,69 @@ class FilesSink:
         )
         return CommitResult(final, n_files, None, time.time() - t0)
 
+    def clear_engine_files(self, db: str, table: str, engine: int) -> None:
+        """Remove a (possibly partial) engine's output — the analog of the
+        reference's checkpoint-error-destroy for a dangling engine."""
+        final = self.table_path(db, table)
+        if not os.path.isdir(final):
+            return
+        prefix = f"engine{engine:04d}-"
+        for f in os.listdir(final):
+            if f.startswith(prefix):
+                os.remove(os.path.join(final, f))
+
+    def write_engine(
+        self,
+        df: DataFrame,
+        db: str,
+        table: str,
+        engine: int,
+        sort_columns: list[str] | None,
+        source_bytes: int = 0,
+    ) -> CommitResult:
+        """One engine (a file group of a table) written and committed
+        independently — the incremental commit unit that makes resume
+        chunk-granular (reference engine Open->Write->Close->Import,
+        backend.go:300-439). Output files land in the FINAL table dir
+        under an `engine{k}-` name prefix after a staged write; the
+        checkpoint records the engine only after every file is in place,
+        so a crash leaves an uncommitted prefix that the next run wipes
+        and re-imports. Each engine is sorted within itself (the
+        reference's engines are too; global order across engines was the
+        LSM's job there and is not required of a parquet warehouse)."""
+        t0 = time.time()
+        final = self.table_path(db, table)
+        staging = final + f"._engine{engine}_{uuid.uuid4().hex[:8]}"
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+
+        out = df
+        if sort_columns:
+            spark = df.sparkSession
+            cores = spark.sparkContext.defaultParallelism
+            n = max(
+                (source_bytes + TARGET_FILE_BYTES - 1) // TARGET_FILE_BYTES,
+                min(cores, max(1, source_bytes // (2 * 1024 * 1024))),
+                1,
+            )
+            if n > 1:
+                out = out.repartitionByRange(n, *sort_columns)
+            out = out.sortWithinPartitions(*sort_columns)
+        out.write.mode("overwrite").format(self.fmt).save(staging)
+
+        os.makedirs(final, exist_ok=True)
+        self.clear_engine_files(db, table, engine)
+        n_files = 0
+        for f in sorted(os.listdir(staging)):
+            if f.endswith((".parquet", ".orc")):
+                os.replace(
+                    os.path.join(staging, f),
+                    os.path.join(final, f"engine{engine:04d}-{f}"),
+                )
+                n_files += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return CommitResult(final, n_files, None, time.time() - t0)
+
     def write_meta(self, db: str, table: str, meta: dict) -> None:
         path = os.path.join(self.table_path(db, table), "_tls_meta.json")
         with open(path, "w") as f:

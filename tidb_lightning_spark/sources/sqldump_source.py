@@ -5,13 +5,17 @@ Files are `INSERT INTO tbl [(cols)] VALUES (...),(...);` dumps. No Spark
 reader exists for this, so it's the one place we drop to Python on the
 executors — but Spark-first in shape:
 
-    spark.read.format("text").option("wholetext", true)   # 1 row = 1 file
-      -> mapInPandas(parse)                               # Arrow-batched
+    driver: split files into statement-aligned byte ranges
+      -> DataFrame of (path, start, end, rowid_base), 1 task per range
+      -> mapInPandas(seek + read range + parse)           # Arrow-batched
 
-Mydumper writes files capped at a configured size (the reference splits
->256 MiB files only for strict CSV, region.go:236-286 — SQL files are
-per-file tasks there too), so file==task parallelism matches the
-reference's unit of work. Parallelism at 100 TB comes from file count.
+The pre-split mirrors the reference's chunk machinery (ReadChunks
+parser.go:538-571, region splitting region.go:131-234): a multi-GiB dump
+becomes many bounded tasks instead of one whole-file task, and each
+chunk's row-id range is pre-allocated from its byte offset exactly like
+Chunk{PrevRowIDMax}. Executors open source paths directly (local FS /
+fuse mounts); remote object stores should mount or pre-stage, or extend
+`parse_batches` with an fsspec opener.
 
 Value domain mirrors parser.go:468-518: every scalar is emitted as a
 STRING datum (typing happens at cast time, like the CSV path):
@@ -30,6 +34,7 @@ consistency and fails the task on mixed forms.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -344,17 +349,87 @@ def peek_columns(path: str, encoding: str = "utf-8") -> list[str] | None:
             size *= 4
 
 
+# chunk target for splitting large dump files (reference max-region-size,
+# region.go:131-234: 256 MiB regions; we split finer because the Python
+# statement parser is the bottleneck, not IO)
+SQL_CHUNK_BYTES = 64 * 1024 * 1024
+
+_COMPRESSED_SUFFIXES = (".gz", ".xz", ".bz2", ".zst", ".zstd")
+
+
+def _is_compressed(path: str) -> bool:
+    return path.endswith(_COMPRESSED_SUFFIXES)
+
+
+def split_sql_file(path: str, chunk_bytes: int = SQL_CHUNK_BYTES) -> list[tuple[int, int]]:
+    """Byte ranges of `path` aligned to statement starts (reference
+    ReadChunks/SplitLargeFile semantics, parser.go:538-571,
+    region.go:236-286, applied to SQL dumps).
+
+    Mydumper backslash-escapes newlines inside string literals, so a raw
+    newline followed by INSERT/REPLACE is always a true statement start —
+    the driver seeks to each chunk_bytes mark and scans forward to the
+    next such line. A single statement larger than chunk_bytes simply
+    yields a larger range (never a split statement)."""
+    size = os.path.getsize(path)
+    if size <= chunk_bytes or _is_compressed(path):
+        # compressed streams are not byte-range seekable -> whole-file task
+        return [(0, size)]
+    bounds = [0]
+    with open(path, "rb") as f:
+        target = chunk_bytes
+        while target < size:
+            f.seek(target)
+            f.readline()  # skip the partial line at the seek point
+            start = None
+            while True:
+                pos = f.tell()
+                line = f.readline()
+                if not line:
+                    break
+                head = line.lstrip()[:8].upper()
+                if head.startswith(b"INSERT") or head.startswith(b"REPLACE"):
+                    start = pos
+                    break
+            if start is None or start >= size:
+                break
+            if start > bounds[-1]:
+                bounds.append(start)
+            target = start + chunk_bytes
+    bounds.append(size)
+    return list(zip(bounds, bounds[1:]))
+
+
 def read_sql_files(
     spark: SparkSession,
     paths: list[str],
     n_columns: int,
     encoding: str = "utf-8",
+    chunk_bytes: int | None = None,  # None -> module SQL_CHUNK_BYTES
 ) -> DataFrame:
     """paths -> DataFrame of `_c0.._cN` strings + `_row_seq` + `_src_file`.
+
+    Large files are pre-split driver-side into statement-aligned byte
+    ranges (one task per range — a multi-GiB dump is no longer one task
+    holding the whole file in memory); each task reads ONLY its range.
+    `_row_seq` is the chunk's pre-allocated row-id base (range_start //
+    (n_columns + 2), the reference's bytes-per-row lower bound,
+    region.go:208-225) plus the in-chunk row index: unique and
+    deterministic within the file regardless of how it was split, and
+    bounded by file_size // divisor so per-file bases never collide.
 
     All statements in a group must agree on column-list arity with
     `n_columns` (the caller derives it from peek_columns / table schema).
     """
+    if chunk_bytes is None:
+        chunk_bytes = SQL_CHUNK_BYTES
+    divisor = n_columns + 2
+    ranges: list[tuple[str, int, int, int]] = []
+    for p in paths:
+        ap = os.path.abspath(p)
+        for start, end in split_sql_file(ap, chunk_bytes):
+            ranges.append((ap, start, end, start // divisor))
+
     out_schema = T.StructType(
         [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n_columns)]
         + [
@@ -366,33 +441,44 @@ def read_sql_files(
     from tidb_lightning_spark._shipping import ensure_shipped
 
     ensure_shipped(spark)
-    raw = (
-        spark.read.format("text")
-        .option("wholetext", "true")
-        .load(paths)
-        .selectExpr("value", "input_file_name() as _src_file")
-    )
+    rdf = spark.createDataFrame(
+        ranges, schema="path string, start long, end long, chunk_base long"
+    ).repartition(max(len(ranges), 1))
 
     def parse_batches(batches):
         import pandas as pd
 
+        cols_names = [f"_c{i}" for i in range(n_columns)]
         for pdf in batches:
-            for content, src in zip(pdf["value"], pdf["_src_file"]):
-                seq = 0
-                cols_names = [f"_c{i}" for i in range(n_columns)]
+            for path, start, end, cbase in zip(
+                pdf["path"], pdf["start"], pdf["end"], pdf["chunk_base"]
+            ):
+                if _is_compressed(path):
+                    from tidb_lightning_spark.sources.csv_source import (
+                        _decompress_open,
+                    )
+
+                    with _decompress_open(path) as f:
+                        data = f.read()
+                else:
+                    with open(path, "rb") as f:
+                        f.seek(int(start))
+                        data = f.read(int(end) - int(start))
+                content = data.decode(encoding, errors="replace")
+                seq = int(cbase)
                 buf: list[list] = []
                 for stmt in parse_insert_statements(content):
                     for row in stmt.rows:
                         if len(row) != n_columns:
                             raise SQLDumpError(
                                 f"row arity {len(row)} != expected {n_columns} "
-                                f"in {src}"
+                                f"in {path}"
                             )
-                        buf.append(row + [seq, src])
+                        buf.append(row + [seq, path])
                         seq += 1
                 if buf:
                     yield pd.DataFrame(
                         buf, columns=cols_names + ["_row_seq", "_src_file"]
                     )
 
-    return raw.mapInPandas(parse_batches, schema=out_schema)
+    return rdf.mapInPandas(parse_batches, schema=out_schema)
