@@ -44,3 +44,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt.orders")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_bucketed_table_has_catalog_stats(spark, tmp_path):
+    """L3 full: the bucketed sink runs ANALYZE TABLE ... FOR ALL COLUMNS,
+    so DESCRIBE EXTENDED exposes row-count/size statistics to the CBO."""
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    sink = FilesSink(str(tmp_path / "wh"))
+    df = spark.range(1000).selectExpr("id AS k", "id % 7 AS grp")
+    try:
+        name = sink.write_bucketed_table(df, "statdb", "t", ["k"], 4)
+        ext = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        stats = {r["col_name"]: r["data_type"] for r in ext}
+        assert "Statistics" in stats and "1000 rows" in stats["Statistics"]
+        colstats = spark.sql(f"DESCRIBE EXTENDED {name} k").collect()
+        kv = {r["info_name"]: r["info_value"] for r in colstats}
+        assert kv.get("distinct_count") not in (None, "NULL")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS statdb.t")
+        spark.sql("DROP DATABASE IF EXISTS statdb")

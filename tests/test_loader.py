@@ -122,3 +122,37 @@ def test_missing_schema_raises(tmp_path):
         discover(str(tmp_path))
     res = discover(str(tmp_path), no_schema=True)
     assert "t" in res.databases["d"].tables
+
+
+def test_discover_via_hadoop_fs_scheme(spark, tmp_path):
+    """Scheme'd source dirs list through the SparkSession's Hadoop
+    FileSystem (the s3a:// path, exercised here with file:// — same code
+    path, local connector) and must produce the identical plan to a
+    plain local walk."""
+    import os
+
+    d = str(tmp_path / "dump")
+    os.makedirs(f"{d}/sub", exist_ok=True)
+    for name, content in [
+        ("db1-schema-create.sql", "CREATE DATABASE db1;"),
+        ("db1.t-schema.sql", "CREATE TABLE t (a INT);"),
+        ("db1.t.csv", "a\n1\n2\n"),
+        ("db1.t.001.sql", "INSERT INTO t VALUES (3);"),
+    ]:
+        with open(f"{d}/{name}", "w") as f:
+            f.write(content)
+
+    local = discover(d)
+    remote = discover(f"file://{d}", spark=spark)
+    lt = local.databases["db1"].tables["t"]
+    rt = remote.databases["db1"].tables["t"]
+    assert [f.path for f in lt.data_files] == [f.path for f in rt.data_files]
+    assert [f.file_size for f in lt.data_files] == [
+        f.file_size for f in rt.data_files
+    ]
+    assert rt.schema_file == lt.schema_file
+    # remote scheme without a session is a clear error, not a bad walk
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="SparkSession"):
+        discover("s3a://bucket/dump")

@@ -331,7 +331,7 @@ def test_parquet_rowids_resume_stable(spark, tmp_path):
             )
             tbl = res.sorted_tables()[0]
             info = Restorer(spark, cfg)._table_info(tbl)
-            df = Restorer(spark, cfg)._read_and_transform(tbl, info)
+            df, _ = Restorer(spark, cfg)._read_and_transform(tbl, info)
             return {
                 r["k"]: r["_tidb_rowid"] for r in df.select("k", "_tidb_rowid").collect()
             }
@@ -345,3 +345,85 @@ def test_parquet_rowids_resume_stable(spark, tmp_path):
     # per-file bases: file 0 rows get 1..50, file 1 rows 51..80
     assert ids_small[0] == 1 and ids_small[49] == 50
     assert ids_small[50] == 51 and ids_small[79] == 80
+
+
+def test_engine_checkpoint_resume_mid_table(spark, tmp_path):
+    """Chunk-level resume (reference tests/checkpoint_chunks): a run that
+    dies after importing some engines of a table resumes importing ONLY
+    the remainder, and the final table is checksum-identical to a clean
+    single-run import."""
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    d = str(tmp_path / "dump_eng")
+    os.makedirs(d, exist_ok=True)
+    write(f"{d}/e-schema-create.sql", "CREATE DATABASE e;")
+    write(
+        f"{d}/e.t-schema.sql",
+        "CREATE TABLE t (a INT, b VARCHAR(20), PRIMARY KEY (a));",
+    )
+    for i in range(4):  # 4 data files, ~1 engine each under a tiny limit
+        rows = "\n".join(f"{i * 1000 + j},val{i * 1000 + j}" for j in range(200))
+        write(f"{d}/e.t.{i:03d}.csv", "a,b\n" + rows + "\n")
+    sizes = [os.path.getsize(f"{d}/e.t.{i:03d}.csv") for i in range(4)]
+
+    def make_cfg(target):
+        return Config.from_toml(
+            None, source_dir=d, target_dir=target,
+            checksum="required", engine_bytes=max(sizes) + 10,
+        )
+
+    # clean single-shot import = golden
+    golden_cfg = make_cfg(str(tmp_path / "wh_golden"))
+    rep_g = Restorer(spark, golden_cfg).run()
+    assert rep_g.ok, [t.error for t in rep_g.tables]
+
+    # failpoint: die after 2 engines (reference FailIfImportedChunk)
+    cfg = make_cfg(str(tmp_path / "wh_resume"))
+    calls = {"n": 0}
+    orig = FilesSink.write_engine
+
+    def failing(self, df, db, table, engine, **kw):
+        if calls["n"] == 2:
+            raise RuntimeError("failpoint: killed after 2 engines")
+        calls["n"] += 1
+        return orig(self, df, db, table, engine, **kw)
+
+    FilesSink.write_engine = failing
+    try:
+        rep1 = Restorer(spark, cfg).run()
+    finally:
+        FilesSink.write_engine = orig
+    assert not rep1.ok and "failpoint" in rep1.tables[0].error
+
+    # resume: only the remaining engines are written
+    calls2 = {"n": 0}
+
+    def counting(self, df, db, table, engine, **kw):
+        calls2["n"] += 1
+        calls2.setdefault("engines", []).append(engine)
+        return orig(self, df, db, table, engine, **kw)
+
+    FilesSink.write_engine = counting
+    try:
+        rep2 = Restorer(spark, cfg).run()
+    finally:
+        FilesSink.write_engine = orig
+    assert rep2.ok, [t.error for t in rep2.tables]
+    assert calls2["n"] == 2, f"re-imported {calls2} engines, expected 2"
+    assert sorted(calls2["engines"]) == [2, 3]
+
+    # identical content + checksum as the clean import
+    assert rep2.tables[0].checksum == rep_g.tables[0].checksum
+    got = sorted(
+        (r["a"], r["b"])
+        for r in spark.read.parquet(str(tmp_path / "wh_resume/e/t")).collect()
+    )
+    want = sorted(
+        (r["a"], r["b"])
+        for r in spark.read.parquet(str(tmp_path / "wh_golden/e/t")).collect()
+    )
+    assert got == want and len(got) == 800
+
+    # third run: fully verified -> skipped
+    rep3 = Restorer(spark, make_cfg(str(tmp_path / "wh_resume"))).run()
+    assert rep3.tables[0].status == "skipped"

@@ -40,6 +40,11 @@ class Config:
     # knob): none = write as-is (fastest), else resolve via on_duplicate
     # semantics before the sort-write
     duplicate_resolution: str = "none"  # none | replace | ignore | error
+    # commit-unit size for chunk-level resume (reference batch-size,
+    # config.go:700-709, default 100 GiB): a table whose source exceeds
+    # this is imported as multiple independently-committed engines so a
+    # failed run resumes from the last finished engine, not from zero
+    engine_bytes: int = 100 * 1024**3
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -77,6 +82,7 @@ class Config:
         cfg.duplicate_resolution = tikv.get(
             "duplicate-resolution", cfg.duplicate_resolution
         )
+        cfg.engine_bytes = _size(my.get("batch-size", cfg.engine_bytes))
         cp = raw.get("checkpoint", {})
         cfg.checkpoint_enable = cp.get("enable", True)
         post = raw.get("post-restore", {})
@@ -127,6 +133,17 @@ def _charset(name: str) -> str:
         "binary": "iso-8859-1",
         "auto": "utf-8",
     }.get(name.lower(), name)
+
+
+def _size(v) -> int:
+    """'100GiB' / '64MB' / plain int -> bytes (config.go ByteSize)."""
+    if isinstance(v, int):
+        return v
+    s = str(v).strip().lower().removesuffix("b").removesuffix("i")
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(float(s))
 
 
 def _tristate(v) -> str:

@@ -157,6 +157,7 @@ class Restorer:
             if cfg.routes
             else None,
             no_schema=cfg.no_schema,
+            spark=self.spark,
         )
         report = RunReport()
         for tbl in result.sorted_tables():
@@ -183,7 +184,39 @@ class Restorer:
             info = self._table_info(tbl)
             self.checkpoints.update(tbl.db, tbl.name, "loaded", signature=sig)
 
-            df = self._read_and_transform(tbl, info)
+            # engine planning (chunk-level resume): a table bigger than
+            # engine_bytes is split into deterministic file groups, each
+            # written+committed independently so a failed run resumes from
+            # the last finished engine (reference checkpoints.go:43-56,
+            # tests/checkpoint_chunks). Duplicate resolution and
+            # value-partitioned output need the whole table in one plan ->
+            # single-engine fallback.
+            engines = self._plan_engines(tbl.data_files)
+            part_cols = _partition_columns(info)
+            use_engines = (
+                len(engines) > 1
+                and self.cfg.duplicate_resolution == "none"
+                and part_cols is None
+            )
+            engine_plans: list[tuple[int, list, str, DataFrame, bool, int]] = []
+            if use_engines:
+                parts, base = [], 0
+                for k, efiles in enumerate(engines):
+                    esig = self.checkpoints.source_signature(efiles)
+                    done = self.checkpoints.engine_done(
+                        tbl.db, tbl.name, k, esig
+                    )
+                    df_e, next_base = self._read_and_transform(
+                        tbl, info, files=efiles, rowid_base=base
+                    )
+                    engine_plans.append((k, efiles, esig, df_e, done, base))
+                    parts.append(df_e)
+                    base = next_base
+                df = parts[0]
+                for p in parts[1:]:
+                    df = df.unionByName(p, allowMissingColumns=True)
+            else:
+                df, _ = self._read_and_transform(tbl, info)
             if df is None:
                 rep.status = "imported"  # schema-only table
                 self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
@@ -223,14 +256,63 @@ class Restorer:
             # sink writes (verification/checksum.go analog)
             ingest_cks = None
             sort_cols = info.primary_key or None
-            commit = self.sink.write_table(
-                df,
-                tbl.db,
-                tbl.name,
-                sort_columns=sort_cols,
-                source_bytes=tbl.total_size,
-                partition_columns=_partition_columns(info),
-            )
+            if use_engines:
+                # pre-clean: keep only files of engines that are DONE under
+                # the current plan; everything else (partial writes, output
+                # from a previous non-engine import, engines of an older
+                # grouping) is stale and re-imported — the analog of
+                # checkpoint-error-destroy for dangling engines.
+                final = self.sink.table_path(tbl.db, tbl.name)
+                if os.path.isdir(final):
+                    keep = {
+                        f"engine{k:04d}-"
+                        for k, _, _, _, done, _ in engine_plans
+                        if done
+                    }
+                    for fname in os.listdir(final):
+                        if fname.endswith((".parquet", ".orc")) and not any(
+                            fname.startswith(p) for p in keep
+                        ):
+                            os.remove(os.path.join(final, fname))
+                for k, efiles, esig, df_e, done, ebase in engine_plans:
+                    if done:
+                        continue  # chunk-level resume: engine already in place
+                    df_w = (
+                        df_e.drop(ERR_COL) if ERR_COL in df_e.columns else df_e
+                    )
+                    ebytes = sum(f.file_size for f in efiles)
+                    self.sink.write_engine(
+                        df_w, tbl.db, tbl.name, k,
+                        sort_columns=sort_cols, source_bytes=ebytes,
+                    )
+                    self.checkpoints.engine_update(
+                        tbl.db, tbl.name, k, "imported",
+                        signature=esig, rowid_base=ebase, bytes=ebytes,
+                        files=[f.path for f in efiles],
+                    )
+                from tidb_lightning_spark.sinks.files_sink import CommitResult
+
+                final = self.sink.table_path(tbl.db, tbl.name)
+                commit = CommitResult(
+                    final,
+                    sum(
+                        1
+                        for f in os.listdir(final)
+                        if f.endswith((".parquet", ".orc"))
+                    ),
+                    None,
+                    0.0,
+                )
+            else:
+                commit = self.sink.write_table(
+                    df,
+                    tbl.db,
+                    tbl.name,
+                    sort_columns=sort_cols,
+                    source_bytes=tbl.total_size,
+                    partition_columns=part_cols,
+                )
+                self.checkpoints.clear_engines(tbl.db, tbl.name)
             self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
 
             # read back with the EXACT schema we wrote: directory-name
@@ -322,6 +404,27 @@ class Restorer:
         return rep
 
     # ------------------------------------------------------------------
+    def _plan_engines(self, data_files) -> list[list]:
+        """Deterministic file groups of ~engine_bytes each (reference
+        AllocateEngineIDs, region.go:60-129, minus the Beta-ratio batch
+        shaping Spark's scheduler obsoletes). Files keep discovery order,
+        so the same source always yields the same plan — the property
+        resume depends on."""
+        limit = max(1, self.cfg.engine_bytes)
+        engines: list[list] = []
+        cur: list = []
+        cur_bytes = 0
+        for f in data_files:
+            if cur and cur_bytes + f.file_size > limit:
+                engines.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(f)
+            cur_bytes += f.file_size
+        if cur:
+            engines.append(cur)
+        return engines
+
+    # ------------------------------------------------------------------
     def _table_info(self, tbl: MDTableMeta) -> TableInfo:
         if tbl.schema_file:
             with open(tbl.schema_file, "rb") as f:
@@ -361,21 +464,30 @@ class Restorer:
 
     # ------------------------------------------------------------------
     def _read_and_transform(
-        self, tbl: MDTableMeta, info: TableInfo
-    ) -> DataFrame | None:
-        if not tbl.data_files:
-            return None
+        self,
+        tbl: MDTableMeta,
+        info: TableInfo,
+        files=None,
+        rowid_base: int = 0,
+    ) -> tuple[DataFrame | None, int]:
+        """Lazy read+transform plan for `files` (default: all of the
+        table's data files), with row-id allocation starting at
+        `rowid_base`. Returns (df, next_rowid_base) so engine-granular
+        callers can chain disjoint id ranges across file groups exactly
+        like the reference's chunk allocation (region.go:208-286)."""
+        data_files = tbl.data_files if files is None else files
+        if not data_files:
+            return None, rowid_base
         parts: list[DataFrame] = []
-        rowid_base = 0
         # duplicate resolution needs the row id downstream as the
         # deterministic first/last ordering key
         keep_rowid = (
             True if self.cfg.duplicate_resolution != "none" else None
         )
 
-        csv_files = [f for f in tbl.data_files if f.type == "csv"]
-        sql_files = [f for f in tbl.data_files if f.type == "sql"]
-        parquet_files = [f for f in tbl.data_files if f.type == "parquet"]
+        csv_files = [f for f in data_files if f.type == "csv"]
+        sql_files = [f for f in data_files if f.type == "sql"]
+        parquet_files = [f for f in data_files if f.type == "parquet"]
 
         if csv_files:
             for header, paths in csv_source.group_files_by_header(
@@ -524,8 +636,8 @@ class Restorer:
             parts.append(pq)
 
         if not parts:
-            return None
+            return None, rowid_base
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out
+        return out, rowid_base

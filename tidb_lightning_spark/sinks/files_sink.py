@@ -229,4 +229,10 @@ class FilesSink:
         if sort_columns:
             writer = writer.sortBy(*sort_columns)
         writer.saveAsTable(f"{db}.{table}")
+        # ANALYZE (L3 full, restore.go:2215-2220): table + column stats
+        # into the catalog so Catalyst's CBO sizes joins/broadcasts from
+        # real row counts and NDVs instead of file-size guesses.
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
         return name

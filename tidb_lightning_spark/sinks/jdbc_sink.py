@@ -15,9 +15,10 @@ True cross-batch upsert (ON DUPLICATE KEY UPDATE) is database-specific
 SQL; the stage-and-swap pattern (write to a staging table, MERGE on the
 target) is sketched in `merge_sql` for targets that support MERGE.
 
-No JDBC driver ships in this container — `write` raises a clear error
-without one; the policy/dedup logic is plain DataFrame work and is tested
-without a database.
+The policy/dedup logic is plain DataFrame work (tested without a
+database); the full JDBC delivery path is exercised end-to-end against
+embedded Apache Derby (bundled with pyspark) in tests/test_jdbc_sink.py,
+mirroring the reference's golden-SQL backend tests (tidb_test.go).
 """
 
 from __future__ import annotations

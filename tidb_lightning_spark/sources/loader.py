@@ -68,13 +68,50 @@ class LoadResult:
         return out
 
 
-def _walk(source_dir: str) -> list[str]:
-    paths = []
-    for root, dirs, files in os.walk(source_dir):
-        dirs.sort()
-        for f in sorted(files):
-            paths.append(os.path.join(root, f))
-    return paths
+def _walk(source_dir: str, spark=None) -> list[tuple[str, int]]:
+    """Deterministic recursive listing -> [(path, size)].
+
+    Local paths walk the OS filesystem. A scheme'd URI (s3a://, hdfs://,
+    file://, ...) lists through the Hadoop FileSystem of the active
+    SparkSession (the analog of the reference's external-storage walk,
+    lightning.go:273-279 + loader.go:205-331) — the same connector the
+    executors will scan with, so any object store Spark can read, the
+    discovery can enumerate. `file:` URIs are normalized back to plain
+    local paths so every driver-side peek (schema files, CSV headers,
+    SQL-dump splitting) keeps working; for genuinely remote schemes those
+    peeks require the data files to be parquet/headerless-CSV or the
+    stores to be mounted (see README).
+    """
+    if "://" not in source_dir:
+        out = []
+        for root, dirs, files in os.walk(source_dir):
+            dirs.sort()
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                out.append((p, os.path.getsize(p)))
+        return out
+    if spark is None:
+        raise ValueError(
+            f"remote source {source_dir!r} requires a SparkSession for "
+            "Hadoop FileSystem listing (discover(..., spark=spark))"
+        )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(source_dir)
+    fs = root.getFileSystem(conf)
+    it = fs.listFiles(root, True)
+    out = []
+    is_file_scheme = source_dir.startswith("file:")
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if is_file_scheme:
+            import re
+
+            p = re.sub("^file:/+", "/", p)
+        out.append((p, st.getLen()))
+    out.sort()
+    return out
 
 
 def discover(
@@ -83,9 +120,25 @@ def discover(
     table_filter: TableFilter | None = None,
     table_router: TableRouter | None = None,
     no_schema: bool = False,
+    spark=None,
 ) -> LoadResult:
     file_router = file_router or FileRouter.build()
     table_filter = table_filter or TableFilter()
+    # the routing key is the path relative to the source root, '/'-separated
+    if "://" in source_dir:
+        base = source_dir.rstrip("/")
+        if base.startswith("file:"):
+            import re
+
+            base = re.sub("^file:/+", "/", base)
+
+        def rel_of(path: str) -> str:
+            return path[len(base) :].lstrip("/")
+
+    else:
+
+        def rel_of(path: str) -> str:
+            return os.path.relpath(path, source_dir).replace(os.sep, "/")
 
     dbs: dict[str, MDDatabaseMeta] = {}
     ignored: list[str] = []
@@ -98,16 +151,16 @@ def discover(
         return db_of(db).tables.setdefault(name, MDTableMeta(db=db, name=name))
 
     routed: list[tuple[str, RouteResult, int]] = []
-    for path in _walk(source_dir):
-        rel = os.path.relpath(path, source_dir)
-        res = file_router.route(rel.replace(os.sep, "/"))
+    for path, size in _walk(source_dir, spark=spark):
+        rel = rel_of(path)
+        res = file_router.route(rel)
         if res is None:
             unrecognized.append(rel)
             continue
         if res.type == "ignore":
             ignored.append(rel)
             continue
-        routed.append((path, res, os.path.getsize(path)))
+        routed.append((path, res, size))
 
     # filter (loader.go:333-338), then shard-merge route (loader.go:340-416)
     routed_away: dict[str, int] = {}
