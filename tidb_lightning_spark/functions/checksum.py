@@ -51,6 +51,19 @@ def row_hash64(cols: list[str]) -> Column:
     return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
 
 
+def checksum_aggs(cols: list[str]) -> list[Column]:
+    """The triple as aggregate Columns — usable in df.agg() or as
+    df.observe() metrics (accumulated DURING the sink's write job, the
+    exact accumulate-while-delivering shape of the reference's per-chunk
+    checksum, restore.go:2325-2332, with no extra source scan)."""
+    canon = canonical_row(cols)
+    return [
+        F.count(F.lit(1)).alias("kvs"),
+        F.sum(F.length(canon)).cast("bigint").alias("total_bytes"),
+        F.bit_xor(row_hash64(cols)).alias("checksum"),
+    ]
+
+
 def checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """(kvs, total_bytes, checksum) — the reference's verification triple.
 
@@ -59,12 +72,7 @@ def checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     the written table; equality = verified load (restore.go:2194-2213).
     """
     cols = cols or sorted(df.columns)
-    canon = canonical_row(cols)
-    return df.agg(
-        F.count(F.lit(1)).alias("kvs"),
-        F.sum(F.length(canon)).cast("bigint").alias("total_bytes"),
-        F.bit_xor(row_hash64(cols)).alias("checksum"),
-    )
+    return df.agg(*checksum_aggs(cols))
 
 
 def checksum_sql(table: str, cols: list[str]) -> str:

@@ -11,11 +11,16 @@ Arrow-batched `mapInPandas` — one Python worker per partition, media bytes
 never pass through the driver, output schemas are fixed up front so
 Catalyst can prune/plan around them.
 
-The actual codecs (PIL/cv2/librosa) are NOT in this container, so the
-decode kernels are STUBBED: with `fake=True` (default here) they emit
-deterministic md5-derived pseudo-results so the distributed plumbing is
-fully testable; with `fake=False` they raise NotImplementedError at the
-import site. Swapping in a real decoder changes only the inner function —
+Decode reality, by format:
+  * PNG is decoded FOR REAL — `functions/png.py` is a pure stdlib-zlib +
+    numpy codec (8-bit gray/RGB/GA/RGBA), so metadata, nearest-neighbor
+    resize and histogram features operate on actual pixels whenever the
+    bytes are a PNG, regardless of the `fake` flag.
+  * Other codecs (JPEG/video/audio: PIL/cv2/librosa) are NOT in this
+    container, so those kernels are STUBBED: with `fake=True` they emit
+    deterministic md5-derived pseudo-results so the distributed plumbing
+    is fully testable; with `fake=False` they raise NotImplementedError.
+Swapping in a real decoder changes only the inner function —
 partitioning, schemas and batch shapes stay as tested.
 """
 
@@ -52,15 +57,21 @@ def _fake_u32(data: bytes, salt: str) -> int:
     )
 
 
-def _decode_image_stub(data: bytes, fake: bool):
+def _image_dims(data: bytes, fake: bool):
+    """(width, height, mime): real header parse for PNG, stub otherwise."""
+    from tidb_lightning_spark.functions import png
+
+    if png.is_png(data):
+        w, h, _, _ = png.png_info(data)
+        return w, h, "image/png"
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/cv2 (not in this container); "
-            "run with fake=True or install a codec"
+            "non-PNG image decode requires PIL/cv2 (not in this "
+            "container); run with fake=True or install a codec"
         )
     w = 64 + _fake_u32(data, "w") % 1984
     h = 64 + _fake_u32(data, "h") % 1984
-    return w, h
+    return w, h, "image/stub"
 
 
 def image_metadata(
@@ -79,13 +90,11 @@ def image_metadata(
 
     def kernel(batches: Iterator) -> Iterator:
         for pdf in batches:
-            dims = [
-                _decode_image_stub(bytes(b), fake) for b in pdf[content_col]
-            ]
+            dims = [_image_dims(bytes(b), fake) for b in pdf[content_col]]
             pdf = pdf.copy()
             pdf["width"] = [d[0] for d in dims]
             pdf["height"] = [d[1] for d in dims]
-            pdf["mime"] = "image/stub"
+            pdf["mime"] = [d[2] for d in dims]
             yield pdf
 
     return df.mapInPandas(kernel, schema=out_schema)
@@ -98,19 +107,28 @@ def resize_images(
     content_col: str = "content",
     fake: bool = True,
 ) -> DataFrame:
-    """content -> resized content (stub: truncated/size-stamped bytes)."""
+    """content -> resized content. PNG: real decode -> nearest-neighbor
+    resample -> re-encode; other formats: stub (size-stamped digest)."""
     out_schema = df.schema
     _ship(df)
 
+    def one(data: bytes) -> bytes:
+        from tidb_lightning_spark.functions import png
+
+        if png.is_png(data):
+            return png.encode_png(
+                png.resize_nearest(png.decode_png(data), target_w, target_h)
+            )
+        if not fake:
+            raise NotImplementedError("non-PNG resize requires PIL/cv2")
+        return hashlib.md5(data).digest() + bytes(
+            [target_w % 256, target_h % 256]
+        )
+
     def kernel(batches: Iterator) -> Iterator:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires PIL/cv2")
             pdf = pdf.copy()
-            pdf[content_col] = [
-                hashlib.md5(bytes(b)).digest() + bytes([target_w % 256, target_h % 256])
-                for b in pdf[content_col]
-            ]
+            pdf[content_col] = [one(bytes(b)) for b in pdf[content_col]]
             yield pdf
 
     return df.mapInPandas(kernel, schema=out_schema)
@@ -123,9 +141,12 @@ def image_embedding(
     id_cols: list[str] | None = None,
     fake: bool = True,
 ) -> DataFrame:
-    """content -> float embedding (stub: md5-derived, deterministic).
+    """content -> float embedding.
 
-    Output: id columns + `embedding array<float>` — feeds directly into
+    PNG: a REAL pixel-derived feature — the normalized `dim`-bin
+    luminance histogram (a classical global descriptor; deterministic, no
+    model weights needed). Other formats: md5-derived stub. Output: id
+    columns + `embedding array<float>` — feeds directly into
     functions/similarity.knn_lsh for multimodal near-dup at scale.
     """
     _ship(df)
@@ -135,21 +156,26 @@ def image_embedding(
         + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
     )
 
+    def one(data: bytes) -> list[float]:
+        from tidb_lightning_spark.functions import png
+
+        if png.is_png(data):
+            import numpy as np
+
+            arr = png.decode_png(data)
+            # luminance = mean over color channels (alpha excluded)
+            color_ch = 3 if arr.shape[2] >= 3 else 1
+            lum = arr[:, :, :color_ch].mean(axis=2)
+            hist, _ = np.histogram(lum, bins=dim, range=(0.0, 256.0))
+            return (hist / max(1, lum.size)).astype(float).tolist()
+        if not fake:
+            raise NotImplementedError("non-PNG embedding requires a model")
+        return [(_fake_u32(data, f"e{i}") / 2**31 - 1.0) for i in range(dim)]
+
     def kernel(batches: Iterator) -> Iterator:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real embedding requires a model")
-            embs = []
-            for b in pdf[content_col]:
-                data = bytes(b)
-                embs.append(
-                    [
-                        (_fake_u32(data, f"e{i}") / 2**31 - 1.0)
-                        for i in range(dim)
-                    ]
-                )
             out = pdf[id_cols].copy()
-            out["embedding"] = embs
+            out["embedding"] = [one(bytes(b)) for b in pdf[content_col]]
             yield out
 
     return df.mapInPandas(kernel, schema=out_schema)

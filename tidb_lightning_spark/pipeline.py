@@ -252,9 +252,26 @@ class Restorer:
             elif ERR_COL in df.columns:
                 df = df.drop(ERR_COL)
 
-            # ingest-side checksum accumulated from the same lazy plan the
-            # sink writes (verification/checksum.go analog)
+            # ingest-side checksum accumulated DURING the write job via
+            # df.observe() — the reference's accumulate-while-delivering
+            # (restore.go:2325-2332) with zero extra source scans. The
+            # aggregate columns must match the readback pass: df's columns
+            # in df order (readback reads with df.schema).
+            from tidb_lightning_spark.functions.checksum import checksum_aggs
+
+            want_cks = self.cfg.checksum != "off"
             ingest_cks = None
+            cks_cols = list(df.columns)
+
+            def new_obs():
+                from pyspark.sql import Observation
+
+                return (
+                    (Observation(), checksum_aggs(cks_cols))
+                    if want_cks
+                    else (None, None)
+                )
+
             sort_cols = info.primary_key or None
             if use_engines:
                 # pre-clean: keep only files of engines that are DONE under
@@ -274,22 +291,64 @@ class Restorer:
                             fname.startswith(p) for p in keep
                         ):
                             os.remove(os.path.join(final, fname))
+                engine_cks: list[Checksum] | None = [] if want_cks else None
                 for k, efiles, esig, df_e, done, ebase in engine_plans:
                     if done:
-                        continue  # chunk-level resume: engine already in place
+                        # chunk-level resume: engine already in place; its
+                        # ingest checksum was recorded at engine commit
+                        if want_cks:
+                            stored = (
+                                self.checkpoints.get(tbl.db, tbl.name)
+                                .get("engines", {})
+                                .get(str(k), {})
+                                .get("checksum")
+                            )
+                            if stored is None:
+                                engine_cks = None  # fall back to recompute
+                            elif engine_cks is not None:
+                                engine_cks.append(
+                                    Checksum(
+                                        stored["kvs"],
+                                        stored["bytes"],
+                                        stored["value"],
+                                    )
+                                )
+                        continue
                     df_w = (
                         df_e.drop(ERR_COL) if ERR_COL in df_e.columns else df_e
                     )
                     ebytes = sum(f.file_size for f in efiles)
+                    obs, aggs = new_obs()
                     self.sink.write_engine(
                         df_w, tbl.db, tbl.name, k,
                         sort_columns=sort_cols, source_bytes=ebytes,
+                        observation=obs, observe_aggs=aggs,
                     )
+                    ecks_field = {}
+                    if want_cks:
+                        got = obs.get
+                        ecks = Checksum(
+                            got["kvs"], got["total_bytes"] or 0,
+                            got["checksum"] or 0,
+                        )
+                        if engine_cks is not None:
+                            engine_cks.append(ecks)
+                        ecks_field = {
+                            "checksum": {
+                                "kvs": ecks.kvs,
+                                "bytes": ecks.total_bytes,
+                                "value": ecks.value,
+                            }
+                        }
                     self.checkpoints.engine_update(
                         tbl.db, tbl.name, k, "imported",
                         signature=esig, rowid_base=ebase, bytes=ebytes,
-                        files=[f.path for f in efiles],
+                        files=[f.path for f in efiles], **ecks_field,
                     )
+                if want_cks and engine_cks is not None:
+                    ingest_cks = Checksum()
+                    for c in engine_cks:
+                        ingest_cks = ingest_cks.add(c)
                 from tidb_lightning_spark.sinks.files_sink import CommitResult
 
                 final = self.sink.table_path(tbl.db, tbl.name)
@@ -304,6 +363,7 @@ class Restorer:
                     0.0,
                 )
             else:
+                obs, aggs = new_obs()
                 commit = self.sink.write_table(
                     df,
                     tbl.db,
@@ -311,7 +371,14 @@ class Restorer:
                     sort_columns=sort_cols,
                     source_bytes=tbl.total_size,
                     partition_columns=part_cols,
+                    observation=obs,
+                    observe_aggs=aggs,
                 )
+                if want_cks:
+                    got = obs.get
+                    ingest_cks = Checksum(
+                        got["kvs"], got["total_bytes"] or 0, got["checksum"] or 0
+                    )
                 self.checkpoints.clear_engines(tbl.db, tbl.name)
             self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
 
@@ -328,7 +395,6 @@ class Restorer:
             )
             cols = [c for c in written.columns]
             rep.files = commit.n_files
-            want_cks = self.cfg.checksum != "off"
             want_stats = self.cfg.analyze != "off"
             if not (want_cks or want_stats):
                 # footer-metadata count only — no data scan
@@ -339,9 +405,27 @@ class Restorer:
                     written, cols, want_cks, want_stats
                 )
             if want_cks:
-                ingest_cks = Checksum.from_row(
-                    checksum(df.select(*written.columns), cols).collect()[0]
-                )
+                if ingest_cks is None:
+                    # no observed value available (resumed engines imported
+                    # under checksum=off): one full recompute of the ingest
+                    # side from source
+                    ingest_cks = Checksum.from_row(
+                        checksum(df.select(*cols), cols).collect()[0]
+                    )
+                if ingest_cks != readback:
+                    # disambiguate a real data mismatch from an observation
+                    # anomaly (stage retries can re-fire metrics): recompute
+                    # the ingest side from source once before deciding
+                    recomputed = Checksum.from_row(
+                        checksum(df.select(*cols), cols).collect()[0]
+                    )
+                    if recomputed != ingest_cks:
+                        log.warning(
+                            "observed ingest checksum %s != recomputed %s "
+                            "(speculative/retried tasks?); using recomputed",
+                            ingest_cks, recomputed,
+                        )
+                    ingest_cks = recomputed
                 if ingest_cks != readback:
                     msg = (
                         f"checksum mismatch `{tbl.db}`.`{tbl.name}`: "

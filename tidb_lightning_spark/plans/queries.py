@@ -50,16 +50,47 @@ def dec(col: str, p: int = 18, s: int = 2):
     return F.col(col).cast(f"decimal({p},{s})")
 
 
-def widen(df: DataFrame) -> DataFrame:
-    """Repartition up to cluster parallelism when the scan produced fewer
-    partitions than cores. Scan splitting is byte-based, which starves
-    compute-heavy per-row operators (shingling, hashing, vector math) on
-    small-byte inputs; the repartition shuffles only the small raw input.
-    At scale the scan already yields >= cores partitions and this no-ops.
+def widen(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load `table`, repartitioned up to cluster parallelism when the scan
+    would produce fewer partitions than cores. Scan splitting is
+    byte-based, which starves compute-heavy per-row operators (shingling,
+    hashing, vector math) on small-byte inputs; the repartition shuffles
+    only the small raw input. At scale the scan already yields >= cores
+    partitions and this no-ops. The split count is computed from file
+    sizes + reader confs (Spark's own maxSplitBytes formula) — asking
+    df.rdd.getNumPartitions() would convert the plan to an RDD just to
+    learn a number the planner derives from the same math.
     """
-    spark = df.sparkSession
+    import math
+    import os
+
+    df = load(spark, sf_dir, table)
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    path = f"{sf_dir}/{table}.parquet"
+    size = (
+        os.path.getsize(path)
+        if os.path.isfile(path)
+        else sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+    )
+    def conf_bytes(key: str, default: int) -> int:
+        # unset size confs stringify with a unit suffix ("134217728b",
+        # "128MB") on vanilla sessions — parse, don't int()
+        v = str(spark.conf.get(key, str(default))).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        v = v.removesuffix("b")
+        if v and v[-1] in units:
+            return int(float(v[:-1]) * units[v[-1]])
+        return int(v) if v else default
+
+    max_split = conf_bytes("spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
+    split = min(max_split, max(open_cost, (size + open_cost) // max(cores, 1)))
+    n_parts = max(1, math.ceil(size / max(split, 1)))
+    if n_parts < cores:
         return df.repartition(cores)
     return df
 
@@ -505,7 +536,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded MinHash signatures (8 hashes over word-3-gram shingles).
     One linear scan, map-side only; the signature (8 longs) is what
     shuffles downstream, never the text."""
-    d = widen(load(spark, sf_dir, "documents"))
+    d = widen(spark, sf_dir, "documents")
     return D.minhash_signature_df(d, "doc_id", "text")
 
 
@@ -520,7 +551,7 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic hot buckets (the r=1 failure mode on templated corpora);
     est_jaccard = fraction of the 64 minhashes that agree. Join keys are
     (band_idx, band_hash) int/long pairs — the text never self-joins."""
-    d = widen(load(spark, sf_dir, "documents"))
+    d = widen(spark, sf_dir, "documents")
     return D.lsh_candidate_pairs(d, "doc_id", "text")
 
 
@@ -529,7 +560,7 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.sql_simhash("documents", "doc_id", "text"),
 )
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = widen(load(spark, sf_dir, "documents"))
+    d = widen(spark, sf_dir, "documents")
     return D.simhash_df(d, "doc_id", "text")
 
 

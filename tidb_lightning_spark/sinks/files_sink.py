@@ -58,6 +58,8 @@ class FilesSink:
         source_bytes: int = 0,
         partition_columns: list[str] | None = None,
         max_records_per_file: int = 0,
+        observation=None,
+        observe_aggs: list | None = None,
     ) -> CommitResult:
         t0 = time.time()
         final = self.table_path(db, table)
@@ -94,7 +96,17 @@ class FilesSink:
             # with pruning intact.
             if n > 1:
                 out = out.repartitionByRange(n, *sort_columns)
+            # metrics node ABOVE the exchange: the range sampler executes
+            # the exchange INPUT, so metrics attached below it would
+            # accumulate twice (count 2x, xor self-cancelling); above it,
+            # only the write job evaluates them — one exact accumulation
+            # with zero extra scans.
+            if observation is not None:
+                out = out.observe(observation, *observe_aggs)
+                observation = None
             out = out.sortWithinPartitions(*sort_columns)
+        if observation is not None:  # unsorted path: write job is the only job
+            out = out.observe(observation, *observe_aggs)
 
         writer = out.write.mode("overwrite").format(self.fmt)
         if partition_columns:
@@ -143,6 +155,8 @@ class FilesSink:
         engine: int,
         sort_columns: list[str] | None,
         source_bytes: int = 0,
+        observation=None,
+        observe_aggs: list | None = None,
     ) -> CommitResult:
         """One engine (a file group of a table) written and committed
         independently — the incremental commit unit that makes resume
@@ -171,7 +185,12 @@ class FilesSink:
             )
             if n > 1:
                 out = out.repartitionByRange(n, *sort_columns)
+            if observation is not None:  # above the exchange — see write_table
+                out = out.observe(observation, *observe_aggs)
+                observation = None
             out = out.sortWithinPartitions(*sort_columns)
+        if observation is not None:
+            out = out.observe(observation, *observe_aggs)
         out.write.mode("overwrite").format(self.fmt).save(staging)
 
         os.makedirs(final, exist_ok=True)
