@@ -427,3 +427,56 @@ def test_engine_checkpoint_resume_mid_table(spark, tmp_path):
     # third run: fully verified -> skipped
     rep3 = Restorer(spark, make_cfg(str(tmp_path / "wh_resume"))).run()
     assert rep3.tables[0].status == "skipped"
+
+
+def test_pause_resume_and_error_destroy(spark, tmp_path):
+    """M4/M2: the pause flag gates the run between commit units; ctl
+    --checkpoint-error-destroy wipes failed tables only."""
+    import threading
+    import time as _time
+
+    from tidb_lightning_spark import cli
+    from tidb_lightning_spark.pipeline import Pauser
+
+    d = str(tmp_path / "dump_p")
+    write(f"{d}/p-schema-create.sql", "CREATE DATABASE p;")
+    write(f"{d}/p.t-schema.sql", "CREATE TABLE t (a INT, PRIMARY KEY (a));")
+    write(f"{d}/p.t.csv", "a\n1\n2\n")
+    target = str(tmp_path / "wh_p")
+    os.makedirs(target, exist_ok=True)
+
+    # pause flag set -> wait_if_paused blocks until cleared
+    assert cli.main(["ctl", "--target", target, "--pause"]) == 0
+    p = Pauser(target, poll_s=0.05)
+    released = []
+
+    def clearer():
+        _time.sleep(0.3)
+        cli.main(["ctl", "--target", target, "--resume"])
+        released.append(True)
+
+    t = threading.Thread(target=clearer)
+    t.start()
+    t0 = _time.time()
+    p.wait_if_paused()
+    t.join()
+    assert released and _time.time() - t0 >= 0.25
+
+    cfg = Config.from_toml(None, source_dir=d, target_dir=target)
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok
+
+    # error-destroy must NOT touch a fully imported table
+    assert cli.main(
+        ["ctl", "--target", target, "--checkpoint-error-destroy", "all"]
+    ) == 0
+    assert os.path.isdir(f"{target}/p/t")
+    # downgrade to failed-state and destroy
+    r = Restorer(spark, cfg)
+    rec = r.checkpoints.get("p", "t")
+    r.checkpoints.update("p", "t", "closed", signature=rec["signature"])
+    assert cli.main(
+        ["ctl", "--target", target, "--checkpoint-error-destroy", "p.t"]
+    ) == 0
+    assert not os.path.isdir(f"{target}/p/t")
+    assert Restorer(spark, cfg).checkpoints.get("p", "t") == {}

@@ -30,10 +30,20 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--no-checkpoint", action="store_true")
     run.add_argument("--log-level", default="INFO")
 
-    ctl = sub.add_parser("ctl", help="checkpoint operations")
+    ctl = sub.add_parser("ctl", help="checkpoint / control operations")
     ctl.add_argument("--target", required=True)
     ctl.add_argument("--checkpoint-dump", action="store_true")
     ctl.add_argument("--checkpoint-remove", metavar="DB.TBL or 'all'")
+    ctl.add_argument(
+        "--checkpoint-error-destroy", metavar="DB.TBL or 'all'",
+        help="wipe output files + checkpoint of failed (not fully "
+             "imported) tables so the next run restarts them clean "
+             "(reference --checkpoint-error-destroy)",
+    )
+    ctl.add_argument("--pause", action="store_true",
+                     help="pause a running import at the next commit unit")
+    ctl.add_argument("--resume", action="store_true",
+                     help="clear the pause flag")
 
     q = sub.add_parser(
         "sql", help="run Spark SQL over an ingested warehouse"
@@ -144,6 +154,38 @@ def _ctl(args) -> int:
             db, _, tbl = args.checkpoint_remove.partition(".")
             n = store.remove(db, tbl)
         print(f"removed {n} checkpoint(s)")
+        return 0
+    if args.checkpoint_error_destroy:
+        import shutil
+
+        from tidb_lightning_spark.checkpoints import STATUS
+
+        sel = args.checkpoint_error_destroy
+        destroyed = 0
+        for key, rec in list(store.dump()["tables"].items()):
+            db, tbl = key.strip("`").split("`.`")
+            if sel != "all" and f"{db}.{tbl}" != sel:
+                continue
+            # destroy only tables that did NOT finish (reference
+            # error-destroy semantics: failed/dangling work only)
+            if rec.get("status", 0) >= STATUS["imported"]:
+                continue
+            shutil.rmtree(os.path.join(args.target, db, tbl),
+                          ignore_errors=True)
+            store.remove(db, tbl)
+            destroyed += 1
+            print(f"destroyed `{db}`.`{tbl}`")
+        print(f"destroyed {destroyed} table(s)")
+        return 0
+    if args.pause or args.resume:
+        flag = os.path.join(args.target, "_tls_pause")
+        if args.pause:
+            open(flag, "w").close()
+            print(f"paused (flag {flag})")
+        else:
+            if os.path.exists(flag):
+                os.remove(flag)
+            print("resumed")
         return 0
     print("no ctl action given", file=sys.stderr)
     return 2

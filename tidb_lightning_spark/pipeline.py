@@ -110,6 +110,28 @@ def _readback_pass(
     return rows, cks, stats
 
 
+class Pauser:
+    """Driver-side pause gate (reference common/pause.go + HTTP
+    /pause|/resume, lightning.go:589-623): a flag file under the
+    warehouse, polled between commit units (tables and engines — Spark
+    stages themselves are not preemptible). `cli ctl --pause/--resume`
+    toggles it; an operator can also just touch/rm the file."""
+
+    def __init__(self, target_dir: str, poll_s: float = 2.0):
+        self.flag = os.path.join(target_dir, "_tls_pause")
+        self.poll_s = poll_s
+
+    def wait_if_paused(self) -> None:
+        waited = False
+        while os.path.exists(self.flag):
+            if not waited:
+                log.info("paused (flag %s present); waiting...", self.flag)
+                waited = True
+            time.sleep(self.poll_s)
+        if waited:
+            log.info("resumed")
+
+
 @dataclass
 class TableReport:
     db: str
@@ -144,6 +166,7 @@ class Restorer:
         # pinned timestamp for CURRENT_TIMESTAMP defaults (determinism —
         # session.go:203, restore.go:2490-2496)
         self.pinned_ts = time.strftime("%Y-%m-%d %H:%M:%S")
+        self.pauser = Pauser(cfg.target_dir)
 
     # ------------------------------------------------------------------
     def run(self) -> RunReport:
@@ -160,8 +183,27 @@ class Restorer:
             spark=self.spark,
         )
         report = RunReport()
-        for tbl in result.sorted_tables():
-            report.tables.append(self.restore_table(tbl))
+        tables = result.sorted_tables()
+        # progress/ETA mirrors restore.go:840-981: completed bytes over
+        # total, current speed, remaining-time estimate — one log line per
+        # finished table (M6)
+        total_bytes = sum(t.total_size for t in tables) or 1
+        done_bytes = 0
+        for i, tbl in enumerate(tables):
+            self.pauser.wait_if_paused()
+            rep = self.restore_table(tbl)
+            report.tables.append(rep)
+            done_bytes += tbl.total_size
+            elapsed = max(time.time() - t0, 0.001)
+            speed = done_bytes / elapsed
+            eta = (total_bytes - done_bytes) / max(speed, 1.0)
+            log.info(
+                "progress: %d/%d tables, %.1f/%.1f MiB (%.0f%%), "
+                "%.2f MiB/s, ETA %.0fs",
+                i + 1, len(tables), done_bytes / 1048576,
+                total_bytes / 1048576, 100.0 * done_bytes / total_bytes,
+                speed / 1048576, eta,
+            )
         report.seconds = time.time() - t0
         return report
 
@@ -293,6 +335,7 @@ class Restorer:
                             os.remove(os.path.join(final, fname))
                 engine_cks: list[Checksum] | None = [] if want_cks else None
                 for k, efiles, esig, df_e, done, ebase in engine_plans:
+                    self.pauser.wait_if_paused()
                     if done:
                         # chunk-level resume: engine already in place; its
                         # ingest checksum was recorded at engine commit
