@@ -114,6 +114,51 @@ class JDBCSink:
         with_retry(do_write)
 
     @staticmethod
+    def rebase_auto_increment(
+        spark,
+        url: str,
+        db: str,
+        table: str,
+        column: str,
+        next_value: int,
+        properties: dict | None = None,
+        dialect: str | None = None,
+    ) -> str:
+        """Post-load allocator rebase (L1/D2; reference AlterAutoIncrement,
+        restore/tidb.go:349-382): point the target's id generator past the
+        loaded max so post-import inserts never collide with bulk-loaded
+        ids. Dialect-specific DDL executed over a raw JVM JDBC connection
+        (Spark's writer has no DDL surface):
+
+            mysql/tidb: ALTER TABLE t AUTO_INCREMENT = n
+            derby:      ALTER TABLE t ALTER COLUMN c RESTART WITH n
+        """
+        dialect = dialect or (
+            "derby" if url.startswith("jdbc:derby") else "mysql"
+        )
+        if dialect == "derby":
+            sql = (
+                f"ALTER TABLE {db}.{table} ALTER COLUMN {column} "
+                f"RESTART WITH {int(next_value)}"
+            )
+        else:
+            sql = f"ALTER TABLE {db}.{table} AUTO_INCREMENT = {int(next_value)}"
+        jvm = spark._jvm
+        drv = (properties or {}).get("driver")
+        if drv:
+            jvm.java.lang.Class.forName(drv)
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                with_retry(lambda: st.execute(sql))
+            finally:
+                st.close()
+        finally:
+            conn.close()
+        return sql
+
+    @staticmethod
     def merge_sql(db: str, table: str, staging: str, pk: list[str], cols: list[str]) -> str:
         """Stage-and-merge upsert statement for MERGE-capable targets."""
         on = " AND ".join(f"t.{c} = s.{c}" for c in pk)
