@@ -75,3 +75,24 @@ def test_banded_lsh_bounds_popular_shingle_buckets(spark):
     dup_sims = [r["est_jaccard"] for r in pairs if (r["a"], r["b"]) in
                 {(j, 1000 + j) for j in range(5)}]
     assert all(s == 1.0 for s in dup_sims)
+
+
+def test_near_dup_clusters_transitive(spark):
+    """Chain a~b~c (a,c not directly similar) must land in ONE cluster
+    labeled min(id); unrelated docs stay singletons."""
+    from tidb_lightning_spark.functions.dedup import near_dup_clusters
+
+    base = " ".join(f"w{i}" for i in range(40))
+    b = base.replace("w39", "x39")   # ~a (1 shingle of 38 differs)
+    c = b.replace("w0", "y0")        # ~b, two edits away from a
+    rows = [
+        (1, base), (2, b), (3, c),
+        (10, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[10] == 10

@@ -233,6 +233,88 @@ def sql_lsh_candidate_pairs(table: str, id_col: str, text_col: str) -> str:
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) — connected components over the thresholded LSH
+    candidate graph: every doc labeled with the minimum id reachable
+    through near-duplicate edges (cluster_id == id -> the canonical copy
+    to KEEP; the rest are near-dup drops). This is the
+    cluster-then-keep-canonical step of a dedup pipeline.
+
+    Algorithm: distributed min-label propagation — per round, each node
+    takes min(own label, neighbors' labels); converges in O(component
+    diameter) rounds (near-dup components are shallow). Convergence is
+    detected by the strictly-decreasing sum(label) (one tiny agg action
+    per round, no full comparison join). At petabyte scale the classic
+    large-star/small-star contraction (Kiveris et al.) halves the round
+    count; the join structure here is the same building block.
+    """
+    pairs = (
+        lsh_candidate_pairs(df, id_col, text_col)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = df.select(F.col(id_col).alias("id")).withColumn(
+        "label", F.col("id")
+    ).persist()
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.dst, "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def sql_near_dup_clusters(
+    table: str, id_col: str, text_col: str, threshold: float = 0.5
+) -> str:
+    """DuckDB twin: recursive CTE computing min-reachable-id per node over
+    the same thresholded LSH edges."""
+    pairs = sql_lsh_candidate_pairs(table, id_col, text_col)
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs}), "
+        f"edges AS (SELECT a AS src, b AS dst FROM pairs "
+        f"WHERE est_jaccard >= {threshold} "
+        f"UNION ALL SELECT b, a FROM pairs WHERE est_jaccard >= {threshold}), "
+        f"reach(id, label) AS ("
+        f"  SELECT {id_col}, {id_col} FROM {table} "
+        f"  UNION "
+        f"  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id"
+        f") "
+        f"SELECT id AS {id_col}, min(label) AS cluster_id "
+        f"FROM reach GROUP BY id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, term-frequency weighted)
 # ---------------------------------------------------------------------------

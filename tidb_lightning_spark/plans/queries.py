@@ -556,6 +556,19 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters",
+    D.sql_near_dup_clusters("documents", "doc_id", "text"),
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the banded-LSH near-dup graph: every doc
+    labeled with its cluster's minimum doc_id (cluster_id == doc_id is
+    the canonical keeper). Distributed min-label propagation vs the
+    oracle's recursive CTE — both reach the same fixpoint."""
+    d = widen(spark, sf_dir, "documents")
+    return D.near_dup_clusters(d, "doc_id", "text")
+
+
+@register(
     "simhash_documents",
     D.sql_simhash("documents", "doc_id", "text"),
 )
