@@ -123,6 +123,8 @@ def test_strict_mode_fails_on_lossy(spark, tmp_path):
     rep = Restorer(spark, cfg).run()
     assert rep.tables[0].status == "failed"
     assert "strict" in rep.tables[0].error
+    # staged commit aborted: the warehouse never saw the bad table
+    assert not os.path.isdir(f"{target}/s/t")
 
 
 def test_shard_merge_end_to_end(spark, tmp_path):

@@ -282,17 +282,50 @@ class Restorer:
                 if ROWID_COL in df.columns and not info.has_auto_row_id():
                     df = df.drop(ROWID_COL)
 
+            err_obs = None
             if self.cfg.strict_sql_mode and ERR_COL in df.columns:
-                bad = df.filter(F.col(ERR_COL).isNotNull())
-                sample = bad.select(ERR_COL).limit(3).collect()
-                if sample:
-                    raise IngestError(
-                        f"strict sql_mode violations in `{tbl.db}`.`{tbl.name}`: "
-                        f"columns {[r[0] for r in sample]}"
+                if use_engines:
+                    # engine mode: probe up front (one extra action) —
+                    # per-engine staging makes a post-write abort messier
+                    bad = df.filter(F.col(ERR_COL).isNotNull())
+                    sample = bad.select(ERR_COL).limit(3).collect()
+                    if sample:
+                        raise IngestError(
+                            f"strict sql_mode violations in "
+                            f"`{tbl.db}`.`{tbl.name}`: "
+                            f"columns {[r[0] for r in sample]}"
+                        )
+                else:
+                    # fold the violation check into the WRITE job: observe
+                    # the error count below the ERR-column drop, verify it
+                    # before the staged commit (sink pre_commit) — strict
+                    # mode no longer costs a second source scan. The range
+                    # sampler may double-fire this metric; only ==0 is
+                    # checked, and 2x0 == 0.
+                    from pyspark.sql import Observation
+
+                    err_obs = Observation()
+                    df = df.observe(
+                        err_obs,
+                        F.sum(F.col(ERR_COL).isNotNull().cast("long")).alias(
+                            "n_err"
+                        ),
+                        F.first(ERR_COL, ignorenulls=True).alias("sample"),
                     )
                 df = df.drop(ERR_COL)
             elif ERR_COL in df.columns:
                 df = df.drop(ERR_COL)
+
+            def strict_gate():
+                if err_obs is None:
+                    return
+                got = err_obs.get
+                if got["n_err"]:
+                    raise IngestError(
+                        f"strict sql_mode violations in "
+                        f"`{tbl.db}`.`{tbl.name}`: {got['n_err']} rows "
+                        f"(e.g. column {got['sample']!r})"
+                    )
 
             # ingest-side checksum accumulated DURING the write job via
             # df.observe() — the reference's accumulate-while-delivering
@@ -416,6 +449,7 @@ class Restorer:
                     partition_columns=part_cols,
                     observation=obs,
                     observe_aggs=aggs,
+                    pre_commit=strict_gate,
                 )
                 if want_cks:
                     got = obs.get

@@ -60,6 +60,7 @@ class FilesSink:
         max_records_per_file: int = 0,
         observation=None,
         observe_aggs: list | None = None,
+        pre_commit=None,
     ) -> CommitResult:
         t0 = time.time()
         final = self.table_path(db, table)
@@ -114,6 +115,15 @@ class FilesSink:
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.save(staging)
+        # engine Close -> Import gate: a pre-commit check that raises
+        # (e.g. strict-mode violations observed during the write) discards
+        # staging — the warehouse never sees the bad table.
+        if pre_commit is not None:
+            try:
+                pre_commit()
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
 
         # engine Import: atomic swap into the warehouse. The old table is
         # renamed aside (atomic) before staging renames in, so a crash
