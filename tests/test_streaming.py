@@ -119,3 +119,31 @@ def test_running_user_totals_stateful(spark, stream_dir):
         assert gn == n, uid
         assert abs(gtotal - (total or 0.0)) < 1e-6, uid
         assert glast == last, uid
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir):
+    """Stream-static broadcast join per micro-batch == the batch join."""
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    d = _prepare(spark, stream_dir)
+    dim = read_table(spark, f"{SF_SMOKE}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = S.enrich_with_dim(S.read_event_stream(spark, d), dim)
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    S.run_to_memory(agg, "enriched_counts", output_mode="complete")
+    got = {
+        r["c_mktsegment"]: r["n"]
+        for r in spark.table("enriched_counts").collect()
+    }
+    ev = read_table(spark, f"{SF_SMOKE}/events.parquet")
+    want = {
+        r["c_mktsegment"]: r["n"]
+        for r in ev.join(dim, ev.user_id == dim.c_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want

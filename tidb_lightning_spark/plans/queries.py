@@ -556,6 +556,87 @@ def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocab_top_df",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({TX.SQL_TOKENS.format(col='text')})) AS tok
+      FROM documents
+    ), n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tok, count(*) AS doc_freq,
+           CAST(n_docs + 1 AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS inv_df
+    FROM tok, n
+    GROUP BY tok, n_docs
+    ORDER BY doc_freq DESC, tok
+    LIMIT 100
+    """,
+)
+def vocab_top_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: per-token document frequency and the
+    inverse-document-frequency ratio (the IDF core, kept as ONE double
+    division so both engines bit-match — no float summation). Tokens
+    explode once, deduped per doc map-side; only (token, count) pairs
+    shuffle. The backbone of stopword discovery / TF-IDF weighting over a
+    training corpus."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .select(
+            "tok",
+            "doc_freq",
+            (
+                F.lit(float(n_docs + 1)) / (F.col("doc_freq") + 1).cast("double")
+            ).alias("inv_df"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "tok")
+        .limit(100)
+    )
+
+
+@register(
+    "doc_rare_tokens",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({TX.SQL_TOKENS.format(col='text')})) AS tok
+      FROM documents
+    ), dfreq AS (
+      SELECT tok, count(*) AS doc_freq FROM tok GROUP BY tok
+    )
+    SELECT t.doc_id,
+           count(*) AS n_distinct_tokens,
+           CAST(sum(CASE WHEN d.doc_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
+    FROM tok t JOIN dfreq d ON t.tok = d.tok
+    GROUP BY t.doc_id
+    """,
+)
+def doc_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity profile: distinct-token count and the number
+    of corpus hapax legomena (tokens appearing in exactly one document) —
+    a strong low-quality/garbage signal for training-data filtering.
+    Integer-only outputs: immune to float-sum ordering."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
+    )
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum(F.when(F.col("doc_freq") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+    )
+
+
+@register(
     "near_dup_clusters",
     D.sql_near_dup_clusters("documents", "doc_id", "text"),
 )

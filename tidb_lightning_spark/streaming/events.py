@@ -95,6 +95,18 @@ def sessionize(
     )
 
 
+def enrich_with_dim(stream: DataFrame, dim: DataFrame,
+                    stream_key: str = "user_id",
+                    dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the (small,
+    broadcastable) dimension snapshot — the streaming twin of a fact-dim
+    broadcast join; the static side is re-planned per batch, so a
+    refreshed dim table is picked up without restarting the query."""
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], "left"
+    )
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
