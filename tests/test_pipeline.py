@@ -482,3 +482,39 @@ def test_pause_resume_and_error_destroy(spark, tmp_path):
     ) == 0
     assert not os.path.isdir(f"{target}/p/t")
     assert Restorer(spark, cfg).checkpoints.get("p", "t") == {}
+
+
+def test_ctl_compact_coalesces_files(spark, tmp_path):
+    """L4: ctl --compact rewrites a many-file table into ~96 MiB-target
+    sorted files with identical contents and preserved meta."""
+    from tidb_lightning_spark import cli
+
+    d = str(tmp_path / "dump_c")
+    write(f"{d}/c-schema-create.sql", "CREATE DATABASE c;")
+    write(f"{d}/c.t-schema.sql", "CREATE TABLE t (a INT, PRIMARY KEY (a));")
+    for i in range(4):
+        rows = "\n".join(str(i * 100 + j) for j in range(100))
+        write(f"{d}/c.t.{i:03d}.csv", "a\n" + rows + "\n")
+    target = str(tmp_path / "wh_c")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, checksum="off",
+        engine_bytes=300,  # force one engine per file -> many output files
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    before = [
+        f for f in os.listdir(f"{target}/c/t") if f.endswith(".parquet")
+    ]
+    assert len(before) >= 4
+    want = sorted(r["a"] for r in spark.read.parquet(f"{target}/c/t").collect())
+
+    assert cli.main(["ctl", "--target", target, "--compact", "c.t"]) == 0
+    after = [
+        f for f in os.listdir(f"{target}/c/t") if f.endswith(".parquet")
+    ]
+    assert len(after) == 1
+    got = [r["a"] for r in spark.read.parquet(f"{target}/c/t").collect()]
+    assert sorted(got) == want
+    # sorted output: the single file is PK-ordered
+    assert got == sorted(got)
+    assert os.path.exists(f"{target}/c/t/_tls_meta.json")

@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
                      help="pause a running import at the next commit unit")
     ctl.add_argument("--resume", action="store_true",
                      help="clear the pause flag")
+    ctl.add_argument(
+        "--compact", metavar="DB.TBL",
+        help="rewrite a table's files into ~96 MiB sorted files "
+             "(reference full-compaction analog; e.g. after many "
+             "engine-granular commits)",
+    )
 
     q = sub.add_parser(
         "sql", help="run Spark SQL over an ingested warehouse"
@@ -176,6 +182,53 @@ def _ctl(args) -> int:
             destroyed += 1
             print(f"destroyed `{db}`.`{tbl}`")
         print(f"destroyed {destroyed} table(s)")
+        return 0
+    if args.compact:
+        import json as _json
+
+        from tidb_lightning_spark.session import get_spark
+        from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+        db, _, tbl = args.compact.partition(".")
+        path = os.path.join(args.target, db, tbl)
+        if not os.path.isdir(path):
+            print(f"error: no table dir {path}", file=sys.stderr)
+            return 1
+        meta_path = os.path.join(path, "_tls_meta.json")
+        meta = _json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+        pk = meta.get("primary_key") or None
+        fmt = "orc" if any(
+            f.endswith(".orc") for f in os.listdir(path)
+        ) else "parquet"
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+        spark = get_spark(app_name="tls-compact")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.read.format(fmt).load(path)
+        before = sum(
+            1 for f in os.listdir(path) if f.endswith((".parquet", ".orc"))
+        )
+        from tidb_lightning_spark.sinks.files_sink import TARGET_FILE_BYTES
+
+        sink = FilesSink(args.target, fmt=fmt)
+        n = max(1, (size + TARGET_FILE_BYTES - 1) // TARGET_FILE_BYTES)
+        if pk:
+            # n==1 skips the range exchange entirely -> pre-coalesce so the
+            # single sorted output file actually materializes
+            commit = sink.write_table(
+                df.coalesce(1) if n == 1 else df,
+                db, tbl, sort_columns=pk, source_bytes=size, n_ranges=n,
+            )
+        else:
+            commit = sink.write_table(
+                df.coalesce(n), db, tbl, sort_columns=None, source_bytes=size
+            )
+        if meta:
+            sink.write_meta(db, tbl, meta)
+        print(f"compacted `{db}`.`{tbl}`: {before} -> {commit.n_files} files")
         return 0
     if args.pause or args.resume:
         flag = os.path.join(args.target, "_tls_pause")

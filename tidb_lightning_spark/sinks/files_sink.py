@@ -61,6 +61,7 @@ class FilesSink:
         observation=None,
         observe_aggs: list | None = None,
         pre_commit=None,
+        n_ranges: int | None = None,
     ) -> CommitResult:
         t0 = time.time()
         final = self.table_path(db, table)
@@ -80,7 +81,7 @@ class FilesSink:
             # non-overlapping — correctness is unaffected.
             spark = df.sparkSession
             cores = spark.sparkContext.defaultParallelism
-            n = max(
+            n = n_ranges or max(
                 (source_bytes + TARGET_FILE_BYTES - 1) // TARGET_FILE_BYTES,
                 min(cores, max(1, source_bytes // (2 * 1024 * 1024))),
                 1,
