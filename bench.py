@@ -61,18 +61,9 @@ def main() -> None:
     # for session startup
     Q.load(spark, sf_dir, "region").count()
 
-    for name, spec in Q.registry().items():
-        try:
-            timings[name] = round(time_df(spec.spark(spark, sf_dir)), 4)
-        except Exception as exc:  # keep the bench line intact on a bad query
-            timings[name] = -1.0
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-        # Queries must not pollute each other: drop any persist() a query
-        # made (e.g. minhash signature reuse) so later timings aren't
-        # skewed by lingering cached blocks / GC pressure.
-        spark.catalog.clearCache()
-
-    # ingestion throughput (the reference's headline number: MiB/s)
+    # ingestion throughput FIRST (the reference's headline number: MiB/s)
+    # — measured on a quiet JVM, before 50 queries build heap/GC pressure,
+    # so the number is reproducible run-to-run
     try:
         from tidb_lightning_spark.bench_ingest import run_ingest_bench
 
@@ -82,9 +73,9 @@ def main() -> None:
         # the codegen cache so the timed run measures throughput, not
         # compiler startup — the reference's 28 MiB/s is likewise the
         # steady-state rate of a long-running import (restore.go:959)
-        warm_sf = "/root/testdata/sf0.001"
-        if os.path.isdir(warm_sf):
-            run_ingest_bench(spark, warm_sf)
+        for warm_sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            if os.path.isdir(warm_sf):
+                run_ingest_bench(spark, warm_sf)
         ing = run_ingest_bench(spark, sf_dir)
         timings["ingest_lineitem_csv"] = round(ing["seconds"], 4)
         extras["ingest_mib_per_sec"] = round(ing["mib_per_sec"], 2)
@@ -99,6 +90,17 @@ def main() -> None:
         pass
     except Exception as exc:
         print(f"bench: ingest failed: {exc}", file=sys.stderr)
+
+    for name, spec in Q.registry().items():
+        try:
+            timings[name] = round(time_df(spec.spark(spark, sf_dir)), 4)
+        except Exception as exc:  # keep the bench line intact on a bad query
+            timings[name] = -1.0
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+        # Queries must not pollute each other: drop any persist() a query
+        # made (e.g. minhash signature reuse) so later timings aren't
+        # skewed by lingering cached blocks / GC pressure.
+        spark.catalog.clearCache()
 
     # Headline value = the ingest wall (the reference-comparable number:
     # BASELINE.md anchors 28 MiB/s bulk-import throughput; BASELINE.md §
