@@ -51,6 +51,19 @@ def main(argv: list[str] | None = None) -> int:
              "engine-granular commits)",
     )
 
+    srv = sub.add_parser(
+        "serve",
+        help="HTTP server mode: queue import tasks over REST, expose "
+             "/metrics, /progress, /pause (reference --server-mode + "
+             "status-addr, lightning.go:95-214)",
+    )
+    srv.add_argument("--status-addr", default="127.0.0.1:8289",
+                     help="host:port to listen on (reference default :8289)")
+    srv.add_argument("--target",
+                     help="warehouse dir for the /pause flag and "
+                          "/progress/table checkpoints")
+    srv.add_argument("--log-level", default="INFO")
+
     q = sub.add_parser(
         "sql", help="run Spark SQL over an ingested warehouse"
     )
@@ -69,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
             return _ctl(args)
         if args.cmd == "sql":
             return _sql(args)
+        if args.cmd == "serve":
+            from tidb_lightning_spark.server import serve
+
+            serve(args.status_addr, target_dir=args.target)
+            return 0
         return _run(args)
     except (ValueError, FileNotFoundError) as exc:
         # config/discovery errors: one-line message, no traceback

@@ -26,6 +26,7 @@ from tidb_lightning_spark.operators.transform import ERR_COL, transform_table
 from tidb_lightning_spark.schema.ddl import TableInfo, parse_create_table
 from tidb_lightning_spark.sinks.files_sink import FilesSink
 from tidb_lightning_spark.sources import csv_source, sqldump_source
+from tidb_lightning_spark import metrics
 from tidb_lightning_spark.sources.loader import MDTableMeta, discover
 from tidb_lightning_spark.sources.parquet_source import read_table
 from tidb_lightning_spark.sources.router import FileRouter
@@ -189,6 +190,11 @@ class Restorer:
         # finished table (M6)
         total_bytes = sum(t.total_size for t in tables) or 1
         done_bytes = 0
+        metrics.BYTES.inc(metrics.BYTE_STATE_ESTIMATED, by=total_bytes)
+        metrics.set_progress(
+            status="running", tables_total=len(tables), tables_done=0,
+            bytes_total=total_bytes, bytes_done=0,
+        )
         for i, tbl in enumerate(tables):
             self.pauser.wait_if_paused()
             rep = self.restore_table(tbl)
@@ -204,7 +210,16 @@ class Restorer:
                 total_bytes / 1048576, 100.0 * done_bytes / total_bytes,
                 speed / 1048576, eta,
             )
+            metrics.update_progress(
+                tables_done=i + 1, bytes_done=done_bytes,
+                current=f"{tbl.db}.{tbl.name}", speed_mib_s=round(
+                    speed / 1048576, 3), eta_s=round(eta, 1),
+            )
         report.seconds = time.time() - t0
+        metrics.update_progress(
+            status="ok" if report.ok else "failed", current=None,
+            seconds=round(report.seconds, 3),
+        )
         return report
 
     # ------------------------------------------------------------------
@@ -548,6 +563,11 @@ class Restorer:
                 )
             self.sink.write_meta(tbl.db, tbl.name, meta)
             rep.status = "imported"
+            metrics.TABLES.inc(
+                metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_SUCCESS
+            )
+            metrics.CHUNKS.inc(metrics.CHUNK_STATE_FINISHED, by=rep.files)
+            metrics.BYTES.inc(metrics.BYTE_STATE_FINISHED, by=tbl.total_size)
             # progress line mirroring restore.go:960-969 fields
             log.info(
                 "restored `%s`.`%s`: %d rows, %d files, %.1f MiB source in "
@@ -560,8 +580,12 @@ class Restorer:
         except Exception as exc:  # error summary (restore.go:89-129)
             rep.error = f"{type(exc).__name__}: {exc}"
             log.error("table `%s`.`%s` failed: %s", tbl.db, tbl.name, rep.error)
+            metrics.TABLES.inc(
+                metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_FAILURE
+            )
         finally:
             rep.seconds = time.time() - t0
+            metrics.IMPORT_SECONDS.observe(rep.seconds)
         return rep
 
     # ------------------------------------------------------------------
