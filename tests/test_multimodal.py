@@ -194,3 +194,81 @@ def test_image_kernels_real_png(spark):
         hist, _ = np.histogram(lum, bins=16, range=(0.0, 256.0))
         want = (hist / lum.size).tolist()
         assert np.allclose(embs[k], want, atol=1e-6)
+
+
+def test_wav_codec_roundtrip():
+    """Pure-codec: encode -> info -> decode round-trips real samples."""
+    import numpy as np
+
+    from tidb_lightning_spark.functions import wav
+
+    t = np.arange(8000) / 16000.0
+    stereo = np.stack(
+        [np.sin(2 * np.pi * 440 * t), 0.5 * np.sin(2 * np.pi * 880 * t)], axis=1
+    )
+    data = wav.encode_wav(stereo, 16000)
+    assert wav.is_wav(data)
+    rate, ch, bits, frames, dur = wav.wav_info(data)
+    assert (rate, ch, bits, frames, dur) == (16000, 2, 16, 8000, 500)
+    decoded, rate2 = wav.decode_wav(data)
+    assert rate2 == 16000 and decoded.shape == (8000, 2)
+    assert np.allclose(decoded, stereo, atol=2 / 32768)
+
+    mono_8k = wav.resample_linear(decoded, 16000, 8000)
+    assert mono_8k.shape == (4000, 2)
+
+
+def test_audio_kernels_real_wav(spark):
+    """Real WAV bytes through the Spark kernels: metadata, resample,
+    RMS/ZCR embedding — values verified against the signal, not a stub."""
+    import numpy as np
+
+    from tidb_lightning_spark.functions import wav
+    from tidb_lightning_spark.functions.multimodal import (
+        audio_embedding,
+        audio_metadata,
+        resample_audio,
+    )
+
+    t = np.arange(16000) / 16000.0
+    clips = {
+        1: np.sin(2 * np.pi * 440 * t)[:, None],          # loud 1 s tone
+        2: 0.1 * np.sin(2 * np.pi * 2000 * t)[:, None],   # quiet, high ZCR
+        3: np.zeros((4000, 1), dtype=np.float32),         # 0.25 s silence
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(wav.encode_wav(v, 16000))) for k, v in clips.items()],
+        "id int, content binary",
+    )
+
+    meta = {r["id"]: r for r in audio_metadata(df, fake=False).collect()}
+    assert meta[1]["sample_rate"] == 16000 and meta[1]["n_channels"] == 1
+    assert meta[1]["duration_ms"] == 1000 and meta[3]["duration_ms"] == 250
+    assert meta[2]["mime"] == "audio/wav"
+
+    res = {
+        r["id"]: bytes(r["content"])
+        for r in resample_audio(df, 8000, fake=False).collect()
+    }
+    rate, _, _, frames, _ = wav.wav_info(res[1])
+    assert rate == 8000 and frames == 8000  # half the samples, same second
+
+    embs = {
+        r["id"]: np.array(r["embedding"])
+        for r in audio_embedding(df, dim=16, fake=False).collect()
+    }
+    assert all(v.shape == (16,) for v in embs.values())
+    # RMS half: loud tone > quiet tone > silence
+    assert embs[1][:8].mean() > embs[2][:8].mean() > embs[3][:8].mean() + 1e-9
+    assert np.allclose(embs[3], 0.0)
+    # ZCR half: 2 kHz tone crosses zero ~4.5x more often than 440 Hz
+    assert embs[2][8:].mean() > 3 * embs[1][8:].mean()
+
+
+def test_audio_stub_path_and_strict_raises(spark, media_df):
+    from tidb_lightning_spark.functions.multimodal import audio_metadata
+
+    out = audio_metadata(media_df).collect()  # fake=True on non-WAV bytes
+    assert all(r["mime"] == "audio/stub" and r["sample_rate"] >= 8000 for r in out)
+    with pytest.raises(Exception, match="NotImplementedError|librosa"):
+        audio_metadata(media_df, fake=False).collect()

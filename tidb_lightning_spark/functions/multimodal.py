@@ -16,7 +16,11 @@ Decode reality, by format:
     numpy codec (8-bit gray/RGB/GA/RGBA), so metadata, nearest-neighbor
     resize and histogram features operate on actual pixels whenever the
     bytes are a PNG, regardless of the `fake` flag.
-  * Other codecs (JPEG/video/audio: PIL/cv2/librosa) are NOT in this
+  * WAV (RIFF PCM/float) is decoded FOR REAL — `functions/wav.py` is a
+    pure stdlib-struct + numpy codec, so audio metadata, linear-interp
+    resampling and RMS/ZCR feature embeddings operate on actual samples
+    whenever the bytes are a WAV, regardless of the `fake` flag.
+  * Other codecs (JPEG/video/mp3: PIL/cv2/librosa) are NOT in this
     container, so those kernels are STUBBED: with `fake=True` they emit
     deterministic md5-derived pseudo-results so the distributed plumbing
     is fully testable; with `fake=False` they raise NotImplementedError.
@@ -171,6 +175,145 @@ def image_embedding(
         if not fake:
             raise NotImplementedError("non-PNG embedding requires a model")
         return [(_fake_u32(data, f"e{i}") / 2**31 - 1.0) for i in range(dim)]
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            out["embedding"] = [one(bytes(b)) for b in pdf[content_col]]
+            yield out
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def audio_metadata(
+    df: DataFrame, content_col: str = "content", fake: bool = True
+) -> DataFrame:
+    """content -> (*, sample_rate, n_channels, duration_ms, mime).
+
+    WAV: real RIFF header parse (no sample materialization — the same
+    header-only fast path as image_metadata/png_info). Other formats:
+    md5-derived stub under fake=True."""
+    _ship(df)
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("mime", T.StringType()),
+        ]
+    )
+
+    def one(data: bytes):
+        from tidb_lightning_spark.functions import wav
+
+        if wav.is_wav(data):
+            rate, ch, _bits, _frames, dur = wav.wav_info(data)
+            return rate, ch, dur, "audio/wav"
+        if not fake:
+            raise NotImplementedError(
+                "non-WAV audio decode requires librosa/ffmpeg (not in "
+                "this container); run with fake=True or install a codec"
+            )
+        return (
+            8000 * (1 + _fake_u32(data, "sr") % 6),
+            1 + _fake_u32(data, "ch") % 2,
+            500 + _fake_u32(data, "dur") % 29500,
+            "audio/stub",
+        )
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            vals = [one(bytes(b)) for b in pdf[content_col]]
+            pdf = pdf.copy()
+            pdf["sample_rate"] = [v[0] for v in vals]
+            pdf["n_channels"] = [v[1] for v in vals]
+            pdf["duration_ms"] = [v[2] for v in vals]
+            pdf["mime"] = [v[3] for v in vals]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    content_col: str = "content",
+    fake: bool = True,
+) -> DataFrame:
+    """content -> content resampled to target_rate (the audio analog of
+    resize_images). WAV: real decode -> linear-interp resample -> 16-bit
+    PCM re-encode; other formats: rate-stamped digest stub."""
+    out_schema = df.schema
+    _ship(df)
+
+    def one(data: bytes) -> bytes:
+        from tidb_lightning_spark.functions import wav
+
+        if wav.is_wav(data):
+            samples, rate = wav.decode_wav(data)
+            return wav.encode_wav(
+                wav.resample_linear(samples, rate, target_rate), target_rate
+            )
+        if not fake:
+            raise NotImplementedError("non-WAV resample requires librosa")
+        return hashlib.md5(data).digest() + target_rate.to_bytes(4, "little")
+
+    def kernel(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[content_col] = [one(bytes(b)) for b in pdf[content_col]]
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def audio_embedding(
+    df: DataFrame,
+    dim: int = 16,
+    content_col: str = "content",
+    id_cols: list[str] | None = None,
+    fake: bool = True,
+) -> DataFrame:
+    """content -> float embedding (the audio analog of image_embedding).
+
+    WAV: a REAL sample-derived descriptor — the first `dim // 2` windowed
+    RMS energies and `dim - dim // 2` windowed zero-crossing rates over
+    the mono mix (classical features; deterministic, no model weights).
+    Other formats: md5 stub. Output: id columns + `embedding
+    array<float>` — feeds functions/similarity.knn_* for audio near-dup.
+    """
+    _ship(df)
+    id_cols = id_cols or [c for c in df.columns if c != content_col]
+    out_schema = T.StructType(
+        [df.schema[c] for c in id_cols]
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()))]
+    )
+    n_rms = dim // 2
+
+    def one(data: bytes) -> list[float]:
+        from tidb_lightning_spark.functions import wav
+
+        if wav.is_wav(data):
+            import numpy as np
+
+            samples, _rate = wav.decode_wav(data)
+            mono = samples.mean(axis=1)
+            if mono.size == 0:
+                return [0.0] * dim
+            feats = []
+            for n_win, kind in ((n_rms, "rms"), (dim - n_rms, "zcr")):
+                edges = np.linspace(0, mono.size, n_win + 1).astype(int)
+                for i in range(n_win):
+                    w = mono[edges[i] : max(edges[i] + 1, edges[i + 1])]
+                    if kind == "rms":
+                        feats.append(float(np.sqrt(np.mean(w * w))))
+                    else:
+                        feats.append(float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1]))) if w.size > 1 else 0.0)
+            return feats
+        if not fake:
+            raise NotImplementedError("non-WAV embedding requires a model")
+        return [(_fake_u32(data, f"a{i}") / 2**31 - 1.0) for i in range(dim)]
 
     def kernel(batches: Iterator) -> Iterator:
         for pdf in batches:
