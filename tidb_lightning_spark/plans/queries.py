@@ -637,6 +637,79 @@ def doc_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {TX.sql_lang_id('text')} AS lang_pred,
+             {TX.sql_quality_score('text')} AS quality,
+             {TX.sql_token_count('text')} AS n_tokens,
+             {TX.sql_fingerprint('text')} AS fp
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.75
+    ), rep AS (
+      SELECT fp,
+             min(doc_id) AS keep_id,
+             count(*) AS n_copies,
+             arg_min(lang_pred, doc_id) AS lang_pred,
+             arg_min(n_tokens, doc_id) AS n_tokens,
+             arg_min(quality, doc_id) AS quality
+      FROM kept GROUP BY fp
+    )
+    SELECT lang_pred,
+           count(*) AS kept_docs,
+           CAST(sum(n_copies - 1) AS BIGINT) AS dups_removed,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(quality) AS min_quality,
+           max(quality) AS max_quality
+    FROM rep
+    GROUP BY lang_pred
+    ORDER BY lang_pred
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data cleaning pipeline, composed end-to-end in
+    ONE declarative plan: score (lang-ID + quality + tokens + canonical
+    fingerprint, single codegen stage, no shuffle) -> quality filter
+    (pushed to the scan side of the first exchange) -> exact near-dup
+    collapse on the canonical fingerprint (shuffle key is a 60-bit long,
+    never the text) -> per-language corpus summary (second, tiny
+    shuffle). At 100 TB only two exchanges run and both move fixed-width
+    keys + counters; the text column dies at the first aggregation.
+    min/max of per-row doubles (not sums) keep the output order-exact
+    across engines."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        TX.lang_id(t).alias("lang_pred"),
+        TX.quality_score(t).alias("quality"),
+        TX.token_count(t).alias("n_tokens"),
+        TX.fingerprint(t).alias("fp"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.75)
+    rep = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("lang_pred", "doc_id").alias("lang_pred"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        F.min_by("quality", "doc_id").alias("quality"),
+    )
+    return (
+        rep.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias("dups_removed"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+@register(
     "near_dup_clusters",
     D.sql_near_dup_clusters("documents", "doc_id", "text"),
 )
