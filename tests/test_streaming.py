@@ -147,3 +147,61 @@ def test_stream_static_enrichment_matches_batch(spark, stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, stream_dir):
+    """correlate_streams over a replay must equal the same interval join
+    done in batch (stream-stream state handling changes nothing)."""
+    d = _prepare(spark, stream_dir)
+    left = S.read_event_stream(spark, d)
+    right = S.read_event_stream(spark, d)
+    out = S.correlate_streams(left, right, "click", "purchase", "30 minutes")
+    S.run_to_memory(out, "ss_join")
+    got = spark.table("ss_join").count()
+
+    ev = spark.read.schema(S.EVENT_SCHEMA).parquet(d)
+    l = ev.where(F.col("event_type") == "click").selectExpr(
+        "user_id AS l_user", "event_id AS l_event", "ts AS l_ts"
+    )
+    r = ev.where(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS r_user", "event_id AS r_event", "ts AS r_ts"
+    )
+    want = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 minutes")),
+    ).count()
+    assert got == want > 0
+
+
+def test_stream_to_warehouse_idempotent_batches(spark, stream_dir, tmp_path):
+    """foreachBatch sink: replaying the same feed into the same checkpoint
+    adds nothing; a re-written batch_id directory replaces, not appends."""
+    d = _prepare(spark, stream_dir)
+    tbl = str(tmp_path / "wh_events")
+    ckpt = str(tmp_path / "ckpt")
+
+    src = spark.read.schema(S.EVENT_SCHEMA).parquet(d)
+    S.stream_to_warehouse(S.read_event_stream(spark, d), tbl, ckpt)
+    first = spark.read.parquet(tbl)
+    assert first.count() == src.count()
+
+    # second run: checkpoint says everything is committed -> no new rows
+    S.stream_to_warehouse(S.read_event_stream(spark, d), tbl, ckpt)
+    spark.catalog.refreshByPath(tbl)
+    assert spark.read.parquet(tbl).count() == src.count()
+
+    # crash-replay: drop the commit record (offsets survive), so the next
+    # run re-executes batch 0 with the SAME batch_id -> the overwrite
+    # lands in the same directory and row counts don't double
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")  # hadoop checksum sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    S.stream_to_warehouse(S.read_event_stream(spark, d), tbl, ckpt)
+    spark.catalog.refreshByPath(tbl)
+    assert spark.read.parquet(tbl).count() == src.count()
+    assert [p for p in os.listdir(tbl) if p.startswith("_batch_id=")] == [
+        "_batch_id=0"
+    ]

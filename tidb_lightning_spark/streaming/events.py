@@ -8,6 +8,10 @@ user can run the same semantics over a live feed:
   batch sessionize_events      <->  sessionize (session_window, same 30-min gap)
   exact dedup                  <->  dedup_stream (dropDuplicatesWithinWatermark)
   batch per-user groupBy agg   <->  running_user_totals (applyInPandasWithState)
+  batch interval self-join     <->  correlate_streams (stream-stream, state
+                                    bounded by watermark + time-range)
+  batch sink staged commit     <->  stream_to_warehouse (foreachBatch,
+                                    idempotent per-batch_id overwrite)
 
 Late data is handled by watermarks; every operator works with
 `trigger(availableNow=True)` for batch-replay and continuous triggers for
@@ -157,6 +161,103 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream time-interval join: correlate two live event feeds
+    per user within a bounded window (e.g. every purchase to the clicks
+    that preceded it by <= `within`).
+
+    Both sides carry a watermark plus the time-range predicate, so Spark
+    can bound the join state: rows age out of the state store once the
+    other side's watermark passes `ts + within` — without this the state
+    grows unboundedly. State partitions by user_id (the equi-key), the
+    same horizontal-scale story as the windermarked aggs.
+    """
+    l = (
+        left.where(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.where(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l_user").alias("user_id"),
+        "l_event",
+        "r_event",
+        "l_ts",
+        "r_ts",
+    )
+
+
+def stream_to_warehouse(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming ingest into the warehouse layout via
+    foreachBatch: every micro-batch lands in its own
+    `_batch_id=N` subdirectory with overwrite semantics, so a batch
+    replayed after a crash (Structured Streaming re-runs the last
+    uncommitted batch with the SAME batch_id) rewrites the identical
+    directory instead of duplicating rows — the streaming analog of the
+    batch sink's staged commit. Readers see the table as ordinary
+    partitioned parquet. Long-lived reader sessions should
+    `spark.catalog.refreshByPath(table_dir)` after a replay: an overwrite
+    swaps part-file names and a cached FileIndex would go stale.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{table_dir}/_batch_id={batch_id}"
+            )
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    # awaitTermination can return before the query deregisters from the
+    # session's active list; a back-to-back start on the SAME checkpoint
+    # then fails with "multiple streaming queries are concurrently using"
+    # — drain the registration so sequential runs compose.
+    import time as _time
+
+    spark = df.sparkSession
+    for _ in range(200):
+        if all(a.id != q.id for a in spark.streams.active):
+            break
+        _time.sleep(0.05)
+    return q
 
 
 def run_to_memory(
