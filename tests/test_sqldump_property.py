@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the SQL-dump literal grammar.
+
+The reference covers its parser with large literal tables + a ragel
+grammar (mydump/parser.go, parser_generated.go); we get the same breadth
+by generating random row values, rendering them the way mydumper writes
+INSERT statements (MySQL escaping), and asserting the parse round-trips.
+Driver-side pure-Python — no Spark session needed, so hypothesis can run
+hundreds of examples in milliseconds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tidb_lightning_spark.sources.sqldump_source import (
+    parse_insert_statements,
+    split_sql_file,
+)
+
+# MySQL mysqldump-style escaping for string literals: backslash-escape the
+# control set, single-quote the rest verbatim.
+_ESCAPES = {
+    "\0": "\\0",
+    "\n": "\\n",
+    "\t": "\\t",
+    "\r": "\\r",
+    "\b": "\\b",
+    "\x1a": "\\Z",
+    "'": "\\'",
+    "\\": "\\\\",
+}
+
+
+def mysql_quote(s: str) -> str:
+    return "'" + "".join(_ESCAPES.get(c, c) for c in s) + "'"
+
+
+text_values = st.text(
+    # printable ASCII + the escape-relevant controls + some unicode
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    max_size=40,
+)
+int_values = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+float_values = st.floats(
+    allow_nan=False, allow_infinity=False, width=64
+).map(lambda f: float(f"{f:.6g}"))
+cell = st.one_of(st.none(), int_values, float_values, text_values)
+rows_strategy = st.lists(
+    st.lists(cell, min_size=1, max_size=6), min_size=1, max_size=8
+).filter(lambda rows: len({len(r) for r in rows}) == 1)
+
+
+def render_insert(table: str, rows: list[list]) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return mysql_quote(v)
+        return repr(v)
+
+    vals = ",\n".join("(" + ",".join(lit(v) for v in r) + ")" for r in rows)
+    return f"INSERT INTO `{table}` VALUES\n{vals};\n"
+
+
+def expect_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return v
+    return repr(v)
+
+
+@settings(max_examples=300, deadline=None)
+@given(rows=rows_strategy)
+def test_insert_roundtrip(rows):
+    text = render_insert("t", rows)
+    stmts = list(parse_insert_statements(text))
+    assert len(stmts) == 1
+    got = stmts[0].rows
+    want = [[expect_cell(v) for v in r] for r in rows]
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(rows=rows_strategy, n_stmts=st.integers(min_value=1, max_value=4))
+def test_multi_statement_and_noise(rows, n_stmts):
+    """Interleaved comments/SET statements must be skipped; every INSERT
+    must surface with its rows in order."""
+    noise = (
+        "-- mysqldump noise\n/*!40101 SET NAMES utf8mb4 */;\n"
+        "SET @saved_cs_client = @@character_set_client;\n"
+    )
+    text = noise + noise.join(render_insert("t", rows) for _ in range(n_stmts))
+    stmts = list(parse_insert_statements(text))
+    assert len(stmts) == n_stmts
+    want = [[expect_cell(v) for v in r] for r in rows]
+    for s in stmts:
+        assert s.rows == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(rows=rows_strategy)
+def test_chunk_split_preserves_statements(rows):
+    """split_sql_file byte ranges must cover every statement exactly once
+    regardless of where the chunk boundary lands."""
+    import tempfile, os
+
+    text = "".join(render_insert("t", rows) for _ in range(6))
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".sql", delete=False, encoding="utf-8"
+    ) as f:
+        f.write(text)
+        path = f.name
+    try:
+        total_rows = 0
+        raw = open(path, "rb").read()
+        # small chunk size to force many split points
+        for start, end in split_sql_file(path, chunk_bytes=64):
+            piece = raw[start:end].decode("utf-8")
+            for s in parse_insert_statements(piece):
+                total_rows += len(s.rows)
+        assert total_rows == 6 * len(rows)
+    finally:
+        os.unlink(path)

@@ -182,6 +182,22 @@ class _Scanner:
             return _hex_to_str(w[2:])
         if u.startswith("0B") and set(w[2:]) <= {"0", "1"}:
             return _bits_to_str(w[2:])
+        if (
+            (u[-1:] == "E" and u[:-1].replace(".", "", 1).isdigit())
+            and self.peek() in "+-"
+        ):
+            # scientific notation with a signed exponent ('1e+16',
+            # '1.5E-07'): word() stops at the sign — MySQL emits these for
+            # DOUBLE columns, and the reference's lexer accepts them
+            # (mydump/parser.go number token includes [eE][+-]?digits)
+            sign = self.text[self.pos]
+            self.pos += 1
+            exp = self.word()
+            if not exp.isdigit():
+                raise SQLDumpError(
+                    f"bad exponent after {w!r} at offset {self.pos}"
+                )
+            return w + sign + exp
         if ch in "+-":
             # sign came through word()? word() doesn't consume signs
             pass
