@@ -272,3 +272,61 @@ def test_audio_stub_path_and_strict_raises(spark, media_df):
     assert all(r["mime"] == "audio/stub" and r["sample_rate"] >= 8000 for r in out)
     with pytest.raises(Exception, match="NotImplementedError|librosa"):
         audio_metadata(media_df, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# Property-based codec round-trips (hypothesis; pure python, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from hypothesis.extra import numpy as hnp  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    arr=hnp.arrays(
+        dtype="uint8",
+        shape=st.tuples(
+            st.integers(1, 12), st.integers(1, 12), st.sampled_from([1, 2, 3, 4])
+        ),
+    )
+)
+def test_png_roundtrip_property(arr):
+    from tidb_lightning_spark.functions import png
+
+    import numpy as np
+
+    data = png.encode_png(arr)
+    assert png.is_png(data)
+    w, h, depth, _color = png.png_info(data)
+    assert (h, w) == arr.shape[:2] and depth == 8
+    assert np.array_equal(png.decode_png(data), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=hnp.arrays(
+        dtype="float32",
+        shape=st.tuples(st.integers(1, 500), st.sampled_from([1, 2])),
+        elements=st.floats(-1.0, 1.0, width=32),
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    import numpy as np
+
+    from tidb_lightning_spark.functions import wav
+
+    data = wav.encode_wav(samples, rate)
+    assert wav.is_wav(data)
+    got_rate, ch, bits, frames, _ = wav.wav_info(data)
+    assert (got_rate, ch, bits, frames) == (
+        rate, samples.shape[1], 16, samples.shape[0],
+    )
+    decoded, _ = wav.decode_wav(data)
+    assert decoded.shape == samples.shape
+    # 16-bit quantization error bound: half a step, plus clipping at +1.0
+    assert np.max(np.abs(decoded - np.clip(samples, -1, 32767 / 32768))) <= (
+        0.5 / 32768 + 1e-7
+    )

@@ -104,7 +104,14 @@ def encode_wav(samples, rate: int) -> bytes:
     samples = np.asarray(samples, dtype=np.float32)
     if samples.ndim == 1:
         samples = samples[:, None]
-    pcm = np.clip(samples * 32767.0, -32768, 32767).astype("<i2").tobytes()
+    # round (not truncate) and use the same 1/32768 step the decoder
+    # divides by, so a decode->encode->decode cycle is lossless and the
+    # quantization error is bounded by half a step
+    pcm = (
+        np.clip(np.rint(samples * 32768.0), -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
     channels = samples.shape[1]
     block_align = channels * 2
     hdr = (
