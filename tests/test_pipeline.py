@@ -518,3 +518,96 @@ def test_ctl_compact_coalesces_files(spark, tmp_path):
     # sorted output: the single file is PK-ordered
     assert got == sorted(got)
     assert os.path.exists(f"{target}/c/t/_tls_meta.json")
+
+
+def test_ctl_import_engine_completes_dangling_commit(spark, tmp_path):
+    """A crash BETWEEN the engine's staging write and its rename-into-table
+    leaves a closed-but-unimported engine; `ctl --import-engine` finishes
+    the commit without re-running Spark, and a subsequent resume run skips
+    it (reference dangling-engine import, tidb-lightning-ctl)."""
+    import shutil as _sh
+
+    from tidb_lightning_spark.cli import main as cli_main
+    from tidb_lightning_spark.checkpoints import CheckpointStore
+    from tidb_lightning_spark.sinks.files_sink import ENGINE_MANIFEST, FilesSink
+
+    d = str(tmp_path / "dump_dang")
+    os.makedirs(d, exist_ok=True)
+    write(f"{d}/e-schema-create.sql", "CREATE DATABASE e;")
+    write(
+        f"{d}/e.t-schema.sql",
+        "CREATE TABLE t (a INT, b VARCHAR(20), PRIMARY KEY (a));",
+    )
+    for i in range(3):
+        rows = "\n".join(f"{i * 1000 + j},v{i * 1000 + j}" for j in range(200))
+        write(f"{d}/e.t.{i:03d}.csv", "a,b\n" + rows + "\n")
+    sizes = [os.path.getsize(f"{d}/e.t.{i:03d}.csv") for i in range(3)]
+    target = str(tmp_path / "wh_dang")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target,
+        checksum="off", engine_bytes=max(sizes) + 10,
+    )
+
+    # failpoint: engine 1's staging write completes (manifest in place) but
+    # the process dies before the rename loop
+    orig = FilesSink.write_engine
+    state = {}
+
+    def crashing(self, df, db, table, engine, **kw):
+        if engine != 1:
+            return orig(self, df, db, table, engine, **kw)
+        final = self.table_path(db, table)
+        staging = final + "._engine1_deadbeef"
+        kw_inner = dict(kw)
+        df.write.mode("overwrite").parquet(staging)
+        import json as _json
+
+        with open(os.path.join(staging, ENGINE_MANIFEST), "w") as f:
+            _json.dump(
+                {**kw_inner["manifest"], "db": db, "table": table,
+                 "engine": engine}, f,
+            )
+        state["staging"] = staging
+        raise RuntimeError("failpoint: died before engine Import")
+
+    FilesSink.write_engine = crashing
+    try:
+        rep1 = Restorer(spark, cfg).run()
+    finally:
+        FilesSink.write_engine = orig
+    assert not rep1.ok and "failpoint" in rep1.tables[0].error
+    assert os.path.isdir(state["staging"])
+
+    # ctl completes the dangling engine
+    rc = cli_main(["ctl", "--target", target, "--import-engine", "e.t"])
+    assert rc == 0
+    assert not os.path.exists(state["staging"])
+    tbl_dir = os.path.join(target, "e", "t")
+    assert any(f.startswith("engine0001-") for f in os.listdir(tbl_dir))
+    rec = CheckpointStore(
+        os.path.join(target, "_tls_checkpoints.json")
+    ).get("e", "t")
+    assert rec["engines"]["1"]["signature"]
+
+    # resume run: engines 0 and 2 rewritten (their commit never happened),
+    # engine 1 skipped because ctl recorded it
+    calls = {"engines": []}
+
+    def counting(self, df, db, table, engine, **kw):
+        calls["engines"].append(engine)
+        return orig(self, df, db, table, engine, **kw)
+
+    FilesSink.write_engine = counting
+    try:
+        rep2 = Restorer(spark, cfg).run()
+    finally:
+        FilesSink.write_engine = orig
+    assert rep2.ok, [t.error for t in rep2.tables]
+    assert 1 not in calls["engines"]
+    got = sorted(
+        r["a"] for r in spark.read.parquet(tbl_dir).collect()
+    )
+    assert got == list(range(0, 200)) + list(range(1000, 1200)) + list(
+        range(2000, 2200)
+    )
+    _sh.rmtree(target, ignore_errors=True)

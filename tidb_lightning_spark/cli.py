@@ -40,6 +40,18 @@ def main(argv: list[str] | None = None) -> int:
              "imported) tables so the next run restarts them clean "
              "(reference --checkpoint-error-destroy)",
     )
+    ctl.add_argument(
+        "--checkpoint-error-ignore", metavar="DB.TBL or 'all'",
+        help="accept a checksum-failed table as-is: lift its downgraded "
+             "checkpoint back to 'imported' so resume stops re-verifying "
+             "(reference --checkpoint-error-ignore)",
+    )
+    ctl.add_argument(
+        "--import-engine", metavar="DB.TBL or 'all'",
+        help="finish dangling closed engines: staging dirs whose data "
+             "files were fully written but whose rename-into-table commit "
+             "was interrupted (reference --import-engine by UUID)",
+    )
     ctl.add_argument("--pause", action="store_true",
                      help="pause a running import at the next commit unit")
     ctl.add_argument("--resume", action="store_true",
@@ -200,6 +212,46 @@ def _ctl(args) -> int:
             destroyed += 1
             print(f"destroyed `{db}`.`{tbl}`")
         print(f"destroyed {destroyed} table(s)")
+        return 0
+    if args.checkpoint_error_ignore:
+        from tidb_lightning_spark.checkpoints import STATUS
+
+        sel = args.checkpoint_error_ignore
+        lifted = 0
+        for key, rec in list(store.dump()["tables"].items()):
+            db, tbl = key.strip("`").split("`.`")
+            if sel != "all" and f"{db}.{tbl}" != sel:
+                continue
+            # 'closed' is the post-import downgrade a required-checksum
+            # failure leaves behind; error-ignore accepts the data as-is
+            if rec.get("status", 0) == STATUS["closed"]:
+                store.update(db, tbl, "imported")
+                lifted += 1
+                print(f"ignored error on `{db}`.`{tbl}` (now imported)")
+        print(f"ignored {lifted} error(s)")
+        return 0
+    if args.import_engine:
+        from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+        sel = args.import_engine
+        sink = FilesSink(args.target)
+        imported = 0
+        for m in sink.find_dangling_engines():
+            if sel != "all" and f"{m['db']}.{m['table']}" != sel:
+                continue
+            n = sink.import_dangling_engine(m)
+            store.engine_update(
+                m["db"], m["table"], int(m["engine"]), "imported",
+                signature=m.get("signature"),
+                rowid_base=m.get("rowid_base"),
+                bytes=m.get("bytes"), files=m.get("files"),
+            )
+            imported += 1
+            print(
+                f"imported engine {m['engine']} of "
+                f"`{m['db']}`.`{m['table']}` ({n} files)"
+            )
+        print(f"imported {imported} dangling engine(s)")
         return 0
     if args.compact:
         import json as _json

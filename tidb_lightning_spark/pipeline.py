@@ -414,6 +414,11 @@ class Restorer:
                         df_w, tbl.db, tbl.name, k,
                         sort_columns=sort_cols, source_bytes=ebytes,
                         observation=obs, observe_aggs=aggs,
+                        manifest={
+                            "signature": esig, "rowid_base": ebase,
+                            "bytes": ebytes,
+                            "files": [f.path for f in efiles],
+                        },
                     )
                     ecks_field = {}
                     if want_cks:

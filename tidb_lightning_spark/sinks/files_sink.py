@@ -31,6 +31,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 TARGET_FILE_BYTES = 96 * 1024 * 1024  # reference target region size
+ENGINE_MANIFEST = "_tls_engine.json"  # closed-engine marker inside staging
 
 
 @dataclass
@@ -158,6 +159,52 @@ class FilesSink:
             if f.startswith(prefix):
                 os.remove(os.path.join(final, f))
 
+    def find_dangling_engines(self) -> list[dict]:
+        """Closed-but-unimported engines: staging dirs whose parquet write
+        finished (`_SUCCESS` + manifest present) but whose rename-into-
+        table Import step was interrupted."""
+        found = []
+        if not os.path.isdir(self.warehouse):
+            return found
+        for db in os.listdir(self.warehouse):
+            dbdir = os.path.join(self.warehouse, db)
+            if not os.path.isdir(dbdir):
+                continue
+            for name in os.listdir(dbdir):
+                staging = os.path.join(dbdir, name)
+                if "._engine" not in name or not os.path.isdir(staging):
+                    continue
+                mpath = os.path.join(staging, ENGINE_MANIFEST)
+                if os.path.exists(mpath) and os.path.exists(
+                    os.path.join(staging, "_SUCCESS")
+                ):
+                    m = json.load(open(mpath))
+                    m["_staging"] = staging
+                    found.append(m)
+        return found
+
+    def import_dangling_engine(self, manifest: dict) -> int:
+        """Finish a dangling engine's Import step: idempotently move its
+        data files into the table under the engine prefix. Returns the
+        file count."""
+        staging = manifest["_staging"]
+        db, table, engine = (
+            manifest["db"], manifest["table"], int(manifest["engine"]),
+        )
+        final = self.table_path(db, table)
+        os.makedirs(final, exist_ok=True)
+        self.clear_engine_files(db, table, engine)
+        n = 0
+        for f in sorted(os.listdir(staging)):
+            if f.endswith((".parquet", ".orc")):
+                os.replace(
+                    os.path.join(staging, f),
+                    os.path.join(final, f"engine{engine:04d}-{f}"),
+                )
+                n += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return n
+
     def write_engine(
         self,
         df: DataFrame,
@@ -168,6 +215,7 @@ class FilesSink:
         source_bytes: int = 0,
         observation=None,
         observe_aggs: list | None = None,
+        manifest: dict | None = None,
     ) -> CommitResult:
         """One engine (a file group of a table) written and committed
         independently — the incremental commit unit that makes resume
@@ -203,6 +251,17 @@ class FilesSink:
         if observation is not None:
             out = out.observe(observation, *observe_aggs)
         out.write.mode("overwrite").format(self.fmt).save(staging)
+        if manifest is not None:
+            # closed-engine manifest: written AFTER the data files, so a
+            # staging dir holding one is a fully-written ("closed") engine
+            # whose Import step didn't finish — `ctl --import-engine`
+            # completes it (reference dangling-engine import,
+            # cmd/tidb-lightning-ctl/main.go:44-96)
+            with open(os.path.join(staging, ENGINE_MANIFEST), "w") as f:
+                json.dump(
+                    {**manifest, "db": db, "table": table, "engine": engine},
+                    f,
+                )
 
         os.makedirs(final, exist_ok=True)
         self.clear_engine_files(db, table, engine)
