@@ -36,6 +36,26 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+BPE_PRETOKEN_RE = (
+    # GPT-2-style pre-tokenizer shape (public tokenizer regex family):
+    # word | number run | punctuation run. This is the unit count a BPE
+    # tokenizer's merge pass starts from — a far better LLM-token estimate
+    # than whitespace splitting, and still a single JVM-side regexp (no
+    # UDF). Whitespace is spelled as an explicit class because Java's \s
+    # includes \x0B while RE2's (DuckDB) does not.
+    r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\x0b]+"
+)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Pre-token count under a BPE-style lexer: words, digit runs and
+    punctuation runs each count separately (whitespace only separates)."""
+    stripped = F.regexp_replace(col, BPE_PRETOKEN_RE, "")
+    counted = F.regexp_replace(col, BPE_PRETOKEN_RE, "\x00")
+    # number of matches = length delta of a sentinel substitution
+    return (F.length(counted) - F.length(stripped)).cast("int")
+
+
 def hash60(col: Column) -> Column:
     """60-bit md5-derived hash (cross-engine reproducible)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
@@ -95,6 +115,15 @@ SQL_TOKENS = (
 
 def sql_token_count(col: str) -> str:
     return f"len({SQL_TOKENS.format(col=col)})"
+
+
+def sql_bpe_token_count(col: str) -> str:
+    # same match-count-by-length-delta trick as the Spark side; the regex
+    # is RE2/Java-identical (explicit whitespace class, see BPE_PRETOKEN_RE)
+    return (
+        f"CAST(length(regexp_replace({col}, '{BPE_PRETOKEN_RE}', '#', 'g')) "
+        f"- length(regexp_replace({col}, '{BPE_PRETOKEN_RE}', '', 'g')) AS INT)"
+    )
 
 
 def sql_hash60(col: str) -> str:

@@ -504,14 +504,16 @@ from tidb_lightning_spark.functions import text as TX  # noqa: E402
            {TX.sql_lang_id('text')} AS lang_pred,
            {TX.sql_quality_score('text')} AS quality,
            {TX.sql_token_count('text')} AS n_tokens,
+           {TX.sql_bpe_token_count('text')} AS n_bpe_tokens,
            {TX.sql_fingerprint('text')} AS fingerprint
     FROM documents
     """,
 )
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID (stopword profiles), quality score, token count and
-    canonical fingerprint in ONE scan — all Catalyst expressions, so the
-    whole operator is a single codegen stage with no shuffle."""
+    """Language-ID (stopword profiles), quality score, whitespace and
+    BPE-pre-tokenizer token counts, and canonical fingerprint in ONE scan
+    — all Catalyst expressions, so the whole operator is a single codegen
+    stage with no shuffle."""
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
@@ -519,6 +521,7 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.lang_id(t).alias("lang_pred"),
         TX.quality_score(t).alias("quality"),
         TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
         TX.fingerprint(t).alias("fingerprint"),
     )
 
