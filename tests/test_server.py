@@ -245,3 +245,11 @@ def test_server_runs_real_import(spark, tmp_path):
         srv.shutdown()
         queue.shutdown()
         srv.server_close()
+
+
+def test_web_progress_page(server):
+    base = server[0]
+    status, body = _req(base, "/")
+    assert status == 200
+    assert "spark-lightning import progress" in body
+    assert "/progress/task" in body  # polls the JSON endpoints

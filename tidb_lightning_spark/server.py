@@ -147,6 +147,49 @@ def pipeline_runner(tid: int, cfg_dict: dict) -> dict:
     }
 
 
+# minimal progress page (reference lightning/web: task progress dashboard).
+# Static HTML + fetch polling — no build step, no assets, works with curl'd
+# endpoints only.
+_WEB_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>spark-lightning</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:44rem}
+ .bar{background:#eee;border-radius:4px;height:1.4rem;overflow:hidden}
+ .fill{background:#4a90d9;height:100%;width:0%;transition:width .5s}
+ table{border-collapse:collapse;margin-top:1rem;width:100%}
+ td,th{border:1px solid #ddd;padding:.3rem .6rem;text-align:left;
+       font-size:.9rem}
+ #err{color:#b00}
+</style></head><body>
+<h2>spark-lightning import progress</h2>
+<div class="bar"><div class="fill" id="fill"></div></div>
+<p id="line">loading&hellip;</p><p id="err"></p>
+<table id="tbl"></table>
+<script>
+async function tick(){
+  try{
+    const p = await (await fetch('/progress/task')).json();
+    const t = await (await fetch('/tasks')).json();
+    const pct = p.bytes_total ? (100*p.bytes_done/p.bytes_total) : 0;
+    document.getElementById('fill').style.width = pct.toFixed(1)+'%';
+    document.getElementById('line').textContent =
+      `${p.status??'idle'} — ${p.tables_done??0}/${p.tables_total??0} tables, `+
+      `${((p.bytes_done??0)/1048576).toFixed(1)}/`+
+      `${((p.bytes_total??0)/1048576).toFixed(1)} MiB (${pct.toFixed(0)}%), `+
+      `${p.speed_mib_s??0} MiB/s, ETA ${p.eta_s??'-'} s`+
+      (p.current ? `, importing ${p.current}` : '');
+    document.getElementById('tbl').innerHTML =
+      '<tr><th>queue</th></tr>'+
+      `<tr><td>current: ${t.current??'-'} | queued: `+
+      `${(t.queue||[]).join(', ')||'-'}</td></tr>`;
+    document.getElementById('err').textContent='';
+  }catch(e){document.getElementById('err').textContent='poll failed: '+e;}
+}
+tick(); setInterval(tick, 2000);
+</script></body></html>
+"""
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "tls-status/1"
     queue: TaskQueue  # set on the server class
@@ -208,6 +251,13 @@ class _Handler(BaseHTTPRequestHandler):
         elif url.path == "/loglevel":
             lvl = logging.getLevelName(logging.getLogger().getEffectiveLevel())
             self._json(200, {"level": lvl.lower()})
+        elif url.path in ("/", "/web", "/web/"):
+            body = _WEB_PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._error(404, "not found")
 
