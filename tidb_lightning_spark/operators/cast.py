@@ -46,6 +46,47 @@ _INT_BOUNDS = {
 }
 
 
+# MySQL LOAD DATA control escapes (reference mydump/parser.go:272-302:
+# \\0 \\b \\n \\r \\t \\Z -> control char). The CSV lexer (univocity)
+# already consumes the field-boundary escapes \\" and \\\\; the control
+# sequences pass through as two literal chars and are restored here as part
+# of the cast of string-family TARGET columns (numeric/temporal targets
+# cannot legally hold control escapes, so fact-table hot paths pay nothing).
+#
+# Documented divergence vs the reference's one-pass lexer: data containing
+# a LITERAL backslash immediately followed by one of 0bnrtZ (written \\\\n
+# etc. in the file) is post-lexer indistinguishable from the escape
+# sequence and round-trips as the control char; \\N / \\<other-letter> keep
+# their backslash. Everything else is exact (tests/test_csv_fuzz.py).
+MYSQL_CONTROL_UNESCAPES = [
+    ("\\0", "\x00"),
+    ("\\b", "\b"),
+    ("\\n", "\n"),
+    ("\\r", "\r"),
+    ("\\t", "\t"),
+    ("\\Z", "\x1a"),
+]
+
+STRING_FAMILY_BASES = {
+    "char", "varchar", "text", "tinytext", "mediumtext", "longtext",
+    "enum", "set", "json", "blob", "tinyblob", "mediumblob", "longblob",
+    "binary", "varbinary",
+}
+
+
+def mysql_unescape_expr(col: Column) -> Column:
+    """Chained regexp_replace (codegen-capable — F.replace/StringReplace
+    falls back to interpreted eval and poisons whole-stage codegen for the
+    entire projection), guarded by one contains() so rows without a
+    backslash — essentially all real data — skip the chain."""
+    import re as _re
+
+    u = col
+    for pat, rep in MYSQL_CONTROL_UNESCAPES:
+        u = F.regexp_replace(u, _re.escape(pat), rep)
+    return F.when(col.contains("\\"), u).otherwise(col)
+
+
 def _dec_lit(v: int) -> Column:
     return F.lit(str(v)).cast("decimal(38,9)")
 

@@ -126,13 +126,20 @@ def cast_columns(
     info: TableInfo,
     strict: bool = False,
     binary_encoding: str = "UTF-8",
+    unescape_cols: set[str] | None = None,
 ) -> DataFrame:
+    from tidb_lightning_spark.operators.cast import mysql_unescape_expr
+
     cols: list[Column] = []
     errs: list[Column] = []
     for c in info.columns:
         if c.generated_expr is not None:
             continue  # computed later, never read from file
         raw = F.col(c.name)
+        if unescape_cols and c.name.lower() in unescape_cols:
+            # CSV-source MySQL control escapes, restored inside the cast
+            # expression so the chain appears exactly once in the plan
+            raw = mysql_unescape_expr(raw)
         casted = cast_column(raw, c, binary_encoding)
         cols.append(casted.alias(c.name))
         if strict:
@@ -263,6 +270,7 @@ def transform_table(
     binary_encoding: str = "UTF-8",
     rowid_base: int = 0,
     keep_rowid: bool | None = None,
+    unescape_cols: set[str] | None = None,
 ) -> DataFrame:
     present = (
         {c.lower() for c in file_columns}
@@ -274,7 +282,10 @@ def transform_table(
     )
     out = permute_columns(df, info, file_columns)
     out = assign_row_ids(out, rowid_base, dense=needs_dense)
-    out = cast_columns(out, info, strict=strict, binary_encoding=binary_encoding)
+    out = cast_columns(
+        out, info, strict=strict, binary_encoding=binary_encoding,
+        unescape_cols=unescape_cols,
+    )
     out = fill_defaults(out, info, present, pinned_timestamp)
     out = eval_generated_columns(out, info)
     return finalize(out, info, keep_rowid=keep_rowid)

@@ -691,6 +691,20 @@ class Restorer:
                     strict=self.cfg.strict_sql_mode,
                 )
                 file_cols = list(header) if header else None
+                # MySQL \n/\t/... escapes survive the CSV lexer as two
+                # chars; restore them inside the cast of string-family
+                # target columns (cast.mysql_unescape_expr rationale)
+                esc_cols = None
+                if self.cfg.csv.delimiter and self.cfg.csv.backslash_escape:
+                    from tidb_lightning_spark.operators.cast import (
+                        STRING_FAMILY_BASES,
+                    )
+
+                    esc_cols = {
+                        c.name.lower()
+                        for c in info.columns
+                        if c.mysql.base in STRING_FAMILY_BASES
+                    }
                 group_bytes = sum(
                     f.file_size for f in csv_files if f.path in set(paths)
                 )
@@ -703,6 +717,7 @@ class Restorer:
                         strict=self.cfg.strict_sql_mode,
                         rowid_base=rowid_base,
                         keep_rowid=keep_rowid,
+                        unescape_cols=esc_cols,
                     )
                 )
                 # next group's ids start beyond this group's upper bound
