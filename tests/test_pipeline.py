@@ -611,3 +611,47 @@ def test_ctl_import_engine_completes_dangling_commit(spark, tmp_path):
         range(2000, 2200)
     )
     _sh.rmtree(target, ignore_errors=True)
+
+
+def test_sqlite_checkpoint_driver_and_ctl_autodetect(spark, tmp_path):
+    """checkpoint.driver=sqlite: same resume semantics through the
+    transactional store; ctl auto-detects the sqlite flavor; two store
+    handles see each other's committed state (the concurrent-access
+    property the JSON driver lacks)."""
+    from tidb_lightning_spark.checkpoints import (
+        SQLiteCheckpointStore,
+        open_checkpoint_store,
+    )
+    from tidb_lightning_spark.cli import main as cli_main
+
+    d = str(tmp_path / "dump_sq")
+    os.makedirs(d, exist_ok=True)
+    write(f"{d}/s-schema-create.sql", "CREATE DATABASE s;")
+    write(f"{d}/s.t-schema.sql", "CREATE TABLE t (a INT PRIMARY KEY, b VARCHAR(10));")
+    write(f"{d}/s.t.csv", "a,b\n1,x\n2,y\n3,z\n")
+    target = str(tmp_path / "wh_sq")
+
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, checksum="required",
+    )
+    cfg.checkpoint_driver = "sqlite"
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    assert os.path.exists(os.path.join(target, "_tls_checkpoints.sqlite"))
+    assert not os.path.exists(os.path.join(target, "_tls_checkpoints.json"))
+
+    # a second run skips (resume semantics intact through sqlite)
+    rep2 = Restorer(spark, cfg).run()
+    assert rep2.ok and rep2.tables[0].status == "skipped"
+
+    # two independent handles observe each other's writes immediately
+    a = open_checkpoint_store(target, driver="auto")
+    b = open_checkpoint_store(target, driver="auto")
+    assert isinstance(a, SQLiteCheckpointStore)
+    a.update("s", "t2", "loaded", signature="sig-x")
+    assert b.get("s", "t2")["status_name"] == "loaded"
+
+    # ctl sees the sqlite store without being told the driver
+    rc = cli_main(["ctl", "--target", target, "--checkpoint-remove", "s.t2"])
+    assert rc == 0
+    assert a.get("s", "t2") == {}

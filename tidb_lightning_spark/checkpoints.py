@@ -136,3 +136,124 @@ class CheckpointStore:
 
     def dump(self) -> dict:
         return self._data
+
+
+class SQLiteCheckpointStore(CheckpointStore):
+    """Database-backed checkpoint driver (reference's MySQL driver analog,
+    checkpoints.go:69-175 DDL templates; ours is stdlib sqlite3).
+
+    Same API and record shape as the JSON driver, but every operation is
+    its own transaction against the DB file, so concurrent processes —
+    a server-mode import and a `ctl` inspection, or two imports into the
+    same warehouse — see consistent state instead of clobbering a shared
+    JSON file. WAL mode keeps readers unblocked during updates."""
+
+    def __init__(self, path: str, enabled: bool = True):
+        self.path = path
+        self.enabled = enabled
+        if enabled:
+            with self._conn() as con:
+                con.execute(
+                    "CREATE TABLE IF NOT EXISTS checkpoints ("
+                    " key TEXT PRIMARY KEY, rec TEXT NOT NULL)"
+                )
+
+    def _conn(self):
+        import sqlite3
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        con = sqlite3.connect(self.path, timeout=30.0)
+        con.execute("PRAGMA journal_mode=WAL")
+        return con
+
+    # -- storage primitives (everything else inherits) ------------------
+    def get(self, db: str, table: str) -> dict:
+        if not self.enabled:
+            return {}
+        with self._conn() as con:
+            row = con.execute(
+                "SELECT rec FROM checkpoints WHERE key = ?",
+                (self.table_key(db, table),),
+            ).fetchone()
+        return json.loads(row[0]) if row else {}
+
+    def _put(self, key: str, rec: dict) -> None:
+        with self._conn() as con:
+            con.execute(
+                "INSERT INTO checkpoints (key, rec) VALUES (?, ?) "
+                "ON CONFLICT(key) DO UPDATE SET rec = excluded.rec",
+                (key, json.dumps(rec)),
+            )
+
+    def update(self, db: str, table: str, status: str, **fields) -> None:
+        if not self.enabled:
+            return
+        rec = self.get(db, table)
+        rec["status"] = STATUS[status]
+        rec["status_name"] = status
+        rec["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        rec.update(fields)
+        self._put(self.table_key(db, table), rec)
+
+    def engine_update(
+        self, db: str, table: str, engine: int, status: str, **fields
+    ) -> None:
+        if not self.enabled:
+            return
+        rec = self.get(db, table)
+        e = rec.setdefault("engines", {}).setdefault(str(engine), {})
+        e["status"] = status
+        e["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        e.update(fields)
+        self._put(self.table_key(db, table), rec)
+
+    def clear_engines(self, db: str, table: str) -> None:
+        if not self.enabled:
+            return
+        rec = self.get(db, table)
+        if rec.pop("engines", None) is not None:
+            self._put(self.table_key(db, table), rec)
+
+    def remove(self, db: str | None = None, table: str | None = None) -> int:
+        if not self.enabled:
+            return 0
+        with self._conn() as con:
+            if db is None:
+                n = con.execute("SELECT count(*) FROM checkpoints").fetchone()[0]
+                con.execute("DELETE FROM checkpoints")
+            else:
+                cur = con.execute(
+                    "DELETE FROM checkpoints WHERE key = ?",
+                    (self.table_key(db, table),),
+                )
+                n = cur.rowcount
+        return n
+
+    def dump(self) -> dict:
+        if not self.enabled:
+            return {"version": 1, "tables": {}}
+        with self._conn() as con:
+            rows = con.execute("SELECT key, rec FROM checkpoints").fetchall()
+        return {
+            "version": 1,
+            "tables": {k: json.loads(r) for k, r in rows},
+        }
+
+
+def open_checkpoint_store(
+    target_dir: str, driver: str = "file", enabled: bool = True
+) -> CheckpointStore:
+    """Driver dispatch mirroring the reference's checkpoint.driver config
+    (file / mysql -> here: file / sqlite). Auto-detects an existing store
+    of either flavor so `ctl` works regardless of how the import ran."""
+    jpath = os.path.join(target_dir, "_tls_checkpoints.json")
+    spath = os.path.join(target_dir, "_tls_checkpoints.sqlite")
+    if driver == "auto":
+        driver = "sqlite" if (
+            os.path.exists(spath) and not os.path.exists(jpath)
+        ) else "file"
+    if driver == "sqlite":
+        return SQLiteCheckpointStore(spath, enabled=enabled)
+    if driver == "file":
+        return CheckpointStore(jpath, enabled=enabled)
+    raise ValueError(f"unknown checkpoint driver {driver!r} (file|sqlite|auto)")

@@ -177,9 +177,9 @@ def _sql(args) -> int:
 
 
 def _ctl(args) -> int:
-    from tidb_lightning_spark.checkpoints import CheckpointStore
+    from tidb_lightning_spark.checkpoints import open_checkpoint_store
 
-    store = CheckpointStore(os.path.join(args.target, "_tls_checkpoints.json"))
+    store = open_checkpoint_store(args.target, driver="auto")
     if args.checkpoint_dump:
         print(json.dumps(store.dump(), indent=2))
         return 0

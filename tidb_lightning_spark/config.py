@@ -31,6 +31,10 @@ class Config:
     character_set: str = "utf-8"
     strict_sql_mode: bool = False
     checkpoint_enable: bool = True
+    # file (JSON, single-process) | sqlite (transactional, safe under
+    # concurrent server-mode/ctl access) — reference checkpoint.driver
+    # file/mysql analog
+    checkpoint_driver: str = "file"
     checksum: str = "required"  # off | optional | required
     analyze: str = "optional"
     jdbc_url: str = ""
@@ -85,6 +89,9 @@ class Config:
         cfg.engine_bytes = _size(my.get("batch-size", cfg.engine_bytes))
         cp = raw.get("checkpoint", {})
         cfg.checkpoint_enable = cp.get("enable", True)
+        cfg.checkpoint_driver = cp.get("driver", cfg.checkpoint_driver)
+        if cfg.checkpoint_driver == "mysql":  # reference name -> our analog
+            cfg.checkpoint_driver = "sqlite"
         post = raw.get("post-restore", {})
         cfg.checksum = _tristate(post.get("checksum", "required"))
         cfg.analyze = _tristate(post.get("analyze", "optional"))

@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tidb_lightning_spark.checkpoints import CheckpointStore
+from tidb_lightning_spark.checkpoints import open_checkpoint_store
 from tidb_lightning_spark.config import Config
 from tidb_lightning_spark.functions.checksum import Checksum, checksum
 from tidb_lightning_spark.operators.transform import ERR_COL, transform_table
@@ -160,8 +160,9 @@ class Restorer:
         self.spark = spark
         self.cfg = cfg
         self.sink = FilesSink(cfg.target_dir, fmt=cfg.output_format)
-        self.checkpoints = CheckpointStore(
-            os.path.join(cfg.target_dir, "_tls_checkpoints.json"),
+        self.checkpoints = open_checkpoint_store(
+            cfg.target_dir,
+            driver=cfg.checkpoint_driver,
             enabled=cfg.checkpoint_enable,
         )
         # pinned timestamp for CURRENT_TIMESTAMP defaults (determinism —

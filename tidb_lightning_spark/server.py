@@ -265,10 +265,10 @@ class _Handler(BaseHTTPRequestHandler):
         t = self.server.target_dir  # type: ignore[attr-defined]
         if not t:
             return self._error(404, "no target dir configured")
-        path = os.path.join(t, "_tls_checkpoints.json")
         try:
-            with open(path, encoding="utf-8") as f:
-                cps = json.load(f)
+            from tidb_lightning_spark.checkpoints import open_checkpoint_store
+
+            cps = open_checkpoint_store(t, driver="auto").dump()
         except (OSError, ValueError):
             cps = {}
         tables = cps.get("tables", cps)
