@@ -261,6 +261,65 @@ def finalize(df: DataFrame, info: TableInfo, keep_rowid: bool | None = None) -> 
     return df.select(*names)
 
 
+def transform_parquet_table(
+    df: DataFrame,
+    info: TableInfo,
+    pinned_timestamp: str,
+    strict: bool = False,
+    keep_rowid: bool | None = None,
+) -> DataFrame:
+    """Typed-source (parquet) transform chain.
+
+    The reference routes parquet rows through the SAME encode path as every
+    other parser — CastValue, defaults, auto-id fill, generated columns
+    (sql2kv.go:282-386; e2e tests/checkpoint_parquet) — so this applies the
+    identical stages as `transform_table` minus the string-coercion layer:
+    parquet arrives typed, so the cast is a plain Catalyst cast where the
+    declared type differs (a no-op select otherwise), while defaults
+    (pinned CURRENT_TIMESTAMP), auto-increment/auto-random fill, NOT NULL
+    backstops, stored/virtual generated columns and strict-mode violation
+    flags run exactly as on the CSV/SQL-dump paths.
+
+    Expects ROWID_COL to already be present when the table needs row ids
+    (the pipeline assigns footer-based resume-stable ids before calling).
+    """
+    lower_cols = {c.lower() for c in df.columns}
+    present = {
+        c.name.lower() for c in info.columns if c.name.lower() in lower_cols
+    }
+    selected: list[Column] = []
+    errs: list[Column] = []
+    for c in info.columns:
+        if c.generated_expr is not None:
+            continue  # computed below, never read from file
+        if c.name.lower() in present:
+            raw = F.col(c.name)
+            casted = raw.cast(c.mysql.spark_type())
+            if strict:
+                # typed input: the only lossy outcomes are a cast that
+                # nulls a non-null value and NULL into NOT NULL with no
+                # default/auto fill (string-junk coercions can't happen)
+                flag = raw.isNotNull() & casted.isNull()
+                if not c.nullable and not (
+                    c.auto_increment or c.auto_random_bits or c.has_default
+                ):
+                    flag = flag | raw.isNull()
+                errs.append(
+                    F.when(flag, F.lit(c.name)).otherwise(F.lit(None))
+                )
+        else:
+            casted = F.lit(None).cast(c.mysql.spark_type())
+        selected.append(casted.alias(c.name))
+    passthrough = [F.col(ROWID_COL)] if ROWID_COL in df.columns else []
+    out_cols = [*selected, *passthrough]
+    if strict and errs:
+        out_cols.append(F.coalesce(*errs, F.lit(None)).alias(ERR_COL))
+    out = df.select(*out_cols)
+    out = fill_defaults(out, info, present, pinned_timestamp)
+    out = eval_generated_columns(out, info)
+    return finalize(out, info, keep_rowid=keep_rowid)
+
+
 def transform_table(
     df: DataFrame,
     info: TableInfo,

@@ -791,7 +791,17 @@ class Restorer:
 
         if parquet_files:
             df = read_table(self.spark, [f.path for f in parquet_files])
-            if keep_rowid:
+            # row ids are needed whenever they'd be kept in the output OR
+            # an auto-increment/auto-random column may need backfilling —
+            # the reference allocates chunk row-id ranges for parquet
+            # unconditionally (makeParquetFileRegion, region.go:290-315)
+            keep_final = (
+                info.has_auto_row_id() if keep_rowid is None else keep_rowid
+            )
+            needs_rowid = keep_final or any(
+                c.auto_increment or c.auto_random_bits for c in info.columns
+            )
+            if needs_rowid:
                 # resume-stable row ids (SURVEY §4 row-ID rule; reference
                 # makeParquetFileRegion, mydump/region.go:290-315): per-file
                 # bases from parquet FOOTER row counts (metadata-only read,
@@ -817,29 +827,31 @@ class Restorer:
                 decoded = F.url_decode(
                     F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
                 )
+                from tidb_lightning_spark.operators.transform import ROWID_COL
+
                 df = df.withColumn(
-                    "_pq_rowid",
+                    ROWID_COL,
                     mapping[F.regexp_replace(decoded, "^file:/+", "/")]
                     + F.col("_metadata.row_index")
                     + 1,
                 )
-            # parquet arrives typed: permute by name, cast only where the
-            # declared schema differs (parquet_parser.go conversions are
-            # native here) — one select, not a withColumn-per-column loop
-            pq = df.select(
-                *[
-                    (
-                        F.col(c.name) if c.name in df.columns else F.lit(None)
-                    ).cast(c.mysql.spark_type()).alias(c.name)
-                    for c in info.columns
-                ],
-                *([F.col("_pq_rowid")] if keep_rowid else []),
+            # full transform chain on the typed input: cast-where-differs,
+            # defaults (pinned ts), auto-id fill, gencols, strict flags —
+            # the reference runs parquet through the same encode path as
+            # every parser (sql2kv.go:282-386, tests/checkpoint_parquet)
+            from tidb_lightning_spark.operators.transform import (
+                transform_parquet_table,
             )
-            if keep_rowid:
-                from tidb_lightning_spark.operators.transform import ROWID_COL
 
-                pq = pq.withColumnRenamed("_pq_rowid", ROWID_COL)
-            parts.append(pq)
+            parts.append(
+                transform_parquet_table(
+                    df,
+                    info,
+                    self.pinned_ts,
+                    strict=self.cfg.strict_sql_mode,
+                    keep_rowid=keep_rowid,
+                )
+            )
 
         if not parts:
             return None, rowid_base
