@@ -185,34 +185,60 @@ class SQLiteCheckpointStore(CheckpointStore):
                 (key, json.dumps(rec)),
             )
 
+    def _rmw(self, key: str, mutate) -> None:
+        """Read-modify-write under ONE write transaction (BEGIN IMMEDIATE
+        takes the write lock before the read), so a concurrent server-mode
+        import and a ctl process cannot interleave get()/put() and lose
+        engine records. `mutate(rec) -> bool|None`: return False to skip
+        the write."""
+        with self._conn() as con:
+            con.execute("BEGIN IMMEDIATE")
+            row = con.execute(
+                "SELECT rec FROM checkpoints WHERE key = ?", (key,)
+            ).fetchone()
+            rec = json.loads(row[0]) if row else {}
+            if mutate(rec) is False:
+                return
+            con.execute(
+                "INSERT INTO checkpoints (key, rec) VALUES (?, ?) "
+                "ON CONFLICT(key) DO UPDATE SET rec = excluded.rec",
+                (key, json.dumps(rec)),
+            )
+
     def update(self, db: str, table: str, status: str, **fields) -> None:
         if not self.enabled:
             return
-        rec = self.get(db, table)
-        rec["status"] = STATUS[status]
-        rec["status_name"] = status
-        rec["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
-        rec.update(fields)
-        self._put(self.table_key(db, table), rec)
+
+        def mutate(rec):
+            rec["status"] = STATUS[status]
+            rec["status_name"] = status
+            rec["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            rec.update(fields)
+
+        self._rmw(self.table_key(db, table), mutate)
 
     def engine_update(
         self, db: str, table: str, engine: int, status: str, **fields
     ) -> None:
         if not self.enabled:
             return
-        rec = self.get(db, table)
-        e = rec.setdefault("engines", {}).setdefault(str(engine), {})
-        e["status"] = status
-        e["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
-        e.update(fields)
-        self._put(self.table_key(db, table), rec)
+
+        def mutate(rec):
+            e = rec.setdefault("engines", {}).setdefault(str(engine), {})
+            e["status"] = status
+            e["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            e.update(fields)
+
+        self._rmw(self.table_key(db, table), mutate)
 
     def clear_engines(self, db: str, table: str) -> None:
         if not self.enabled:
             return
-        rec = self.get(db, table)
-        if rec.pop("engines", None) is not None:
-            self._put(self.table_key(db, table), rec)
+
+        def mutate(rec):
+            return rec.pop("engines", None) is not None
+
+        self._rmw(self.table_key(db, table), mutate)
 
     def remove(self, db: str | None = None, table: str | None = None) -> int:
         if not self.enabled:

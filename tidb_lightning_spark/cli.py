@@ -27,6 +27,12 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--strict", action="store_true", default=None,
                      help="strict sql_mode (error on lossy casts)")
     run.add_argument("--checksum", choices=["off", "optional", "required"])
+    run.add_argument("--backend",
+                     choices=["local", "tidb", "jdbc"],
+                     help="local = files warehouse; tidb/jdbc = live "
+                          "database over JDBC (requires --jdbc-url)")
+    run.add_argument("--jdbc-url", help="target database JDBC URL")
+    run.add_argument("--jdbc-driver", help="JDBC driver class name")
     run.add_argument("--no-checkpoint", action="store_true")
     run.add_argument("--log-level", default="INFO")
 
@@ -118,6 +124,9 @@ def _run(args) -> int:
         no_schema=args.no_schema,
         strict_sql_mode=args.strict,
         checksum=args.checksum,
+        backend=args.backend,
+        jdbc_url=args.jdbc_url,
+        jdbc_driver=args.jdbc_driver,
         checkpoint_enable=False if args.no_checkpoint else None,
     )
     spark = get_spark(app_name="tidb-lightning-spark")
@@ -223,11 +232,16 @@ def _ctl(args) -> int:
             if sel != "all" and f"{db}.{tbl}" != sel:
                 continue
             # 'closed' is the post-import downgrade a required-checksum
-            # failure leaves behind; error-ignore accepts the data as-is
+            # failure leaves behind; error-ignore accepts the data as-is.
+            # Lift to 'checksummed', not 'imported': with checksum != off
+            # the pipeline only skips tables at >= checksummed
+            # (pipeline.py should_skip min_status), so anything lower
+            # would re-import and re-fail — defeating the flag
+            # (reference ctl main.go:44-96 semantics: accept as-is).
             if rec.get("status", 0) == STATUS["closed"]:
-                store.update(db, tbl, "imported")
+                store.update(db, tbl, "checksummed")
                 lifted += 1
-                print(f"ignored error on `{db}`.`{tbl}` (now imported)")
+                print(f"ignored error on `{db}`.`{tbl}` (now checksummed)")
         print(f"ignored {lifted} error(s)")
         return 0
     if args.import_engine:

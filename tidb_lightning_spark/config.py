@@ -38,6 +38,7 @@ class Config:
     checksum: str = "required"  # off | optional | required
     analyze: str = "optional"
     jdbc_url: str = ""
+    jdbc_driver: str = ""  # JDBC driver class (e.g. Derby embedded)
     jdbc_table_prefix: str = ""
     on_duplicate: str = "replace"  # replace | ignore | error (jdbc backend)
     # files-backend PK-conflict resolution (reference duplicate-resolution
@@ -98,6 +99,10 @@ class Config:
         tidb = raw.get("tidb", {})
         if tidb.get("sql-mode", ""):
             cfg.strict_sql_mode = "STRICT_TRANS_TABLES" in tidb["sql-mode"].upper()
+        # [tidb] jdbc-url/jdbc-driver: the live-database target of the
+        # jdbc/tidb backend (reference [tidb] host/port/user connection)
+        cfg.jdbc_url = tidb.get("jdbc-url", cfg.jdbc_url)
+        cfg.jdbc_driver = tidb.get("jdbc-driver", cfg.jdbc_driver)
         for k, v in overrides.items():
             if v is not None:
                 setattr(cfg, k, v)
@@ -110,6 +115,13 @@ class Config:
             raise ValueError("mydumper.data-source-dir (--source) is required")
         if self.backend not in ("local", "importer", "tidb", "jdbc", "files"):
             raise ValueError(f"invalid backend {self.backend!r}")
+        if self.backend in ("tidb", "jdbc") and not self.jdbc_url:
+            # never silently fall back to the files backend: a user who
+            # configured a database target must get one or an error
+            raise ValueError(
+                "backend=jdbc/tidb requires tidb.jdbc-url (the target "
+                "database's JDBC URL)"
+            )
         if self.output_format not in ("parquet", "orc"):
             raise ValueError(f"invalid output-format {self.output_format!r}")
         c = self.csv

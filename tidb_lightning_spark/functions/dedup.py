@@ -26,6 +26,26 @@ N_BANDS = 8
 BAND_R = 8  # rows per band; N_BANDS * BAND_R == N_MINHASH
 SHINGLE_K = 3
 
+
+def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Release persisted intermediates when `result` is dropped by the
+    caller. A returned lazy DataFrame outlives the function that persisted
+    its inputs, so an in-function unpersist would defeat the cache; tying
+    the unpersist to the result's lifetime frees the blocks as soon as the
+    caller discards the result (promptly under CPython refcounting) —
+    long-lived sessions no longer accumulate leaked cache entries."""
+    import weakref
+
+    def _cleanup(dfs=cached):
+        for c in dfs:
+            try:
+                c.unpersist(False)
+            except Exception:
+                pass  # session already stopped
+
+    weakref.finalize(result, _cleanup)
+    return result
+
 # MinHash permutation family: one base hash per shingle, then 64 linear
 # permutations h_j = (a_j*h + b_j) mod M over the Mersenne prime M=2^31-1.
 # One md5 instead of 64 per shingle (the dominant cost), and a_j*h < 2^62
@@ -158,7 +178,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
         for j in range(N_MINHASH)
     )
-    return (
+    result = (
         cand.join(wa, "_a")
         .join(wb, "_b")
         .select(
@@ -169,6 +189,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+    return _unpersist_on_gc(result, wide)
 
 
 def _sql_wide_ctes(table: str, id_col: str, text_col: str) -> str:
@@ -289,9 +310,10 @@ def near_dup_clusters(
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
+    result = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
+    return _unpersist_on_gc(result, labels)
 
 
 def sql_near_dup_clusters(

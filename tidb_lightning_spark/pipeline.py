@@ -160,6 +160,20 @@ class Restorer:
         self.spark = spark
         self.cfg = cfg
         self.sink = FilesSink(cfg.target_dir, fmt=cfg.output_format)
+        # backend selection (reference restore.go:206-243): jdbc/tidb ->
+        # rows delivered to a live database (tidb.go:370-419); otherwise
+        # the files (local-analog) sink. Config.validate() guarantees
+        # jdbc_url is set for jdbc/tidb — no silent parquet fallback.
+        self.jdbc_sink = None
+        if cfg.backend in ("tidb", "jdbc"):
+            from tidb_lightning_spark.sinks.jdbc_sink import JDBCSink
+
+            props = {"driver": cfg.jdbc_driver} if cfg.jdbc_driver else {}
+            self.jdbc_sink = JDBCSink(
+                cfg.jdbc_url, properties=props, on_duplicate=cfg.on_duplicate
+            )
+        # resolve trash dirs stranded by a crash between Import's renames
+        self.sink.sweep_trash()
         self.checkpoints = open_checkpoint_store(
             cfg.target_dir,
             driver=cfg.checkpoint_driver,
@@ -225,6 +239,8 @@ class Restorer:
 
     # ------------------------------------------------------------------
     def restore_table(self, tbl: MDTableMeta) -> TableReport:
+        if self.jdbc_sink is not None:
+            return self._restore_table_jdbc(tbl)
         t0 = time.time()
         rep = TableReport(db=tbl.db, table=tbl.name, status="failed")
         sig = self.checkpoints.source_signature(tbl.data_files)
@@ -595,6 +611,160 @@ class Restorer:
         return rep
 
     # ------------------------------------------------------------------
+    def _restore_table_jdbc(self, tbl: MDTableMeta) -> TableReport:
+        """Restore one table into a live database over JDBC (reference
+        tidb backend, lightning/backend/tidb.go:370-419): schema replay ->
+        read+transform -> duplicate policy -> batched INSERT append ->
+        JDBC readback checksum -> auto-increment rebase. Single commit
+        unit per table (the reference's tidb backend likewise has no
+        engine staging — rows land as they are delivered)."""
+        from tidb_lightning_spark.operators.transform import ROWID_COL
+        from tidb_lightning_spark.sinks.jdbc_sink import (
+            JDBCSink,
+            apply_duplicate_policy,
+        )
+
+        t0 = time.time()
+        rep = TableReport(db=tbl.db, table=tbl.name, status="failed")
+        sig = self.checkpoints.source_signature(tbl.data_files)
+        min_skip = "checksummed" if self.cfg.checksum != "off" else "imported"
+        try:
+            if self.checkpoints.should_skip(
+                tbl.db, tbl.name, sig, min_status=min_skip
+            ):
+                rep.status = "skipped"
+                return rep
+            info = self._table_info(tbl)
+            self.checkpoints.update(tbl.db, tbl.name, "loaded", signature=sig)
+            dbname = f"{self.cfg.jdbc_table_prefix}{tbl.db}"
+            dbtable = f"{dbname}.{tbl.name}"
+            self.jdbc_sink.ensure_table(self.spark, info, dbtable)
+
+            df, _ = self._read_and_transform(tbl, info)
+            if df is None:  # schema-only table: DDL replay was the work
+                rep.status = "imported"
+                self.checkpoints.update(
+                    tbl.db, tbl.name, "imported", signature=sig
+                )
+                return rep
+
+            # strict mode: upfront probe — JDBC appends are not staged, so
+            # there is no post-write commit gate to hook (the reference's
+            # tidb backend errors statement-by-statement instead)
+            if self.cfg.strict_sql_mode and ERR_COL in df.columns:
+                bad = (
+                    df.filter(F.col(ERR_COL).isNotNull())
+                    .select(ERR_COL)
+                    .limit(3)
+                    .collect()
+                )
+                if bad:
+                    raise IngestError(
+                        f"strict sql_mode violations in "
+                        f"`{tbl.db}`.`{tbl.name}`: "
+                        f"columns {[r[0] for r in bad]}"
+                    )
+            if ERR_COL in df.columns:
+                df = df.drop(ERR_COL)
+
+            # duplicate policy BEFORE the checksum observation so the
+            # ingest-side checksum covers exactly the delivered rows
+            out = apply_duplicate_policy(
+                df, info.primary_key, self.cfg.on_duplicate,
+                order_col=ROWID_COL,
+            )
+            if ROWID_COL in out.columns:
+                out = out.drop(ROWID_COL)
+
+            want_cks = self.cfg.checksum != "off"
+            cols = list(out.columns)
+            ingest_cks = None
+            obs = None
+            if want_cks:
+                from pyspark.sql import Observation
+
+                from tidb_lightning_spark.functions.checksum import (
+                    checksum_aggs,
+                )
+
+                obs = Observation()
+                out = out.observe(obs, *checksum_aggs(cols))
+            self.jdbc_sink.write_table(out, dbname, tbl.name, pk=None)
+            if want_cks:
+                got = obs.get
+                ingest_cks = Checksum(
+                    got["kvs"], got["total_bytes"] or 0, got["checksum"] or 0
+                )
+            self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
+
+            # remote checksum (I2/L2): read the TARGET back over JDBC and
+            # recompute — the ADMIN CHECKSUM analog (checksum.go:104-147)
+            written = self.spark.read.jdbc(
+                self.cfg.jdbc_url, dbtable,
+                properties=self.jdbc_sink.properties,
+            ).select(*cols)
+            if want_cks:
+                rep.rows, readback, _ = _readback_pass(
+                    written, cols, True, False
+                )
+                if ingest_cks != readback:
+                    msg = (
+                        f"checksum mismatch `{tbl.db}`.`{tbl.name}`: "
+                        f"ingest {ingest_cks} != readback {readback}"
+                    )
+                    if self.cfg.checksum == "required":
+                        self.checkpoints.update(
+                            tbl.db, tbl.name, "closed", signature=sig
+                        )
+                        raise IngestError(msg)
+                    log.warning(msg)
+                rep.checksum = {
+                    "kvs": readback.kvs,
+                    "bytes": readback.total_bytes,
+                    "value": readback.value,
+                }
+                self.checkpoints.update(
+                    tbl.db, tbl.name, "checksummed",
+                    signature=sig, checksum=rep.checksum,
+                )
+            else:
+                rep.rows = written.count()
+
+            # allocator rebase (L1/D2, restore/tidb.go:349-382): point the
+            # target's id generator past the loaded max
+            auto_cols = [c for c in info.columns if c.auto_increment]
+            if auto_cols:
+                mx = written.agg(
+                    F.max(F.col(auto_cols[0].name).cast("long"))
+                ).collect()[0][0]
+                if mx is not None:
+                    JDBCSink.rebase_auto_increment(
+                        self.spark, self.cfg.jdbc_url, dbname, tbl.name,
+                        auto_cols[0].name, int(mx) + 1,
+                        properties=self.jdbc_sink.properties,
+                    )
+            rep.status = "imported"
+            metrics.TABLES.inc(
+                metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_SUCCESS
+            )
+            metrics.BYTES.inc(metrics.BYTE_STATE_FINISHED, by=tbl.total_size)
+            log.info(
+                "restored `%s`.`%s` -> jdbc: %d rows, %.1f MiB source in %.1fs",
+                tbl.db, tbl.name, rep.rows,
+                tbl.total_size / 1048576, time.time() - t0,
+            )
+        except Exception as exc:  # error summary (restore.go:89-129)
+            rep.error = f"{type(exc).__name__}: {exc}"
+            log.error("table `%s`.`%s` failed: %s", tbl.db, tbl.name, rep.error)
+            metrics.TABLES.inc(
+                metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_FAILURE
+            )
+        finally:
+            rep.seconds = time.time() - t0
+            metrics.IMPORT_SECONDS.observe(rep.seconds)
+        return rep
+
+    # ------------------------------------------------------------------
     def _plan_engines(self, data_files) -> list[list]:
         """Deterministic file groups of ~engine_bytes each (reference
         AllocateEngineIDs, region.go:60-129, minus the Beta-ratio batch
@@ -758,10 +928,15 @@ class Restorer:
                 # file's arity): chunk bases inside a file go up to
                 # size // that divisor, so reserving less here would let a
                 # split file's sequence overrun the next file's base.
+                # Sizes come from the DECOMPRESSED/transcoded text the scan
+                # actually parses (decompressed_size), not f.file_size: a
+                # gz dump's decompressed rows can exceed compressed_size //
+                # divisor, overrunning the next base -> duplicate row ids.
                 bases, acc = {}, rowid_base
                 for f in files:
-                    bases[os.path.abspath(actual[f.path])] = acc
-                    acc += f.file_size // (n_cols + 2) + 1
+                    ap = os.path.abspath(actual[f.path])
+                    bases[ap] = acc
+                    acc += sqldump_source.decompressed_size(ap) // (n_cols + 2) + 1
                 rowid_base = acc
                 mapping = F.create_map(
                     *[

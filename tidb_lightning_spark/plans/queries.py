@@ -798,7 +798,16 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tidb_lightning_spark.functions.similarity import knn_lsh
 
     e = load(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()["embedding"])
+    # Dimension probe: one parquet page on the driver (pyarrow), not a
+    # Spark job — keeps knn_cosine_lsh a single job end-to-end.
+    import pyarrow.parquet as _pq
+
+    _batch = next(
+        _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
+            batch_size=1, columns=["embedding"]
+        )
+    )
+    dim = len(_batch.column("embedding")[0])
     # 6 planes -> 64 buckets: ~n/64 candidates per query. More planes =
     # higher precision, lower recall; tune per corpus size.
     return knn_lsh(
@@ -854,21 +863,31 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics)."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.col("value").cast("decimal(18,4)").alias("v"),
-    ).withColumn(
-        "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
-                > 1800
-            ),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+    # Gap test: ts is TIMESTAMP_NTZ, which Spark refuses to cast to BIGINT
+    # and which unix_timestamp() would re-interpret through the session
+    # timezone.  timestampdiff(MICROSECOND, ...) is NTZ-safe and exact at
+    # the data's microsecond precision, matching the oracle's fractional
+    # epoch(ts) difference (> 1800 s  <=>  > 1_800_000_000 us).
+    marked = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+                    > F.lit(1800000000)
+                ),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("prev_ts")
     )
     sessions = marked.withColumn(
         "session_seq",

@@ -50,6 +50,33 @@ class FilesSink:
     def table_path(self, db: str, table: str) -> str:
         return os.path.join(self.warehouse, db, table)
 
+    def sweep_trash(self) -> int:
+        """Resolve `._trash_*` dirs stranded by a crash between Import's
+        two renames (old -> trash, staging -> final). If the final table
+        exists, the trash is an obsolete previous copy -> delete; if it
+        does not, the crash hit the window where the trash IS the only
+        copy -> restore it. Returns the number of entries resolved.
+        Called at pipeline start (and safe to call any time: commit only
+        creates a trash after its staging write fully succeeded)."""
+        n = 0
+        if not os.path.isdir(self.warehouse):
+            return n
+        for db in os.listdir(self.warehouse):
+            dbdir = os.path.join(self.warehouse, db)
+            if not os.path.isdir(dbdir):
+                continue
+            for name in os.listdir(dbdir):
+                if "._trash_" not in name:
+                    continue
+                tpath = os.path.join(dbdir, name)
+                fpath = os.path.join(dbdir, name.split("._trash_")[0])
+                if os.path.exists(fpath):
+                    shutil.rmtree(tpath, ignore_errors=True)
+                else:
+                    os.replace(tpath, fpath)
+                n += 1
+        return n
+
     def write_table(
         self,
         df: DataFrame,

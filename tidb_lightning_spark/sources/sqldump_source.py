@@ -377,6 +377,46 @@ def _is_compressed(path: str) -> bool:
     return path.endswith(_COMPRESSED_SUFFIXES)
 
 
+def decompressed_size(path: str) -> int:
+    """Effective text size of a dump file: plain files by stat, compressed
+    files by one driver-side streaming decompression pass (cached by
+    path/size/mtime). Row-id reservation MUST use this, not the on-disk
+    size: a row of n columns occupies >= n+2 bytes of *decompressed* text
+    (the reference's bytes-per-row bound, region.go:208-225), so
+    rows <= decompressed_size // (n+2) holds — the same bound on a
+    compressed size does NOT (a 10x-compressed dump overruns the next
+    file's base -> duplicate row ids)."""
+    if not _is_compressed(path):
+        return os.path.getsize(path)
+    import hashlib
+    import tempfile
+
+    st = os.stat(path)
+    cache_dir = os.path.join(tempfile.gettempdir(), "tls_dsize")
+    os.makedirs(cache_dir, exist_ok=True)
+    key = hashlib.md5(
+        f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    marker = os.path.join(cache_dir, key)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return int(f.read())
+    from tidb_lightning_spark.sources.csv_source import _decompress_open
+
+    n = 0
+    with _decompress_open(path) as f:
+        while True:
+            b = f.read(8 << 20)
+            if not b:
+                break
+            n += len(b)
+    tmp = marker + ".part"
+    with open(tmp, "w") as f:
+        f.write(str(n))
+    os.replace(tmp, marker)
+    return n
+
+
 def split_sql_file(path: str, chunk_bytes: int = SQL_CHUNK_BYTES) -> list[tuple[int, int]]:
     """Byte ranges of `path` aligned to statement starts (reference
     ReadChunks/SplitLargeFile semantics, parser.go:538-571,
