@@ -165,3 +165,171 @@ def test_lsh_candidate_pairs_releases_cache(spark):
     del result
     gc.collect()
     assert cm.isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Typed-input (parquet) cast semantics — round-3 ADVICE: Catalyst's
+# non-ANSI cast wraps on narrowing; MySQL clamps (non-strict) or errors
+# (strict). reference CastValue, sql2kv.go:306-326.
+# ---------------------------------------------------------------------------
+
+
+def _parquet_transform(spark, ddl, rows, schema, strict=False):
+    from tidb_lightning_spark.operators.transform import (
+        transform_parquet_table,
+    )
+    from tidb_lightning_spark.schema.ddl import parse_create_table
+
+    info = parse_create_table(ddl)
+    df = spark.createDataFrame(rows, schema)
+    return transform_parquet_table(
+        df, info, "2024-01-01 00:00:00", strict=strict
+    )
+
+
+def test_parquet_int_narrowing_clamps_not_wraps(spark):
+    out = _parquet_transform(
+        spark,
+        "CREATE TABLE t (a INT PRIMARY KEY, b INT UNSIGNED, c TINYINT);",
+        [(3000000000, -5, 999), (-3000000000, 7, -999), (1, 2, 3)],
+        "a long, b long, c long",
+        strict=False,
+    )
+    got = {r["a"]: r.asDict() for r in out.collect()}
+    # clamp at the signed INT boundary, never a wrapped negative
+    assert 2147483647 in got and -2147483648 in got and 1 in got
+    assert got[2147483647]["b"] == 0          # negative into unsigned -> 0
+    assert got[2147483647]["c"] == 127        # tinyint saturates
+    assert got[-2147483648]["c"] == -128
+    assert got[1] == {"a": 1, "b": 2, "c": 3}
+
+
+def test_parquet_strict_flags_out_of_range(spark):
+    from tidb_lightning_spark.operators.transform import ERR_COL
+
+    out = _parquet_transform(
+        spark,
+        "CREATE TABLE t (a INT PRIMARY KEY, b INT UNSIGNED);",
+        [(3000000000, 1), (1, -5), (2, 2)],
+        "a long, b long",
+        strict=True,
+    )
+    errs = [r[ERR_COL] for r in out.orderBy("a").collect()]
+    # overflowing a, negative unsigned b flagged; clean row unflagged
+    assert sorted(e for e in errs if e) == ["a", "b"]
+    assert errs.count(None) == 1
+
+
+def test_parquet_strict_flags_overlong_varchar(spark):
+    from tidb_lightning_spark.operators.transform import ERR_COL
+
+    out = _parquet_transform(
+        spark,
+        "CREATE TABLE t (a INT PRIMARY KEY, v VARCHAR(3));",
+        [(1, "abc"), (2, "abcdef")],
+        "a long, v string",
+        strict=True,
+    )
+    rows = {r["a"]: r for r in out.collect()}
+    assert rows[1][ERR_COL] is None
+    assert rows[2][ERR_COL] == "v"
+    # non-strict truncates like the CSV path
+    out2 = _parquet_transform(
+        spark,
+        "CREATE TABLE t (a INT PRIMARY KEY, v VARCHAR(3));",
+        [(2, "abcdef")],
+        "a long, v string",
+    )
+    assert out2.collect()[0]["v"] == "abc"
+
+
+def test_parquet_strict_flags_missing_not_null_column(spark):
+    from tidb_lightning_spark.operators.transform import ERR_COL
+
+    out = _parquet_transform(
+        spark,
+        "CREATE TABLE t (a INT PRIMARY KEY, req VARCHAR(5) NOT NULL);",
+        [(1,), (2,)],
+        "a long",
+        strict=True,
+    )
+    assert all(r[ERR_COL] == "req" for r in out.collect())
+    # with a default the column is filled, not flagged
+    out2 = _parquet_transform(
+        spark,
+        "CREATE TABLE t (a INT PRIMARY KEY, "
+        "req VARCHAR(5) NOT NULL DEFAULT 'x');",
+        [(1,)],
+        "a long",
+        strict=True,
+    )
+    row = out2.collect()[0]
+    assert row[ERR_COL] is None and row["req"] == "x"
+
+
+def test_view_schema_replay_and_sql(spark, tmp_path, capsys):
+    """Mydumper dumps with `-schema-view.sql` files (reference tests/view/
+    fixture shape, loader.go:39-46 + restore.go:553-602): the restore
+    records the view definitions, and `cli sql` registers them — including
+    a view over another view — queryable alongside the tables."""
+    from tidb_lightning_spark import cli
+
+    d = str(tmp_path / "dump")
+    write(f"{d}/db1-schema-create.sql", "CREATE DATABASE IF NOT EXISTS db1;")
+    write(
+        f"{d}/db1.tbl-schema.sql",
+        "CREATE TABLE tbl (i INT PRIMARY KEY, s VARCHAR(16));",
+    )
+    write(f"{d}/db1.tbl.csv", "i,s\n1,a\n2,b\n3,c\n")
+    # mydumper writes a stub -schema.sql next to every -schema-view.sql
+    write(
+        f"{d}/db1.v1-schema.sql",
+        "CREATE TABLE v1 (i INT, s VARCHAR(16));",
+    )
+    write(
+        f"{d}/db1.v1-schema-view.sql",
+        "/*!40101 SET NAMES binary*/;\n"
+        "SET character_set_client = utf8;\n"
+        "CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`1.2.3.4` SQL SECURITY "
+        "DEFINER VIEW `v1` (`i`, `s`) AS SELECT `i`,`s` FROM `db1`.`tbl`;\n"
+        "SET character_set_client = @PREV_CHARACTER_SET_CLIENT;\n",
+    )
+    write(
+        f"{d}/db1.v2-schema.sql",
+        "CREATE TABLE v2 (s VARCHAR(16));",
+    )
+    write(
+        f"{d}/db1.v2-schema-view.sql",
+        "CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`1.2.3.4` SQL SECURITY "
+        "DEFINER VIEW `v2` (`s`) AS SELECT `s` FROM `db1`.`v1` "
+        "WHERE `i`<3;\n",
+    )
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(None, source_dir=d, target_dir=target)
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    statuses = {t.table: t.status for t in rep.tables}
+    assert statuses == {"tbl": "imported", "v1": "imported", "v2": "imported"}
+    # views are catalog entries, not data directories
+    assert not os.path.isdir(f"{target}/db1/v1")
+    assert os.path.isfile(f"{target}/db1/_views.json")
+
+    rc = cli.main([
+        "sql", "--target", target, "--format", "csv",
+        "SELECT count(*) AS n, sum(i) AS total FROM `db1.v1`",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1] == "3,6"
+
+    # view-over-view: v2 = v1 WHERE i<3 -> rows a,b
+    rc = cli.main([
+        "sql", "--target", target, "--format", "csv",
+        "SELECT count(*) AS n FROM `db1.v2`",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "2"
+
+    # resume: views are skipped like tables
+    rep2 = Restorer(spark, cfg).run()
+    assert all(t.status == "skipped" for t in rep2.tables)

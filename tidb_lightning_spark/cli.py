@@ -145,6 +145,44 @@ def _run(args) -> int:
     return 1 if failed else 0
 
 
+def _register_views(spark, warehouse: str) -> int:
+    """Register replayed views (`_views.json`, written by the restore's
+    view replay — reference tests/view/) on top of the table temp views.
+    Views may reference other views (v2 -> v1), so registration retries
+    until a full pass makes no progress (dependency order discovered, not
+    declared)."""
+    from tidb_lightning_spark.schema.ddl import view_select_for_spark
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    pending = [
+        (db, name, meta)
+        for db, views in FilesSink(warehouse).list_views().items()
+        for name, meta in views.items()
+    ]
+    registered = 0
+    while pending:
+        progress = False
+        for item in list(pending):
+            db, name, meta = item
+            try:
+                df = spark.sql(view_select_for_spark(meta["select"]))
+                if meta.get("columns"):
+                    df = df.toDF(*meta["columns"])
+                df.createOrReplaceTempView(f"`{db}.{name}`")
+                df.createOrReplaceTempView(f"{db}_{name}")
+            except Exception:
+                continue  # dependency not registered yet — retry next pass
+            pending.remove(item)
+            registered += 1
+            progress = True
+        if not progress:
+            for db, name, _ in pending:
+                logging.warning("view `%s`.`%s` could not be registered",
+                                db, name)
+            break
+    return registered
+
+
 def _sql(args) -> int:
     """Expose full Spark SQL on the ingested warehouse (SURVEY §7.9): every
     `<wh>/<db>/<table>` parquet dir is registered as a temp view named
@@ -168,6 +206,7 @@ def _sql(args) -> int:
             df.createOrReplaceTempView(f"`{db}.{tbl}`")
             df.createOrReplaceTempView(f"{db}_{tbl}")
             found += 1
+    found += _register_views(spark, args.target)
     if not found:
         print(f"error: no tables under {args.target}", file=sys.stderr)
         return 1

@@ -198,11 +198,81 @@ def cast_column(
     return col.cast(spark_t)
 
 
-def violation_flag(col: Column, casted: Column, info: ColumnInfo) -> Column:
-    """Strict-mode indicator: input the cast would lose data on
-    (zero-date, bad enum/set, out-of-range, overlong, null into NOT NULL)."""
-    lossy_null = col.isNotNull() & casted.isNull()
-    flag = lossy_null
+_NUMERIC_SPARK_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def cast_typed_column(col: Column, src_type: T.DataType, info: ColumnInfo) -> Column:
+    """MySQL-semantics cast of an already-typed (parquet) column.
+
+    A plain Catalyst cast WRAPS on integer narrowing under non-ANSI
+    semantics (int64 3000000000 into INT silently becomes a negative),
+    which neither MySQL mode does: strict errors, non-strict clamps to the
+    type boundary (the reference's CastValue, sql2kv.go:306-326). Numeric
+    sources therefore go through the same round+clamp as the string path's
+    `_num` pipeline; string sources reuse `cast_column` wholesale.
+    """
+    b = info.mysql.base
+    spark_t = info.mysql.spark_type()
+    if isinstance(src_type, T.StringType):
+        return cast_column(col, info)
+    if (
+        b in _INT_BOUNDS
+        and b != "bit"
+        and isinstance(src_type, _NUMERIC_SPARK_TYPES)
+    ):
+        lo_s, hi_s, lo_u, hi_u = _INT_BOUNDS[b]
+        lo, hi = (lo_u, hi_u) if info.mysql.unsigned else (lo_s, hi_s)
+        v = F.round(col.try_cast("decimal(38,9)"))
+        # a double beyond decimal(38,9) range nulls the try_cast: clamp by
+        # sign (MySQL saturates at the type boundary)
+        v = F.coalesce(
+            v, F.when(col > 0, _dec_lit(hi)).otherwise(_dec_lit(lo))
+        )
+        v = F.least(F.greatest(v, _dec_lit(lo)), _dec_lit(hi))
+        return F.when(col.isNull(), F.lit(None)).otherwise(v).cast(spark_t)
+    if (
+        b in ("char", "varchar")
+        and info.mysql.length
+        and not isinstance(spark_t, T.BinaryType)
+    ):
+        return F.substring(col.cast("string"), 1, info.mysql.length)
+    return col.cast(spark_t)
+
+
+def typed_violation_flag(
+    col: Column, casted: Column, info: ColumnInfo, src_type: T.DataType
+) -> Column:
+    """Strict-mode indicator for typed (parquet) input — boolean fragment;
+    the caller owns NULL-into-NOT-NULL / missing-column policy. Mirrors
+    `violation_flag`'s range and length checks so a negative value into an
+    unsigned column or an overlong string is flagged exactly like on the
+    CSV path (reference encode-path parity)."""
+    if isinstance(src_type, T.StringType):
+        return _string_lossy_flag(col, casted, info)
+    flag = col.isNotNull() & casted.isNull()
+    b = info.mysql.base
+    if (
+        b in _INT_BOUNDS
+        and b != "bit"
+        and isinstance(src_type, _NUMERIC_SPARK_TYPES)
+    ):
+        lo_s, hi_s, lo_u, hi_u = _INT_BOUNDS[b]
+        lo, hi = (lo_u, hi_u) if info.mysql.unsigned else (lo_s, hi_s)
+        v = col.try_cast("decimal(38,9)")
+        oob = v.isNull() | (v < _dec_lit(lo)) | (v > _dec_lit(hi))
+        flag = flag | (col.isNotNull() & oob)
+    if b in ("char", "varchar") and info.mysql.length:
+        flag = flag | (F.length(col.cast("string")) > info.mysql.length)
+    return flag
+
+
+def _string_lossy_flag(col: Column, casted: Column, info: ColumnInfo) -> Column:
+    """Lossy-input checks for string sources (boolean; excludes the
+    NULL-into-NOT-NULL clause, which is policy layered on top)."""
+    flag = col.isNotNull() & casted.isNull()
     b = info.mysql.base
     if b in _INT_BOUNDS or b in ("decimal", "numeric", "float", "double", "real"):
         parsed = F.regexp_extract(col, _NUM_PREFIX, 1)
@@ -219,6 +289,13 @@ def violation_flag(col: Column, casted: Column, info: ColumnInfo) -> Column:
             )
     if b in ("char", "varchar") and info.mysql.length:
         flag = flag | (F.length(col) > info.mysql.length)
+    return flag
+
+
+def violation_flag(col: Column, casted: Column, info: ColumnInfo) -> Column:
+    """Strict-mode indicator: input the cast would lose data on
+    (zero-date, bad enum/set, out-of-range, overlong, null into NOT NULL)."""
+    flag = _string_lossy_flag(col, casted, info)
     if not info.nullable:
         flag = flag | col.isNull()
     return F.when(flag, F.lit(info.name)).otherwise(F.lit(None))

@@ -283,6 +283,12 @@ def transform_parquet_table(
     Expects ROWID_COL to already be present when the table needs row ids
     (the pipeline assigns footer-based resume-stable ids before calling).
     """
+    from tidb_lightning_spark.operators.cast import (
+        cast_typed_column,
+        typed_violation_flag,
+    )
+
+    src_types = {f.name.lower(): f.dataType for f in df.schema.fields}
     lower_cols = {c.lower() for c in df.columns}
     present = {
         c.name.lower() for c in info.columns if c.name.lower() in lower_cols
@@ -294,12 +300,16 @@ def transform_parquet_table(
             continue  # computed below, never read from file
         if c.name.lower() in present:
             raw = F.col(c.name)
-            casted = raw.cast(c.mysql.spark_type())
+            src_type = src_types[c.name.lower()]
+            # MySQL-semantics cast on typed input: integer narrowing
+            # clamps at the type boundary instead of Catalyst's silent
+            # non-ANSI wrap (ADVICE r3; reference CastValue semantics)
+            casted = cast_typed_column(raw, src_type, c)
             if strict:
-                # typed input: the only lossy outcomes are a cast that
-                # nulls a non-null value and NULL into NOT NULL with no
-                # default/auto fill (string-junk coercions can't happen)
-                flag = raw.isNotNull() & casted.isNull()
+                # lossy casts, out-of-(signed/unsigned)-range numerics,
+                # overlong strings — same checks as the CSV path — plus
+                # NULL into NOT NULL with no default/auto fill
+                flag = typed_violation_flag(raw, casted, c, src_type)
                 if not c.nullable and not (
                     c.auto_increment or c.auto_random_bits or c.has_default
                 ):
@@ -309,6 +319,13 @@ def transform_parquet_table(
                 )
         else:
             casted = F.lit(None).cast(c.mysql.spark_type())
+            if strict and not c.nullable and not (
+                c.auto_increment or c.auto_random_bits or c.has_default
+            ):
+                # column missing from the file entirely: NOT NULL with no
+                # default would be silently zero-backstopped — strict mode
+                # must reject the load (CSV-path parity, ADVICE r3)
+                errs.append(F.lit(c.name))
         selected.append(casted.alias(c.name))
     passthrough = [F.col(ROWID_COL)] if ROWID_COL in df.columns else []
     out_cols = [*selected, *passthrough]

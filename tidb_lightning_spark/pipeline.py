@@ -255,6 +255,9 @@ class Restorer:
                 rep.status = "skipped"
                 return rep
 
+            if tbl.view_schema_file:
+                return self._restore_view(tbl, sig, rep, t0)
+
             info = self._table_info(tbl)
             self.checkpoints.update(tbl.db, tbl.name, "loaded", signature=sig)
 
@@ -611,6 +614,34 @@ class Restorer:
         return rep
 
     # ------------------------------------------------------------------
+    def _restore_view(self, tbl, sig: str, rep: TableReport, t0: float) -> TableReport:
+        """Replay a `-schema-view.sql` definition (reference: discovered
+        loader.go:39-46, executed restore.go:553-602, e2e tests/view/).
+        The files backend records the parsed definition in the warehouse
+        catalog (`_views.json`), which `cli sql` registers after tables;
+        there is no data to verify, so the view goes straight to the
+        resume-skippable status."""
+        import codecs as _codecs
+
+        from tidb_lightning_spark.schema.ddl import parse_create_view
+
+        charset = _codecs.lookup(self.cfg.character_set or "utf-8").name
+        with open(tbl.view_schema_file, encoding=charset, errors="replace") as f:
+            view = parse_create_view(f.read())
+        self.sink.write_view_meta(
+            tbl.db, tbl.name,
+            {"columns": view.columns, "select": view.select,
+             "source_file": tbl.view_schema_file},
+        )
+        self.checkpoints.update(
+            tbl.db, tbl.name, "checksummed", signature=sig, view=True
+        )
+        rep.status = "imported"
+        rep.seconds = time.time() - t0
+        log.info("replayed view `%s`.`%s`", tbl.db, tbl.name)
+        return rep
+
+    # ------------------------------------------------------------------
     def _restore_table_jdbc(self, tbl: MDTableMeta) -> TableReport:
         """Restore one table into a live database over JDBC (reference
         tidb backend, lightning/backend/tidb.go:370-419): schema replay ->
@@ -634,10 +665,43 @@ class Restorer:
             ):
                 rep.status = "skipped"
                 return rep
-            info = self._table_info(tbl)
-            self.checkpoints.update(tbl.db, tbl.name, "loaded", signature=sig)
             dbname = f"{self.cfg.jdbc_table_prefix}{tbl.db}"
             dbtable = f"{dbname}.{tbl.name}"
+            if tbl.view_schema_file:
+                # view replay at the live target (restore.go:553-602):
+                # MySQL-family targets accept the original body; other
+                # dialects would need a SQL translation — recorded, skipped
+                from tidb_lightning_spark.schema.ddl import parse_create_view
+                from tidb_lightning_spark.sinks.jdbc_sink import execute_ddl
+
+                with open(tbl.view_schema_file, errors="replace") as f:
+                    view = parse_create_view(f.read())
+                if self.jdbc_sink.dialect == "mysql":
+                    cols = (
+                        "(" + ", ".join(f"`{c}`" for c in view.columns) + ")"
+                        if view.columns
+                        else ""
+                    )
+                    execute_ddl(
+                        self.spark, self.cfg.jdbc_url,
+                        f"CREATE OR REPLACE VIEW {dbtable} {cols} "
+                        f"AS {view.select}",
+                        self.jdbc_sink.properties,
+                    )
+                else:
+                    log.warning(
+                        "view `%s`.`%s`: no SQL translation for dialect "
+                        "%s — definition not replayed",
+                        tbl.db, tbl.name, self.jdbc_sink.dialect,
+                    )
+                self.checkpoints.update(
+                    tbl.db, tbl.name, "checksummed", signature=sig, view=True
+                )
+                rep.status = "imported"
+                return rep
+
+            info = self._table_info(tbl)
+            self.checkpoints.update(tbl.db, tbl.name, "loaded", signature=sig)
             self.jdbc_sink.ensure_table(self.spark, info, dbtable)
 
             df, _ = self._read_and_transform(tbl, info)

@@ -520,3 +520,57 @@ def parse_create_database(sql: str) -> str:
                 p.eat_word("EXISTS")
             return p.ident()
     raise ValueError("no CREATE DATABASE statement found")
+
+
+@dataclass
+class ViewInfo:
+    name: str
+    columns: list[str]  # explicit output column list; [] = from SELECT
+    select: str  # the view body, MySQL quoting preserved
+
+
+def parse_create_view(sql: str) -> ViewInfo:
+    """Extract the view definition from a Mydumper `-schema-view.sql` file
+    (reference: discovered at loader.go:39-46, replayed at
+    restore.go:553-602; fixture shape at tests/view/data/*-schema-view.sql:
+    SET statements around one
+    `CREATE ALGORITHM=... DEFINER=... VIEW `v` (`cols`) AS SELECT ...;`).
+
+    The DEFINER/ALGORITHM/SECURITY noise is discarded; the result is the
+    view name, the optional explicit column list, and the raw SELECT text
+    (quoting normalized later, at registration time)."""
+    import re as _re
+
+    # statement = the CREATE ... VIEW line(s) up to its terminating ';'
+    m = _re.search(
+        r"CREATE\b[^;]*?\bVIEW\s+"
+        r"(?:`(?P<q>[^`]+)`|(?P<p>[A-Za-z0-9_$.]+))"  # `name` or name
+        r"\s*(?:\((?P<cols>[^)]*)\))?"
+        r"\s*AS\s+(?P<body>.*?);[ \t]*$",
+        sql,
+        _re.IGNORECASE | _re.DOTALL | _re.MULTILINE,
+    )
+    if not m:
+        raise ValueError("no CREATE VIEW statement found")
+    name = m.group("q") or m.group("p")
+    if "." in name and m.group("p"):
+        name = name.split(".")[-1]
+    cols = []
+    if m.group("cols"):
+        cols = [
+            c.strip().strip("`").strip('"')
+            for c in m.group("cols").split(",")
+            if c.strip()
+        ]
+    return ViewInfo(name=name, columns=cols, select=m.group("body").strip())
+
+
+def view_select_for_spark(select: str) -> str:
+    """Normalize a MySQL view body for Spark SQL against the warehouse
+    catalog convention (cli.py sql registers each table as the single
+    backticked identifier `db.tbl`): qualified `db`.`tbl` references
+    collapse into one backticked `db.tbl`. Backtick quoting itself is
+    valid Spark SQL and is kept."""
+    import re as _re
+
+    return _re.sub(r"`([^`]+)`\s*\.\s*`([^`]+)`", r"`\1.\2`", select)

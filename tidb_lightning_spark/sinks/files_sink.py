@@ -50,6 +50,36 @@ class FilesSink:
     def table_path(self, db: str, table: str) -> str:
         return os.path.join(self.warehouse, db, table)
 
+    def write_view_meta(self, db: str, name: str, meta: dict) -> str:
+        """Record a replayed view definition in the warehouse catalog
+        (`<wh>/<db>/_views.json`) — the files-backend analog of the
+        reference executing CREATE VIEW at the target
+        (restore.go:553-602). `cli sql` registers these after tables."""
+        path = os.path.join(self.warehouse, db, "_views.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        views = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                views = json.load(f)
+        views[name] = meta
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(views, f, indent=1)
+        os.replace(tmp, path)
+        return path
+
+    def list_views(self) -> dict[str, dict[str, dict]]:
+        """{db: {view_name: meta}} for every db in the warehouse."""
+        out: dict[str, dict[str, dict]] = {}
+        if not os.path.isdir(self.warehouse):
+            return out
+        for db in sorted(os.listdir(self.warehouse)):
+            path = os.path.join(self.warehouse, db, "_views.json")
+            if os.path.isfile(path):
+                with open(path) as f:
+                    out[db] = json.load(f)
+        return out
+
     def sweep_trash(self) -> int:
         """Resolve `._trash_*` dirs stranded by a crash between Import's
         two renames (old -> trash, staging -> final). If the final table
