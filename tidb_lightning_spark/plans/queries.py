@@ -581,7 +581,11 @@ def vocab_top_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The backbone of stopword discovery / TF-IDF weighting over a
     training corpus."""
     d = load(spark, sf_dir, "documents")
-    n_docs = d.count()
+    # corpus size from the parquet footer (driver-side metadata read, no
+    # Spark job) — the SQL twin gets it from a CTE over the same footer
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
     )
@@ -2027,4 +2031,140 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_name", "numwait")
         .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene operators (beyond-reference, round 4): PII/noise
+# scrubbing, deterministic corpus splits, n-gram statistics — all pure
+# Catalyst with exact DuckDB twins.
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"https?://\S+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_DIGITS_RE = r"[0-9]{6,}"
+
+
+@register(
+    "text_scrub",
+    f"""
+    WITH s1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '{_URL_RE}', '<URL>', 'g') AS t1
+      FROM documents
+    ), s2 AS (
+      SELECT doc_id, text, t1,
+             regexp_replace(t1, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t2
+      FROM s1
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(t1, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t2, '{_DIGITS_RE}')) AS INT) AS n_digit_runs,
+           {TX.sql_hash60(f"regexp_replace(t2, '{_DIGITS_RE}', '<NUM>', 'g')")}
+             AS scrubbed_fp
+    FROM s2
+    """,
+)
+def text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise redaction for training corpora: URLs -> <URL>, emails ->
+    <EMAIL>, long digit runs (phone/account numbers) -> <NUM>, with match
+    counts and a fingerprint of the scrubbed text. Single codegen stage,
+    no shuffle, no UDF — the redaction regexes run JVM-side; the scrub
+    order (URL first) keeps emails inside URLs from double-counting.
+    Patterns are RE2/Java-portable so the DuckDB twin is byte-identical.
+    """
+    d = widen(spark, sf_dir, "documents")
+    t1 = F.regexp_replace(F.col("text"), _URL_RE, "<URL>")
+    t2 = F.regexp_replace(t1, _EMAIL_RE, "<EMAIL>")
+    t3 = F.regexp_replace(t2, _DIGITS_RE, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_URL_RE)).cast("int").alias("n_urls"),
+        F.regexp_count(t1, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t2, F.lit(_DIGITS_RE)).cast("int").alias("n_digit_runs"),
+        TX.hash60(t3).alias("scrubbed_fp"),
+    )
+
+
+@register(
+    "corpus_split_assign",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             {TX.sql_hash60("concat(CAST(doc_id AS VARCHAR), ':split-v1')")}
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: 80/10/10 by a salted
+    60-bit hash of the document id — stable across runs, engines and
+    cluster sizes (no RNG, no sampling order dependence), so the held-out
+    set never leaks when the corpus is re-processed. The standard
+    hash-bucket split of large-scale training pipelines; map-only."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        TX.hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":split-v1")))
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@register(
+    "top_bigrams",
+    f"""
+    WITH tok AS (
+      SELECT {TX.SQL_TOKENS.format(col='lower(text)')} AS t FROM documents
+    ), bg AS (
+      SELECT unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])
+                         ELSE [] END) AS bigram
+      FROM tok
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (top 50): the n-gram statistic behind
+    tokenizer training / boilerplate detection. Tokens explode once; only
+    (bigram, count) pairs shuffle — text never leaves the scan stage. At
+    100 TB the same plan holds: one exchange on the bigram key with
+    map-side partial counts."""
+    d = widen(spark, sf_dir, "documents")
+    t = TX.tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    bigrams = d.select(
+        F.explode(
+            F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(50)
     )
