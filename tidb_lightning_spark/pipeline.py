@@ -642,6 +642,48 @@ class Restorer:
         return rep
 
     # ------------------------------------------------------------------
+    def _jdbc_readback_df(self, dbtable: str, info: TableInfo) -> DataFrame:
+        """Target-table readback, partitioned on the single integer PK /
+        auto-increment column when one exists (MIN/MAX bounds from a
+        one-row probe); plain single-connection read otherwise (small
+        dimension tables, string keys)."""
+        from pyspark.sql import types as T
+
+        from tidb_lightning_spark.sinks.jdbc_sink import query_min_max
+
+        props = self.jdbc_sink.properties
+        part_col = None
+        if len(info.primary_key) == 1:
+            c = info.column(info.primary_key[0])
+            if isinstance(
+                c.mysql.spark_type(),
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            ):
+                part_col = c.name
+        if part_col is None:
+            for c in info.columns:
+                if c.auto_increment:
+                    part_col = c.name
+                    break
+        if part_col is not None:
+            lo, hi = query_min_max(
+                self.spark, self.cfg.jdbc_url, dbtable, part_col,
+                props, self.jdbc_sink.dialect,
+            )
+            if lo is not None and hi is not None and hi > lo:
+                n = min(
+                    self.spark.sparkContext.defaultParallelism, hi - lo + 1
+                )
+                return self.spark.read.jdbc(
+                    self.cfg.jdbc_url, dbtable, column=part_col,
+                    lowerBound=lo, upperBound=hi + 1, numPartitions=n,
+                    properties=props,
+                )
+        return self.spark.read.jdbc(
+            self.cfg.jdbc_url, dbtable, properties=props
+        )
+
+    # ------------------------------------------------------------------
     def _restore_table_jdbc(self, tbl: MDTableMeta) -> TableReport:
         """Restore one table into a live database over JDBC (reference
         tidb backend, lightning/backend/tidb.go:370-419): schema replay ->
@@ -762,14 +804,36 @@ class Restorer:
             self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
 
             # remote checksum (I2/L2): read the TARGET back over JDBC and
-            # recompute — the ADMIN CHECKSUM analog (checksum.go:104-147)
-            written = self.spark.read.jdbc(
-                self.cfg.jdbc_url, dbtable,
-                properties=self.jdbc_sink.properties,
-            ).select(*cols)
+            # recompute — the ADMIN CHECKSUM analog (checksum.go:104-147).
+            # Partitioned on the integer PK when one exists (bounds from a
+            # one-row MIN/MAX probe): an unbounded spark.read.jdbc pulls
+            # the whole table through ONE connection, which at scale would
+            # serialize the verification scan.
+            written = self._jdbc_readback_df(dbtable, info).select(*cols)
+            auto_cols = [c for c in info.columns if c.auto_increment]
+            from tidb_lightning_spark.functions.checksum import (
+                canonical_row,
+                row_hash64,
+            )
+
+            # ONE readback scan serves count + checksum + rebase max
+            aggs = [F.count(F.lit(1)).alias("rows___")]
             if want_cks:
-                rep.rows, readback, _ = _readback_pass(
-                    written, cols, True, False
+                canon = canonical_row(cols)
+                aggs.append(
+                    F.sum(F.length(canon)).cast("bigint").alias("bytes___")
+                )
+                aggs.append(F.bit_xor(row_hash64(cols)).alias("value___"))
+            if auto_cols:
+                aggs.append(
+                    F.max(F.col(auto_cols[0].name).cast("long"))
+                    .alias("auto_max___")
+                )
+            row = written.agg(*aggs).collect()[0].asDict()
+            rep.rows = row["rows___"]
+            if want_cks:
+                readback = Checksum(
+                    rep.rows, row["bytes___"] or 0, row["value___"] or 0
                 )
                 if ingest_cks != readback:
                     msg = (
@@ -791,22 +855,15 @@ class Restorer:
                     tbl.db, tbl.name, "checksummed",
                     signature=sig, checksum=rep.checksum,
                 )
-            else:
-                rep.rows = written.count()
 
             # allocator rebase (L1/D2, restore/tidb.go:349-382): point the
             # target's id generator past the loaded max
-            auto_cols = [c for c in info.columns if c.auto_increment]
-            if auto_cols:
-                mx = written.agg(
-                    F.max(F.col(auto_cols[0].name).cast("long"))
-                ).collect()[0][0]
-                if mx is not None:
-                    JDBCSink.rebase_auto_increment(
-                        self.spark, self.cfg.jdbc_url, dbname, tbl.name,
-                        auto_cols[0].name, int(mx) + 1,
-                        properties=self.jdbc_sink.properties,
-                    )
+            if auto_cols and row.get("auto_max___") is not None:
+                JDBCSink.rebase_auto_increment(
+                    self.spark, self.cfg.jdbc_url, dbname, tbl.name,
+                    auto_cols[0].name, int(row["auto_max___"]) + 1,
+                    properties=self.jdbc_sink.properties,
+                )
             rep.status = "imported"
             metrics.TABLES.inc(
                 metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_SUCCESS
