@@ -687,10 +687,13 @@ class Restorer:
     def _restore_table_jdbc(self, tbl: MDTableMeta) -> TableReport:
         """Restore one table into a live database over JDBC (reference
         tidb backend, lightning/backend/tidb.go:370-419): schema replay ->
-        read+transform -> duplicate policy -> batched INSERT append ->
-        JDBC readback checksum -> auto-increment rebase. Single commit
-        unit per table (the reference's tidb backend likewise has no
-        engine staging — rows land as they are delivered)."""
+        read+transform -> duplicate policy -> batched INSERT -> JDBC
+        readback checksum -> auto-increment rebase. Improves on the
+        reference's direct-append delivery with a staged commit: rows
+        land in a `<table>__tls_stg` staging table, verify there, and
+        swap in atomically-enough (DROP+RENAME with crash recovery), so
+        retries/resumes never duplicate rows; only tables pre-populated
+        outside this tool are appended to directly (reference parity)."""
         from tidb_lightning_spark.operators.transform import ROWID_COL
         from tidb_lightning_spark.sinks.jdbc_sink import (
             JDBCSink,
@@ -742,17 +745,63 @@ class Restorer:
                 rep.status = "imported"
                 return rep
 
+            from tidb_lightning_spark.checkpoints import STATUS as _STATUS
+            from tidb_lightning_spark.sinks.jdbc_sink import table_row_probe
+
+            staging_name = f"{tbl.name}__tls_stg"
+            staging_dbtable = f"{dbname}.{staging_name}"
+            probe = lambda t: table_row_probe(  # noqa: E731
+                self.spark, self.cfg.jdbc_url, t, self.jdbc_sink.properties
+            )
+            # crash-window recovery: a kill between the swap's DROP and
+            # RENAME leaves the final table missing but the fully-verified
+            # staging table present (the checkpoint is < imported there,
+            # so this code always runs before any skip) — finish the
+            # rename first
+            final_count = probe(dbtable)
+            if final_count is None and probe(staging_dbtable) is not None:
+                self.jdbc_sink.rename_table(
+                    self.spark, dbname, staging_name, tbl.name
+                )
+                final_count = probe(dbtable)
+
             info = self._table_info(tbl)
+            prior_status = self.checkpoints.get(tbl.db, tbl.name).get(
+                "status", 0
+            )
             self.checkpoints.update(tbl.db, tbl.name, "loaded", signature=sig)
-            self.jdbc_sink.ensure_table(self.spark, info, dbtable)
 
             df, _ = self._read_and_transform(tbl, info)
             if df is None:  # schema-only table: DDL replay was the work
+                self.jdbc_sink.ensure_table(self.spark, info, dbtable)
                 rep.status = "imported"
                 self.checkpoints.update(
                     tbl.db, tbl.name, "imported", signature=sig
                 )
                 return rep
+
+            # staged commit (engine Close -> Import, backend.go:300-439,
+            # carried over to JDBC): when the target is empty/absent — or
+            # was loaded by a previous run of ours, so a re-import
+            # REPLACES like the files backend — rows land in a staging
+            # table, are checksum-verified there, and only then swap in.
+            # Retries and resumes can never duplicate rows, and a failed
+            # verification never touches the live table. Only a table
+            # pre-populated outside this tool is appended to directly
+            # (reference tidb-backend semantics; a mid-write crash there
+            # can leave partial rows — documented parity).
+            use_swap = (
+                final_count is None
+                or final_count == 0
+                or prior_status >= _STATUS["imported"]
+            )
+            if use_swap:
+                self.jdbc_sink.drop_table(self.spark, staging_dbtable)
+                self.jdbc_sink.ensure_table(self.spark, info, staging_dbtable)
+                write_name, write_dbtable = staging_name, staging_dbtable
+            else:
+                self.jdbc_sink.ensure_table(self.spark, info, dbtable)
+                write_name, write_dbtable = tbl.name, dbtable
 
             # strict mode: upfront probe — JDBC appends are not staged, so
             # there is no post-write commit gate to hook (the reference's
@@ -795,21 +844,22 @@ class Restorer:
 
                 obs = Observation()
                 out = out.observe(obs, *checksum_aggs(cols))
-            self.jdbc_sink.write_table(out, dbname, tbl.name, pk=None)
+            self.jdbc_sink.write_table(out, dbname, write_name, pk=None)
             if want_cks:
                 got = obs.get
                 ingest_cks = Checksum(
                     got["kvs"], got["total_bytes"] or 0, got["checksum"] or 0
                 )
-            self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
 
-            # remote checksum (I2/L2): read the TARGET back over JDBC and
-            # recompute — the ADMIN CHECKSUM analog (checksum.go:104-147).
-            # Partitioned on the integer PK when one exists (bounds from a
-            # one-row MIN/MAX probe): an unbounded spark.read.jdbc pulls
-            # the whole table through ONE connection, which at scale would
-            # serialize the verification scan.
-            written = self._jdbc_readback_df(dbtable, info).select(*cols)
+            # remote checksum (I2/L2): read the WRITTEN table back over
+            # JDBC and recompute — the ADMIN CHECKSUM analog
+            # (checksum.go:104-147); in the staged flow this verifies the
+            # staging table BEFORE the swap, so the live table never sees
+            # unverified data. Partitioned on the integer PK when one
+            # exists (bounds from a one-row MIN/MAX probe): an unbounded
+            # spark.read.jdbc pulls the whole table through ONE
+            # connection, which at scale would serialize the scan.
+            written = self._jdbc_readback_df(write_dbtable, info).select(*cols)
             auto_cols = [c for c in info.columns if c.auto_increment]
             from tidb_lightning_spark.functions.checksum import (
                 canonical_row,
@@ -831,6 +881,7 @@ class Restorer:
                 )
             row = written.agg(*aggs).collect()[0].asDict()
             rep.rows = row["rows___"]
+            readback = None
             if want_cks:
                 readback = Checksum(
                     rep.rows, row["bytes___"] or 0, row["value___"] or 0
@@ -841,11 +892,27 @@ class Restorer:
                         f"ingest {ingest_cks} != readback {readback}"
                     )
                     if self.cfg.checksum == "required":
+                        if use_swap:
+                            # pre-commit gate: bad staging never swaps in
+                            self.jdbc_sink.drop_table(
+                                self.spark, staging_dbtable
+                            )
                         self.checkpoints.update(
                             tbl.db, tbl.name, "closed", signature=sig
                         )
                         raise IngestError(msg)
                     log.warning(msg)
+
+            # Import step: verified staging table swaps into place. A
+            # crash between DROP and RENAME is repaired by the recovery
+            # probe at the top of this method.
+            if use_swap:
+                self.jdbc_sink.drop_table(self.spark, dbtable)
+                self.jdbc_sink.rename_table(
+                    self.spark, dbname, staging_name, tbl.name
+                )
+            self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
+            if want_cks:
                 rep.checksum = {
                     "kvs": readback.kvs,
                     "bytes": readback.total_bytes,
