@@ -333,3 +333,33 @@ def test_view_schema_replay_and_sql(spark, tmp_path, capsys):
     # resume: views are skipped like tables
     rep2 = Restorer(spark, cfg).run()
     assert all(t.status == "skipped" for t in rep2.tables)
+
+
+def test_table_concurrency_parallel_restore(spark, tmp_path):
+    """table-concurrency > 1 (reference lightning.table-concurrency):
+    multiple tables restore from driver threads concurrently with intact
+    checkpoints, reports and data."""
+    d = str(tmp_path / "dump")
+    write(f"{d}/c-schema-create.sql", "CREATE DATABASE IF NOT EXISTS c;")
+    for t in ("t1", "t2", "t3", "t4"):
+        write(
+            f"{d}/c.{t}-schema.sql",
+            f"CREATE TABLE {t} (a INT PRIMARY KEY, b VARCHAR(10));",
+        )
+        write(
+            f"{d}/c.{t}.csv",
+            "a,b\n" + "".join(f"{i},{t}_{i}\n" for i in range(50)),
+        )
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, table_concurrency=3
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    assert len(rep.tables) == 4
+    for t in ("t1", "t2", "t3", "t4"):
+        out = spark.read.parquet(f"{target}/c/{t}")
+        assert out.count() == 50
+    # resume skips everything, also concurrently
+    rep2 = Restorer(spark, cfg).run()
+    assert all(t.status == "skipped" for t in rep2.tables)

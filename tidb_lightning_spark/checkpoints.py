@@ -34,8 +34,13 @@ STATUS = {
 
 class CheckpointStore:
     def __init__(self, path: str, enabled: bool = True):
+        import threading
+
         self.path = path
         self.enabled = enabled
+        # in-process mutual exclusion for table-concurrency > 1 (the
+        # SQLite driver additionally serializes across processes)
+        self._lock = threading.RLock()
         self._data: dict = {"version": 1, "tables": {}}
         if enabled and os.path.exists(path):
             with open(path) as f:
@@ -61,13 +66,14 @@ class CheckpointStore:
         return self.get(db, table).get("status", 0)
 
     def update(self, db: str, table: str, status: str, **fields) -> None:
-        key = self.table_key(db, table)
-        rec = self._data["tables"].setdefault(key, {})
-        rec["status"] = STATUS[status]
-        rec["status_name"] = status
-        rec["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
-        rec.update(fields)
-        self._save()
+        with self._lock:
+            key = self.table_key(db, table)
+            rec = self._data["tables"].setdefault(key, {})
+            rec["status"] = STATUS[status]
+            rec["status_name"] = status
+            rec["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            rec.update(fields)
+            self._save()
 
     def source_signature(self, data_files) -> str:
         """Change-detection key: (path, size) of every input file."""
@@ -110,29 +116,32 @@ class CheckpointStore:
     def engine_update(
         self, db: str, table: str, engine: int, status: str, **fields
     ) -> None:
-        key = self.table_key(db, table)
-        rec = self._data["tables"].setdefault(key, {})
-        e = rec.setdefault("engines", {}).setdefault(str(engine), {})
-        e["status"] = status
-        e["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
-        e.update(fields)
-        self._save()
-
-    def clear_engines(self, db: str, table: str) -> None:
-        rec = self._data["tables"].get(self.table_key(db, table))
-        if rec and rec.pop("engines", None) is not None:
+        with self._lock:
+            key = self.table_key(db, table)
+            rec = self._data["tables"].setdefault(key, {})
+            e = rec.setdefault("engines", {}).setdefault(str(engine), {})
+            e["status"] = status
+            e["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            e.update(fields)
             self._save()
 
+    def clear_engines(self, db: str, table: str) -> None:
+        with self._lock:
+            rec = self._data["tables"].get(self.table_key(db, table))
+            if rec and rec.pop("engines", None) is not None:
+                self._save()
+
     def remove(self, db: str | None = None, table: str | None = None) -> int:
-        if db is None:
-            n = len(self._data["tables"])
-            self._data["tables"] = {}
-        else:
-            key = self.table_key(db, table)
-            n = 1 if key in self._data["tables"] else 0
-            self._data["tables"].pop(key, None)
-        self._save()
-        return n
+        with self._lock:
+            if db is None:
+                n = len(self._data["tables"])
+                self._data["tables"] = {}
+            else:
+                key = self.table_key(db, table)
+                n = 1 if key in self._data["tables"] else 0
+                self._data["tables"].pop(key, None)
+            self._save()
+            return n
 
     def dump(self) -> dict:
         return self._data

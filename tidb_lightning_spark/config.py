@@ -50,6 +50,12 @@ class Config:
     # this is imported as multiple independently-committed engines so a
     # failed run resumes from the last finished engine, not from zero
     engine_bytes: int = 100 * 1024**3
+    # driver-side parallel table restores (reference
+    # lightning.table-concurrency, config.go:352-408 — default 6 there).
+    # Spark already parallelizes WITHIN a table across all cores, so the
+    # default here is 1; raise it for many-small-tables workloads where a
+    # single table can't fill the cluster
+    table_concurrency: int = 1
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -88,6 +94,10 @@ class Config:
             "duplicate-resolution", cfg.duplicate_resolution
         )
         cfg.engine_bytes = _size(my.get("batch-size", cfg.engine_bytes))
+        lightning = raw.get("lightning", {})
+        cfg.table_concurrency = int(
+            lightning.get("table-concurrency", cfg.table_concurrency)
+        )
         cp = raw.get("checkpoint", {})
         cfg.checkpoint_enable = cp.get("enable", True)
         cfg.checkpoint_driver = cp.get("driver", cfg.checkpoint_driver)
@@ -140,6 +150,8 @@ class Config:
             raise ValueError(
                 f"invalid duplicate-resolution {self.duplicate_resolution!r}"
             )
+        if self.table_concurrency < 1:
+            raise ValueError("lightning.table-concurrency must be >= 1")
 
 
 def _charset(name: str) -> str:

@@ -204,32 +204,55 @@ class Restorer:
         # total, current speed, remaining-time estimate — one log line per
         # finished table (M6)
         total_bytes = sum(t.total_size for t in tables) or 1
-        done_bytes = 0
         metrics.BYTES.inc(metrics.BYTE_STATE_ESTIMATED, by=total_bytes)
         metrics.set_progress(
             status="running", tables_total=len(tables), tables_done=0,
             bytes_total=total_bytes, bytes_done=0,
         )
-        for i, tbl in enumerate(tables):
+        import threading
+
+        progress_lock = threading.Lock()
+        state = {"done": 0, "bytes": 0}
+
+        def _restore_one(tbl: MDTableMeta) -> TableReport:
             self.pauser.wait_if_paused()
             rep = self.restore_table(tbl)
-            report.tables.append(rep)
-            done_bytes += tbl.total_size
-            elapsed = max(time.time() - t0, 0.001)
-            speed = done_bytes / elapsed
-            eta = (total_bytes - done_bytes) / max(speed, 1.0)
-            log.info(
-                "progress: %d/%d tables, %.1f/%.1f MiB (%.0f%%), "
-                "%.2f MiB/s, ETA %.0fs",
-                i + 1, len(tables), done_bytes / 1048576,
-                total_bytes / 1048576, 100.0 * done_bytes / total_bytes,
-                speed / 1048576, eta,
-            )
-            metrics.update_progress(
-                tables_done=i + 1, bytes_done=done_bytes,
-                current=f"{tbl.db}.{tbl.name}", speed_mib_s=round(
-                    speed / 1048576, 3), eta_s=round(eta, 1),
-            )
+            with progress_lock:
+                state["done"] += 1
+                state["bytes"] += tbl.total_size
+                elapsed = max(time.time() - t0, 0.001)
+                speed = state["bytes"] / elapsed
+                eta = (total_bytes - state["bytes"]) / max(speed, 1.0)
+                log.info(
+                    "progress: %d/%d tables, %.1f/%.1f MiB (%.0f%%), "
+                    "%.2f MiB/s, ETA %.0fs",
+                    state["done"], len(tables), state["bytes"] / 1048576,
+                    total_bytes / 1048576,
+                    100.0 * state["bytes"] / total_bytes,
+                    speed / 1048576, eta,
+                )
+                metrics.update_progress(
+                    tables_done=state["done"], bytes_done=state["bytes"],
+                    current=f"{tbl.db}.{tbl.name}",
+                    speed_mib_s=round(speed / 1048576, 3),
+                    eta_s=round(eta, 1),
+                )
+            return rep
+
+        # driver-side table parallelism (reference table-concurrency,
+        # worker.go:23-65): Spark schedules jobs from N threads
+        # concurrently; small-table-first submission order is preserved in
+        # the report. Spark already parallelizes within a table, so >1
+        # only helps many-small-tables workloads.
+        conc = max(1, int(self.cfg.table_concurrency or 1))
+        if conc == 1:
+            for tbl in tables:
+                report.tables.append(_restore_one(tbl))
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=conc) as ex:
+                report.tables.extend(ex.map(_restore_one, tables))
         report.seconds = time.time() - t0
         metrics.update_progress(
             status="ok" if report.ok else "failed", current=None,
