@@ -2168,3 +2168,58 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(50)
     )
+
+
+@register(
+    "split_contamination",
+    f"""
+    WITH assigned AS (
+      SELECT doc_id, text,
+             {TX.sql_hash60("concat(CAST(doc_id AS VARCHAR), ':split-v1')")}
+               % 100 AS bucket
+      FROM documents
+    ), labeled AS (
+      SELECT doc_id, {TX.sql_fingerprint('text')} AS fp,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM assigned
+    )
+    SELECT t.doc_id AS test_doc_id, tr.doc_id AS train_doc_id
+    FROM labeled t JOIN labeled tr
+      ON t.fp = tr.fp AND t.split = 'test' AND tr.split = 'train'
+    ORDER BY test_doc_id, train_doc_id
+    """,
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: held-out (test-split) documents whose
+    canonical fingerprint also appears in the train split — the exact-
+    match contamination check a training pipeline runs before reporting
+    eval numbers. Composes corpus_split_assign's hash-bucket split with
+    the dedup fingerprint; the join shuffles (fp, doc_id) pairs only —
+    text dies at the scan. The near-dup analog swaps fp for MinHash band
+    keys (near_dup_minhash_lsh), same join shape."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        TX.hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":split-v1")))
+        % 100
+    )
+    labeled = d.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    t = labeled.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc_id"), "fp"
+    )
+    tr = labeled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "fp"
+    )
+    return (
+        t.join(tr, "fp")
+        .select("test_doc_id", "train_doc_id")
+        .orderBy("test_doc_id", "train_doc_id")
+    )
