@@ -363,3 +363,41 @@ def test_table_concurrency_parallel_restore(spark, tmp_path):
     # resume skips everything, also concurrently
     rep2 = Restorer(spark, cfg).run()
     assert all(t.status == "skipped" for t in rep2.tables)
+
+
+def test_csv_strict_absent_default_column_not_flagged(spark):
+    """Strict mode must not reject rows because a NOT NULL column with a
+    default (or an auto-increment column) is simply absent from the CSV —
+    MySQL fills those silently; only explicit NULLs and truly unfillable
+    absences error."""
+    from tidb_lightning_spark.operators.transform import (
+        ERR_COL,
+        transform_table,
+    )
+    from tidb_lightning_spark.schema.ddl import parse_create_table
+
+    info = parse_create_table(
+        "CREATE TABLE t (id INT PRIMARY KEY AUTO_INCREMENT, "
+        "v VARCHAR(5) NOT NULL, d VARCHAR(5) NOT NULL DEFAULT 'x', "
+        "req VARCHAR(5) NOT NULL);"
+    )
+    df = spark.createDataFrame([("a",), ("b",)], "_c0 string")
+    # id auto-fills, d defaults -> ok; req is absent with no fill -> error
+    out = transform_table(df, info, ["v"], "2024-01-01 00:00:00", strict=True)
+    assert all(r[ERR_COL] == "req" for r in out.collect())
+
+    info2 = parse_create_table(
+        "CREATE TABLE t (id INT PRIMARY KEY AUTO_INCREMENT, "
+        "v VARCHAR(5) NOT NULL, d VARCHAR(5) NOT NULL DEFAULT 'x');"
+    )
+    out2 = transform_table(df, info2, ["v"], "2024-01-01 00:00:00", strict=True)
+    rows = out2.collect()
+    assert all(r[ERR_COL] is None for r in rows)
+    assert {r["id"] for r in rows} == {1, 2}
+    assert all(r["d"] == "x" for r in rows)
+    # explicit NULL into NOT NULL still errors
+    df3 = spark.createDataFrame([("a", None)], "_c0 string, _c1 string")
+    out3 = transform_table(
+        df3, info2, ["v", "d"], "2024-01-01 00:00:00", strict=True
+    )
+    assert out3.collect()[0][ERR_COL] == "d"

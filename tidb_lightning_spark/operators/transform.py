@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tidb_lightning_spark.operators.cast import cast_column, violation_flag
+from tidb_lightning_spark.operators.cast import cast_column
 from tidb_lightning_spark.operators.gencols import translate_mysql_expr
 from tidb_lightning_spark.schema.ddl import CURRENT_TIMESTAMP, ColumnInfo, TableInfo
 
@@ -127,8 +127,12 @@ def cast_columns(
     strict: bool = False,
     binary_encoding: str = "UTF-8",
     unescape_cols: set[str] | None = None,
+    present: set[str] | None = None,
 ) -> DataFrame:
-    from tidb_lightning_spark.operators.cast import mysql_unescape_expr
+    from tidb_lightning_spark.operators.cast import (
+        _string_lossy_flag,
+        mysql_unescape_expr,
+    )
 
     cols: list[Column] = []
     errs: list[Column] = []
@@ -143,7 +147,20 @@ def cast_columns(
         casted = cast_column(raw, c, binary_encoding)
         cols.append(casted.alias(c.name))
         if strict:
-            errs.append(violation_flag(raw, casted, c))
+            # NULL-into-NOT-NULL policy mirrors MySQL strict mode: an
+            # EXPLICIT NULL in the file errors (unless the column is
+            # auto-filled); a column ABSENT from the file silently takes
+            # its default/auto value and only errors when no fill exists
+            # (reference GetColDefaultValue error path, sql2kv.go:326)
+            flag = _string_lossy_flag(raw, casted, c)
+            auto = c.auto_increment or bool(c.auto_random_bits)
+            is_present = present is None or c.name.lower() in present
+            if not c.nullable and not auto:
+                if is_present:
+                    flag = flag | raw.isNull()
+                elif not c.has_default:
+                    flag = flag | F.lit(True)
+            errs.append(F.when(flag, F.lit(c.name)).otherwise(F.lit(None)))
     passthrough = [
         F.col(c)
         for c in df.columns
@@ -360,7 +377,7 @@ def transform_table(
     out = assign_row_ids(out, rowid_base, dense=needs_dense)
     out = cast_columns(
         out, info, strict=strict, binary_encoding=binary_encoding,
-        unescape_cols=unescape_cols,
+        unescape_cols=unescape_cols, present=present,
     )
     out = fill_defaults(out, info, present, pinned_timestamp)
     out = eval_generated_columns(out, info)
