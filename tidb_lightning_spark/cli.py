@@ -24,6 +24,10 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--target", required=True, help="warehouse output directory")
     run.add_argument("--config", help="TOML task config (reference-compatible)")
     run.add_argument("--no-schema", action="store_true", default=None)
+    run.add_argument("--filter", "-f", action="append", default=None,
+                     metavar="GLOB",
+                     help="table filter glob, repeatable (reference -f: "
+                          "'db.tbl', '!mysql.*', ...)")
     run.add_argument("--strict", action="store_true", default=None,
                      help="strict sql_mode (error on lossy casts)")
     run.add_argument("--checksum", choices=["off", "optional", "required"])
@@ -124,6 +128,7 @@ def _run(args) -> int:
         no_schema=args.no_schema,
         strict_sql_mode=args.strict,
         checksum=args.checksum,
+        filter=args.filter,
         backend=args.backend,
         jdbc_url=args.jdbc_url,
         jdbc_driver=args.jdbc_driver,

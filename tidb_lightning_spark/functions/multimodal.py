@@ -34,7 +34,6 @@ import hashlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 META_SCHEMA = T.StructType(

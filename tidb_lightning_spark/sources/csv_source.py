@@ -32,7 +32,7 @@ import codecs
 import dataclasses
 import io
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
