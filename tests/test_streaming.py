@@ -205,3 +205,61 @@ def test_stream_to_warehouse_idempotent_batches(spark, stream_dir, tmp_path):
     assert [p for p in os.listdir(tbl) if p.startswith("_batch_id=")] == [
         "_batch_id=0"
     ]
+
+
+# ---------------------------------------------------------------------------
+# Continuous restore (streaming/ingest.py): incremental file ingestion
+# through the batch transform chain with exactly-once batches
+# ---------------------------------------------------------------------------
+
+
+def test_stream_restore_incremental(spark, tmp_path):
+    import os
+
+    from tidb_lightning_spark.schema.ddl import parse_create_table
+    from tidb_lightning_spark.sources.csv_source import CSVConfig
+    from tidb_lightning_spark.streaming.ingest import stream_restore
+
+    info = parse_create_table(
+        "CREATE TABLE t (id BIGINT PRIMARY KEY AUTO_INCREMENT, "
+        "v VARCHAR(10) NOT NULL, score DECIMAL(6,2));"
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    table_dir = str(tmp_path / "wh" / "d" / "t")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "d.t.000.csv").write_text("v,score\na,1.50\nb,\\N\n")
+    stream_restore(
+        spark, f"{src}/d.t.*.csv", table_dir, ckpt, info,
+        csv=CSVConfig(), file_columns=["v", "score"],
+    )
+    out = spark.read.parquet(table_dir)
+    assert out.count() == 2
+
+    # second file arrives -> only IT is ingested on the next drain
+    (src / "d.t.001.csv").write_text("v,score\nc,3.25\n")
+    stream_restore(
+        spark, f"{src}/d.t.*.csv", table_dir, ckpt, info,
+        csv=CSVConfig(), file_columns=["v", "score"],
+    )
+    out = spark.read.parquet(table_dir)
+    rows = {r["v"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    import decimal
+
+    assert rows["a"]["score"] == decimal.Decimal("1.50")
+    assert rows["b"]["score"] is None
+    # auto-increment ids unique across batches (disjoint batch ranges)
+    ids = [r["id"] for r in rows.values()]
+    assert len(set(ids)) == 3 and all(i is not None for i in ids)
+
+    # a third drain with nothing new is a no-op (no duplicate batches)
+    stream_restore(
+        spark, f"{src}/d.t.*.csv", table_dir, ckpt, info,
+        csv=CSVConfig(), file_columns=["v", "score"],
+    )
+    assert spark.read.parquet(table_dir).count() == 3
+    # exactly-once layout: one _batch_id dir per non-empty batch
+    batches = [d for d in os.listdir(table_dir) if d.startswith("_batch_id=")]
+    assert len(batches) >= 2

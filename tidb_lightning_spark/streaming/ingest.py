@@ -1,0 +1,141 @@
+"""Continuous restore: the streaming twin of the batch pipeline.
+
+The reference is strictly one-shot batch (SURVEY.md §2.O: no streaming
+surface); real ingestion directories, however, GROW — dumpers land new
+`db.tbl.N.csv` files while earlier ones are already loaded. This module
+watches a dump directory with Structured Streaming and incrementally
+restores newly-arrived data files through the SAME transform chain as
+the batch path (permute -> cast -> defaults -> gencols; operators/
+transform.py), with exactly-once delivery into the warehouse layout:
+
+  * discovery/offsets: Spark's file-stream source checkpoints which
+    files were consumed — the streaming analog of the chunk checkpoint
+    (reference checkpoints.go) with zero custom state;
+  * exactly-once: every micro-batch overwrites its own
+    `_batch_id=N` subdirectory (same pattern as
+    streaming/events.stream_to_warehouse) — a replayed batch rewrites
+    the identical directory instead of duplicating rows;
+  * row ids: `batch_id << 40 | within-batch id` — disjoint ranges per
+    batch (40 bits ≈ 10^12 rows/batch headroom), mirroring the batch
+    path's per-file range reservation (region.go:208-286). Stable on
+    replay because Structured Streaming re-runs a batch over the SAME
+    file set.
+
+Readers see ordinary partitioned parquet; `cli sql` works unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from tidb_lightning_spark.schema.ddl import TableInfo
+from tidb_lightning_spark.sources.csv_source import CSVConfig
+
+
+def _reader_schema(info: TableInfo, file_columns: list[str] | None) -> T.StructType:
+    n = len(file_columns) if file_columns else sum(
+        1 for c in info.columns if c.generated_expr is None
+    )
+    return T.StructType(
+        [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n)]
+    )
+
+
+def read_csv_stream(
+    spark: SparkSession,
+    source_glob: str,
+    info: TableInfo,
+    csv: CSVConfig | None = None,
+    file_columns: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream CSV source with the MySQL dialect options of the batch
+    reader (csv_source.py option mapping) and an all-string schema — the
+    typed cast happens in the shared transform chain, identically to the
+    batch path."""
+    csv = csv or CSVConfig()
+    reader = (
+        spark.readStream.schema(_reader_schema(info, file_columns))
+        .option("sep", csv.separator)
+        .option("quote", csv.delimiter or '"')
+        .option("escape", "\\" if csv.backslash_escape else '"')
+        .option("nullValue", csv.null)
+        .option("header", str(bool(csv.header)).lower())
+        .option("mode", "PERMISSIVE")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.csv(source_glob)
+
+
+def stream_restore(
+    spark: SparkSession,
+    source_glob: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    info: TableInfo,
+    csv: CSVConfig | None = None,
+    file_columns: list[str] | None = None,
+    pinned_timestamp: str = "1970-01-01 00:00:00",
+    strict: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Incrementally restore new data files matching `source_glob` into
+    `table_dir`. Each call drains everything currently available
+    (trigger availableNow) and returns; re-running with the same
+    `checkpoint_dir` ingests only files that arrived since — the
+    continuous-restore loop. Set available_now=False for an always-on
+    query (caller manages the handle)."""
+    from tidb_lightning_spark.operators.transform import (
+        ERR_COL,
+        transform_table,
+    )
+
+    stream = read_csv_stream(
+        spark, source_glob, info, csv=csv, file_columns=file_columns,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform_table(
+            batch_df,
+            info,
+            file_columns,
+            pinned_timestamp,
+            strict=strict,
+            rowid_base=batch_id << 40,
+        )
+        if strict and ERR_COL in out.columns:
+            bad = (
+                out.filter(out[ERR_COL].isNotNull())
+                .select(ERR_COL).limit(3).collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"strict sql_mode violations in batch {batch_id}: "
+                    f"columns {[r[0] for r in bad]}"
+                )
+        if ERR_COL in out.columns:
+            out = out.drop(ERR_COL)
+        sort_cols = info.primary_key or None
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        out.write.mode("overwrite").parquet(f"{table_dir}/_batch_id={batch_id}")
+
+    writer = stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+        import time as _time
+
+        for _ in range(200):
+            if all(a.id != q.id for a in spark.streams.active):
+                break
+            _time.sleep(0.05)
+    return q
