@@ -401,3 +401,87 @@ def test_csv_strict_absent_default_column_not_flagged(spark):
         df3, info2, ["v", "d"], "2024-01-01 00:00:00", strict=True
     )
     assert out3.collect()[0][ERR_COL] == "d"
+
+
+# ---------------------------------------------------------------------------
+# Round-4 code-review fixes
+# ---------------------------------------------------------------------------
+
+
+def test_parse_create_view_qualified_backticks():
+    from tidb_lightning_spark.schema.ddl import parse_create_view
+
+    v = parse_create_view(
+        "CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`%` VIEW `db1`.`v1` "
+        "(`i`) AS SELECT `i` FROM `db1`.`tbl`;\n"
+    )
+    assert v.name == "v1"
+    assert v.columns == ["i"]
+
+
+def test_parquet_strict_explicit_null_with_default_flags(spark):
+    """CSV-path parity: an explicit NULL stored in the parquet file into
+    a NOT NULL DEFAULT column errors under strict mode (MySQL semantics);
+    only an ABSENT column silently takes the default."""
+    from tidb_lightning_spark.operators.transform import ERR_COL
+
+    out = _parquet_transform(
+        spark,
+        "CREATE TABLE t (a INT PRIMARY KEY, "
+        "d VARCHAR(5) NOT NULL DEFAULT 'x');",
+        [(1, None), (2, "ok")],
+        "a long, d string",
+        strict=True,
+    )
+    rows = {r["a"]: r for r in out.collect()}
+    assert rows[1][ERR_COL] == "d"
+    assert rows[2][ERR_COL] is None
+
+
+def test_jdbc_append_into_prepopulated_table(spark, tmp_path):
+    """A target table populated OUTSIDE the tool keeps append semantics:
+    the restore adds its rows, verification checks the delivered-row
+    delta (a whole-table checksum cannot isolate appended rows), and the
+    pre-existing rows survive."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+    from tidb_lightning_spark.sinks.jdbc_sink import execute_ddl
+
+    DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:{tmp_path}/appdb;create=true"
+    props = {"driver": DERBY}
+    # pre-create and populate the target outside the tool
+    execute_ddl(
+        spark, url,
+        'CREATE TABLE shop.people ("id" INTEGER NOT NULL '
+        'GENERATED BY DEFAULT AS IDENTITY, "name" VARCHAR(20) NOT NULL, '
+        '"score" DECIMAL(6,2), PRIMARY KEY ("id"))',
+        props,
+    )
+    execute_ddl(
+        spark, url,
+        "INSERT INTO shop.people (\"id\", \"name\", \"score\") "
+        "VALUES (100, 'external', 9.99)",
+        props,
+    )
+
+    d = str(tmp_path / "dump")
+    write(f"{d}/shop-schema-create.sql", "CREATE DATABASE IF NOT EXISTS shop;")
+    write(
+        f"{d}/shop.people-schema.sql",
+        "CREATE TABLE people (id INT PRIMARY KEY AUTO_INCREMENT, "
+        "name VARCHAR(20) NOT NULL, score DECIMAL(6,2));",
+    )
+    write(f"{d}/shop.people.csv", "name,score\nalice,1.00\nbob,2.00\n")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=str(tmp_path / "state"),
+        backend="jdbc", jdbc_url=url, jdbc_driver=DERBY,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    (trep,) = rep.tables
+    assert trep.rows == 2  # delivered rows, not whole-table count
+
+    back = spark.read.jdbc(url, "shop.people", properties=props)
+    names = sorted(r["name"] for r in back.collect())
+    assert names == ["alice", "bob", "external"]  # appended, not replaced

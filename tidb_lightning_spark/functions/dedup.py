@@ -33,7 +33,14 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     its inputs, so an in-function unpersist would defeat the cache; tying
     the unpersist to the result's lifetime frees the blocks as soon as the
     caller discards the result (promptly under CPython refcounting) —
-    long-lived sessions no longer accumulate leaked cache entries."""
+    long-lived sessions no longer accumulate leaked cache entries.
+
+    Caveat (correctness-neutral): a caller that DERIVES a plan and drops
+    the handle (`lsh_candidate_pairs(...).filter(...)`) releases the
+    cache before execution and simply recomputes the signatures — derived
+    Spark plans hold no Python reference to `result`. Callers composing
+    further should keep the returned object alive until their action
+    runs (as near_dup_clusters does via its `pairs` local)."""
     import weakref
 
     def _cleanup(dfs=cached):

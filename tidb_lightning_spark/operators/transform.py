@@ -324,11 +324,13 @@ def transform_parquet_table(
             casted = cast_typed_column(raw, src_type, c)
             if strict:
                 # lossy casts, out-of-(signed/unsigned)-range numerics,
-                # overlong strings — same checks as the CSV path — plus
-                # NULL into NOT NULL with no default/auto fill
+                # overlong strings — same checks as the CSV path. An
+                # EXPLICIT NULL stored in the file errors for NOT NULL
+                # columns regardless of default (MySQL strict; CSV-path
+                # parity), unless auto-filled.
                 flag = typed_violation_flag(raw, casted, c, src_type)
                 if not c.nullable and not (
-                    c.auto_increment or c.auto_random_bits or c.has_default
+                    c.auto_increment or c.auto_random_bits
                 ):
                     flag = flag | raw.isNull()
                 errs.append(

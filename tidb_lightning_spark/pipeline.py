@@ -777,16 +777,20 @@ class Restorer:
                 self.spark, self.cfg.jdbc_url, t, self.jdbc_sink.properties
             )
             # crash-window recovery: a kill between the swap's DROP and
-            # RENAME leaves the final table missing but the fully-verified
-            # staging table present (the checkpoint is < imported there,
-            # so this code always runs before any skip) — finish the
-            # rename first
+            # RENAME leaves the final table missing but the staging table
+            # present (the checkpoint is < imported there, so this code
+            # always runs before any skip) — finish the rename so readers
+            # have a table again. The recovered table is OURS (possibly a
+            # partial staging from a mid-write crash), so the re-import
+            # below MUST take the swap path, never append onto it.
+            recovered = False
             final_count = probe(dbtable)
             if final_count is None and probe(staging_dbtable) is not None:
                 self.jdbc_sink.rename_table(
                     self.spark, dbname, staging_name, tbl.name
                 )
                 final_count = probe(dbtable)
+                recovered = True
 
             info = self._table_info(tbl)
             prior_status = self.checkpoints.get(tbl.db, tbl.name).get(
@@ -814,7 +818,8 @@ class Restorer:
             # (reference tidb-backend semantics; a mid-write crash there
             # can leave partial rows — documented parity).
             use_swap = (
-                final_count is None
+                recovered
+                or final_count is None
                 or final_count == 0
                 or prior_status >= _STATUS["imported"]
             )
@@ -889,9 +894,15 @@ class Restorer:
                 row_hash64,
             )
 
-            # ONE readback scan serves count + checksum + rebase max
+            # ONE readback scan serves count + checksum + rebase max.
+            # Full value-level verification only makes sense on the swap
+            # path (the readback covers exactly the delivered rows); on a
+            # direct append into a pre-populated table the readback mixes
+            # old rows in, so verification degrades to a delivered-row
+            # count check (the reference's tidb backend performs no
+            # readback verification at all on its appends).
             aggs = [F.count(F.lit(1)).alias("rows___")]
-            if want_cks:
+            if want_cks and use_swap:
                 canon = canonical_row(cols)
                 aggs.append(
                     F.sum(F.length(canon)).cast("bigint").alias("bytes___")
@@ -903,28 +914,46 @@ class Restorer:
                     .alias("auto_max___")
                 )
             row = written.agg(*aggs).collect()[0].asDict()
-            rep.rows = row["rows___"]
-            readback = None
-            if want_cks:
-                readback = Checksum(
-                    rep.rows, row["bytes___"] or 0, row["value___"] or 0
-                )
-                if ingest_cks != readback:
-                    msg = (
-                        f"checksum mismatch `{tbl.db}`.`{tbl.name}`: "
-                        f"ingest {ingest_cks} != readback {readback}"
+
+            def _verify_failed(msg: str) -> None:
+                if self.cfg.checksum == "required":
+                    if use_swap:
+                        # pre-commit gate: bad staging never swaps in
+                        self.jdbc_sink.drop_table(self.spark, staging_dbtable)
+                    self.checkpoints.update(
+                        tbl.db, tbl.name, "closed", signature=sig
                     )
-                    if self.cfg.checksum == "required":
-                        if use_swap:
-                            # pre-commit gate: bad staging never swaps in
-                            self.jdbc_sink.drop_table(
-                                self.spark, staging_dbtable
-                            )
-                        self.checkpoints.update(
-                            tbl.db, tbl.name, "closed", signature=sig
+                    raise IngestError(msg)
+                log.warning(msg)
+
+            readback = None
+            if use_swap:
+                rep.rows = row["rows___"]
+                if want_cks:
+                    readback = Checksum(
+                        rep.rows, row["bytes___"] or 0, row["value___"] or 0
+                    )
+                    if ingest_cks != readback:
+                        _verify_failed(
+                            f"checksum mismatch `{tbl.db}`.`{tbl.name}`: "
+                            f"ingest {ingest_cks} != readback {readback}"
                         )
-                        raise IngestError(msg)
-                    log.warning(msg)
+            else:
+                rep.rows = row["rows___"] - (final_count or 0)
+                if want_cks:
+                    readback = ingest_cks  # delivered-row triple
+                    if rep.rows != ingest_cks.kvs:
+                        _verify_failed(
+                            f"append count mismatch `{tbl.db}`.`{tbl.name}`:"
+                            f" delivered {ingest_cks.kvs} rows but the "
+                            f"table grew by {rep.rows}"
+                        )
+                    log.info(
+                        "append into pre-populated `%s`.`%s`: verified "
+                        "delivered-row count only (value-level readback "
+                        "cannot isolate appended rows)",
+                        tbl.db, tbl.name,
+                    )
 
             # Import step: verified staging table swaps into place. A
             # crash between DROP and RENAME is repaired by the recovery
@@ -1087,8 +1116,13 @@ class Restorer:
                         for c in info.columns
                         if c.mysql.base in STRING_FAMILY_BASES
                     }
+                # DECOMPRESSED sizes (same fix as the SQL-dump path): a
+                # gz CSV's rows can exceed compressed_bytes // n_cols,
+                # overrunning the next group's row-id base
                 group_bytes = sum(
-                    f.file_size for f in csv_files if f.path in set(paths)
+                    sqldump_source.decompressed_size(f.path)
+                    for f in csv_files
+                    if f.path in set(paths)
                 )
                 parts.append(
                     transform_table(

@@ -27,6 +27,7 @@ correctness gate exercises them.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -93,6 +94,32 @@ def widen(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if n_parts < cores:
         return df.repartition(cores)
     return df
+
+
+def _footer_num_rows(path: str) -> int:
+    """Total row count from parquet footers — file OR directory layout
+    (read_table supports both), driver-side metadata only, no Spark job."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(path):
+        return sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        )
+    return _pq.ParquetFile(path).metadata.num_rows
+
+
+def _first_parquet_batch(path: str, columns: list[str]):
+    """One tiny record batch from the first part file (file or dir)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(path):
+        path = sorted(_glob.glob(os.path.join(path, "*.parquet")))[0]
+    return next(_pq.ParquetFile(path).iter_batches(batch_size=1, columns=columns))
 
 
 @dataclass(frozen=True)
@@ -581,11 +608,10 @@ def vocab_top_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The backbone of stopword discovery / TF-IDF weighting over a
     training corpus."""
     d = load(spark, sf_dir, "documents")
-    # corpus size from the parquet footer (driver-side metadata read, no
-    # Spark job) — the SQL twin gets it from a CTE over the same footer
-    import pyarrow.parquet as _pq
-
-    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    # corpus size from the parquet footers (driver-side metadata read, no
+    # Spark job; file-or-directory layout) — the SQL twin gets it from a
+    # CTE over the same footers
+    n_docs = _footer_num_rows(f"{sf_dir}/documents.parquet")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
     )
@@ -804,12 +830,8 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     # Dimension probe: one parquet page on the driver (pyarrow), not a
     # Spark job — keeps knn_cosine_lsh a single job end-to-end.
-    import pyarrow.parquet as _pq
-
-    _batch = next(
-        _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").iter_batches(
-            batch_size=1, columns=["embedding"]
-        )
+    _batch = _first_parquet_batch(
+        f"{sf_dir}/embeddings.parquet", ["embedding"]
     )
     dim = len(_batch.column("embedding")[0])
     # 6 planes -> 64 buckets: ~n/64 candidates per query. More planes =

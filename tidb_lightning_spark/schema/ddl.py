@@ -544,6 +544,7 @@ def parse_create_view(sql: str) -> ViewInfo:
     # statement = the CREATE ... VIEW line(s) up to its terminating ';'
     m = _re.search(
         r"CREATE\b[^;]*?\bVIEW\s+"
+        r"(?:`[^`]+`\s*\.\s*)?"  # optional `db`. qualifier
         r"(?:`(?P<q>[^`]+)`|(?P<p>[A-Za-z0-9_$.]+))"  # `name` or name
         r"\s*(?:\((?P<cols>[^)]*)\))?"
         r"\s*AS\s+(?P<body>.*?);[ \t]*$",

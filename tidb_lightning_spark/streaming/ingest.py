@@ -15,22 +15,52 @@ transform.py), with exactly-once delivery into the warehouse layout:
     `_batch_id=N` subdirectory (same pattern as
     streaming/events.stream_to_warehouse) — a replayed batch rewrites
     the identical directory instead of duplicating rows;
-  * row ids: `batch_id << 40 | within-batch id` — disjoint ranges per
-    batch (40 bits ≈ 10^12 rows/batch headroom), mirroring the batch
-    path's per-file range reservation (region.go:208-286). Stable on
-    replay because Structured Streaming re-runs a batch over the SAME
-    file set.
+  * row ids: each batch gets an EXACT disjoint range [base, base+rows)
+    allocated from a sidecar ledger in the stream checkpoint dir —
+    mirroring the batch path's per-file range reservation
+    (region.go:208-286). Dense allocation (not a bit-shift scheme) keeps
+    ids small enough to backfill INT/SMALLINT auto-increment columns
+    without wrapping. Replay-stable: a re-run batch re-reads ITS
+    recorded base from the ledger (persisted before any data write).
 
 Readers see ordinary partitioned parquet; `cli sql` works unchanged.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from tidb_lightning_spark.schema.ddl import TableInfo
 from tidb_lightning_spark.sources.csv_source import CSVConfig
+
+
+def _allocate_batch_base(checkpoint_dir: str, batch_id: int, n_rows: int) -> int:
+    """Disjoint per-batch row-id range from a ledger file next to the
+    stream checkpoint: {"bases": {batch_id: base}, "next": N}. The ledger
+    is written (atomic rename) BEFORE any data write, so a replayed batch
+    finds and reuses its recorded base — the streaming analog of the
+    batch path's pre-allocated chunk ranges (region.go:208-286)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, "rowid_bases.json")
+    state = {"bases": {}, "next": 0}
+    if os.path.exists(path):
+        with open(path) as f:
+            state = json.load(f)
+    key = str(batch_id)
+    if key in state["bases"]:
+        return state["bases"][key]
+    base = state["next"]
+    state["bases"][key] = base
+    state["next"] = base + n_rows
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+    return base
 
 
 def _reader_schema(info: TableInfo, file_columns: list[str] | None) -> T.StructType:
@@ -99,13 +129,18 @@ def stream_restore(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # exact disjoint range per batch; the count pass is the same one
+        # dense auto-inc allocation performs on the batch path
+        base = _allocate_batch_base(
+            checkpoint_dir, batch_id, batch_df.count()
+        )
         out = transform_table(
             batch_df,
             info,
             file_columns,
             pinned_timestamp,
             strict=strict,
-            rowid_base=batch_id << 40,
+            rowid_base=base,
         )
         if strict and ERR_COL in out.columns:
             bad = (
