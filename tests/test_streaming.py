@@ -263,3 +263,34 @@ def test_stream_restore_incremental(spark, tmp_path):
     # exactly-once layout: one _batch_id dir per non-empty batch
     batches = [d for d in os.listdir(table_dir) if d.startswith("_batch_id=")]
     assert len(batches) >= 2
+
+
+def test_cli_stream_continuous_restore(spark, tmp_path, capsys):
+    """`cli stream`: drain a growing dump dir incrementally; warehouse
+    readable via `cli sql` between drains."""
+    import json as _json
+
+    from tidb_lightning_spark import cli
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "s-schema-create.sql").write_text("CREATE DATABASE IF NOT EXISTS s;")
+    (d / "s.ev-schema.sql").write_text(
+        "CREATE TABLE ev (id BIGINT PRIMARY KEY AUTO_INCREMENT, "
+        "v VARCHAR(10) NOT NULL);"
+    )
+    (d / "s.ev.000.csv").write_text("v\na\nb\n")
+    target = str(tmp_path / "wh")
+
+    assert cli.main(["stream", "--source", str(d), "--target", target]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"drained_tables": ["s.ev"], "ok": True}
+    assert spark.read.parquet(f"{target}/s/ev").count() == 2
+
+    (d / "s.ev.001.csv").write_text("v\nc\n")
+    assert cli.main(["stream", "--source", str(d), "--target", target]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(f"{target}/s/ev")
+    assert sorted(r["v"] for r in got.collect()) == ["a", "b", "c"]
+    ids = [r["id"] for r in got.collect()]
+    assert len(set(ids)) == 3  # dense disjoint per-batch ranges

@@ -95,6 +95,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=1000,
                    help="max rows printed (the plan itself is unlimited)")
 
+    st = sub.add_parser(
+        "stream",
+        help="continuous restore: drain newly-arrived CSV data files from "
+             "a growing dump dir into the warehouse (beyond-reference; "
+             "re-run or cron for incremental ingestion)",
+    )
+    st.add_argument("--source", "-d", required=True,
+                    help="dump directory being appended to")
+    st.add_argument("--target", required=True,
+                    help="warehouse output directory")
+    st.add_argument("--config", help="TOML task config (CSV dialect etc.)")
+    st.add_argument("--strict", action="store_true", default=None)
+    st.add_argument("--log-level", default="INFO")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level.upper() if hasattr(args, "log_level") else "INFO",
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
@@ -102,6 +116,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "ctl":
             return _ctl(args)
+        if args.cmd == "stream":
+            return _stream(args)
         if args.cmd == "sql":
             return _sql(args)
         if args.cmd == "serve":
@@ -186,6 +202,68 @@ def _register_views(spark, warehouse: str) -> int:
                                 db, name)
             break
     return registered
+
+
+def _stream(args) -> int:
+    """One incremental drain per table: discover the dump dir, then run
+    the file-stream restore (streaming/ingest.py) for every table that
+    has CSV data files. Consumed files ride the per-table stream
+    checkpoint under `<target>/<db>/_stream_ckpt/<table>` — re-running
+    ingests only what arrived since (the continuous-restore loop)."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.session import get_spark
+    from tidb_lightning_spark.sources import csv_source
+    from tidb_lightning_spark.sources.loader import discover
+    from tidb_lightning_spark.sources.router import FileRouter
+    from tidb_lightning_spark.sources.table_filter import TableFilter
+    from tidb_lightning_spark.streaming.ingest import stream_restore
+
+    cfg = Config.from_toml(
+        args.config, source_dir=args.source, target_dir=args.target,
+        strict_sql_mode=args.strict,
+    )
+    spark = get_spark(app_name="tls-stream")
+    spark.sparkContext.setLogLevel("WARN")
+    result = discover(
+        cfg.source_dir,
+        file_router=FileRouter.build(cfg.file_routes, cfg.default_file_rules),
+        table_filter=TableFilter(cfg.filter, cfg.case_sensitive),
+        no_schema=cfg.no_schema,
+        spark=spark,
+    )
+    from tidb_lightning_spark.schema.ddl import parse_create_table
+
+    drained = []
+    for tbl in result.sorted_tables():
+        csv_files = [f for f in tbl.data_files if f.type == "csv"]
+        if not csv_files or tbl.view_schema_file:
+            continue
+        with open(tbl.schema_file) as f:
+            info = parse_create_table(f.read())
+        file_columns = None
+        if cfg.csv.header:
+            header, _ = next(
+                iter(
+                    csv_source.group_files_by_header(
+                        [csv_files[0].path], cfg.csv
+                    )
+                )
+            )
+            file_columns = list(header) if header else None
+        glob = os.path.join(cfg.source_dir, f"{tbl.db}.{tbl.name}*.csv")
+        stream_restore(
+            spark,
+            glob,
+            os.path.join(cfg.target_dir, tbl.db, tbl.name),
+            os.path.join(cfg.target_dir, tbl.db, "_stream_ckpt", tbl.name),
+            info,
+            csv=cfg.csv,
+            file_columns=file_columns,
+            strict=cfg.strict_sql_mode,
+        )
+        drained.append(f"{tbl.db}.{tbl.name}")
+    print(json.dumps({"drained_tables": drained, "ok": True}))
+    return 0
 
 
 def _sql(args) -> int:

@@ -1118,9 +1118,14 @@ class Restorer:
                     }
                 # DECOMPRESSED sizes (same fix as the SQL-dump path): a
                 # gz CSV's rows can exceed compressed_bytes // n_cols,
-                # overrunning the next group's row-id base
+                # overrunning the next group's row-id base. Remote-scheme
+                # URIs (s3a://...) keep the discovery size — compressed
+                # remote CSVs aren't locally peekable (README remote
+                # caveat), and plain remote files have size == text size.
                 group_bytes = sum(
                     sqldump_source.decompressed_size(f.path)
+                    if os.path.exists(f.path)
+                    else f.file_size
                     for f in csv_files
                     if f.path in set(paths)
                 )
