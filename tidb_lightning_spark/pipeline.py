@@ -983,6 +983,35 @@ class Restorer:
                     auto_cols[0].name, int(row["auto_max___"]) + 1,
                     properties=self.jdbc_sink.properties,
                 )
+
+            # post-load ANALYZE at the live target (L3,
+            # restore.go:2215-2220): refresh the target's optimizer stats;
+            # failures only fail the load under analyze=required
+            if self.cfg.analyze != "off":
+                from tidb_lightning_spark.sinks.jdbc_sink import execute_ddl
+
+                if self.jdbc_sink.dialect == "derby":
+                    stats_sql = (
+                        "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS("
+                        f"'{dbname.upper()}', '{tbl.name.upper()}', NULL)"
+                    )
+                else:
+                    stats_sql = f"ANALYZE TABLE {dbtable}"
+                try:
+                    execute_ddl(
+                        self.spark, self.cfg.jdbc_url, stats_sql,
+                        self.jdbc_sink.properties,
+                    )
+                    self.checkpoints.update(
+                        tbl.db, tbl.name, "analyzed", signature=sig
+                    )
+                except Exception as exc:
+                    if self.cfg.analyze == "required":
+                        raise
+                    log.warning(
+                        "ANALYZE skipped for `%s`.`%s`: %s",
+                        tbl.db, tbl.name, exc,
+                    )
             rep.status = "imported"
             metrics.TABLES.inc(
                 metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_SUCCESS
