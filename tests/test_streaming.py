@@ -284,7 +284,7 @@ def test_cli_stream_continuous_restore(spark, tmp_path, capsys):
 
     assert cli.main(["stream", "--source", str(d), "--target", target]) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out == {"drained_tables": ["s.ev"], "ok": True}
+    assert out["drained_tables"] == ["s.ev"] and out["ok"]
     assert spark.read.parquet(f"{target}/s/ev").count() == 2
 
     (d / "s.ev.001.csv").write_text("v\nc\n")
@@ -294,3 +294,31 @@ def test_cli_stream_continuous_restore(spark, tmp_path, capsys):
     assert sorted(r["v"] for r in got.collect()) == ["a", "b", "c"]
     ids = [r["id"] for r in got.collect()]
     assert len(set(ids)) == 3  # dense disjoint per-batch ranges
+
+
+def test_cli_stream_table_name_prefix_isolation(spark, tmp_path, capsys):
+    """`s.ev`'s stream must not swallow `s.ev2`'s files (exact-dotted
+    glob), and each table drains only its own rows."""
+    import json as _json
+
+    from tidb_lightning_spark import cli
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "s-schema-create.sql").write_text("CREATE DATABASE IF NOT EXISTS s;")
+    for t in ("ev", "ev2"):
+        (d / f"s.{t}-schema.sql").write_text(
+            f"CREATE TABLE {t} (id BIGINT PRIMARY KEY AUTO_INCREMENT, "
+            "v VARCHAR(10) NOT NULL);"
+        )
+    (d / "s.ev.000.csv").write_text("v\na\nb\n")
+    (d / "s.ev2.000.csv").write_text("v\nZ\n")
+    target = str(tmp_path / "wh")
+
+    assert cli.main(["stream", "--source", str(d), "--target", target]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(out["drained_tables"]) == ["s.ev", "s.ev2"]
+    ev = spark.read.parquet(f"{target}/s/ev")
+    ev2 = spark.read.parquet(f"{target}/s/ev2")
+    assert sorted(r["v"] for r in ev.collect()) == ["a", "b"]
+    assert [r["v"] for r in ev2.collect()] == ["Z"]

@@ -206,10 +206,21 @@ def _register_views(spark, warehouse: str) -> int:
 
 def _stream(args) -> int:
     """One incremental drain per table: discover the dump dir, then run
-    the file-stream restore (streaming/ingest.py) for every table that
-    has CSV data files. Consumed files ride the per-table stream
-    checkpoint under `<target>/<db>/_stream_ckpt/<table>` — re-running
-    ingests only what arrived since (the continuous-restore loop)."""
+    the file-stream restore (streaming/ingest.py) for every table whose
+    data files follow the Mydumper naming (`db.tbl[.N].csv[.gz]`).
+    Consumed files ride the per-table stream checkpoint under
+    `<target>/<db>/_stream_ckpt/<table>` — re-running ingests only what
+    arrived since (the continuous-restore loop).
+
+    Constraints vs `run` (documented, enforced): every data file of a
+    table must share the FIRST file's column order (Mydumper guarantees
+    this; the batch path additionally handles per-header groups);
+    `[[routes]]` shard-merge renaming is rejected (the stream source
+    globs by source-table name); tables whose files don't match the
+    Mydumper glob, or that lack a schema file, are SKIPPED with a
+    warning — never silently reported as drained."""
+    import fnmatch
+
     from tidb_lightning_spark.config import Config
     from tidb_lightning_spark.session import get_spark
     from tidb_lightning_spark.sources import csv_source
@@ -222,6 +233,11 @@ def _stream(args) -> int:
         args.config, source_dir=args.source, target_dir=args.target,
         strict_sql_mode=args.strict,
     )
+    if cfg.routes:
+        raise ValueError(
+            "[[routes]] shard-merge renaming is not supported by `stream` "
+            "(the stream source globs by source-table name); use `run`"
+        )
     spark = get_spark(app_name="tls-stream")
     spark.sparkContext.setLogLevel("WARN")
     result = discover(
@@ -233,10 +249,36 @@ def _stream(args) -> int:
     )
     from tidb_lightning_spark.schema.ddl import parse_create_table
 
-    drained = []
+    drained, skipped = [], []
     for tbl in result.sorted_tables():
         csv_files = [f for f in tbl.data_files if f.type == "csv"]
         if not csv_files or tbl.view_schema_file:
+            continue
+        name = f"{tbl.db}.{tbl.name}"
+        if tbl.schema_file is None:
+            logging.warning(
+                "stream: skipping %s — no schema file (streaming needs a "
+                "declared schema; use `run` for no-schema inference)", name,
+            )
+            skipped.append(name)
+            continue
+        # `db.tbl.csv` or `db.tbl.<idx>.csv`, optionally gz — exact-dotted
+        # so `s.ev` never swallows `s.ev2`'s files
+        pats = [f"{name}.csv", f"{name}.csv.gz",
+                f"{name}.*.csv", f"{name}.*.csv.gz"]
+        unmatched = [
+            f.path for f in csv_files
+            if not any(
+                fnmatch.fnmatch(os.path.basename(f.path), p) for p in pats
+            )
+        ]
+        if unmatched:
+            logging.warning(
+                "stream: skipping %s — data files %s don't follow the "
+                "Mydumper naming the stream glob requires; use `run`",
+                name, [os.path.basename(p) for p in unmatched],
+            )
+            skipped.append(name)
             continue
         with open(tbl.schema_file) as f:
             info = parse_create_table(f.read())
@@ -250,7 +292,9 @@ def _stream(args) -> int:
                 )
             )
             file_columns = list(header) if header else None
-        glob = os.path.join(cfg.source_dir, f"{tbl.db}.{tbl.name}*.csv")
+        glob = os.path.join(
+            cfg.source_dir, f"{name}{{.csv,.csv.gz,.*.csv,.*.csv.gz}}"
+        )
         stream_restore(
             spark,
             glob,
@@ -261,8 +305,10 @@ def _stream(args) -> int:
             file_columns=file_columns,
             strict=cfg.strict_sql_mode,
         )
-        drained.append(f"{tbl.db}.{tbl.name}")
-    print(json.dumps({"drained_tables": drained, "ok": True}))
+        drained.append(name)
+    print(json.dumps(
+        {"drained_tables": drained, "skipped_tables": skipped, "ok": True}
+    ))
     return 0
 
 

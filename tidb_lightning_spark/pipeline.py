@@ -261,16 +261,28 @@ class Restorer:
         return report
 
     # ------------------------------------------------------------------
+    def _min_skip_status(self) -> str:
+        """Lowest checkpoint status a resume may skip at. Every REQUIRED
+        post-process phase must have run for a skip to be legal: with
+        verification on, 'imported but never checksummed' re-runs so the
+        checksum executes (ADVICE r1: masked verification failure); with
+        analyze=required, 'checksummed but never analyzed' re-runs so a
+        failed required ANALYZE is actually retried rather than silently
+        skipped forever."""
+        if self.cfg.analyze == "required":
+            return "analyzed"
+        if self.cfg.checksum != "off":
+            return "checksummed"
+        return "imported"
+
+    # ------------------------------------------------------------------
     def restore_table(self, tbl: MDTableMeta) -> TableReport:
         if self.jdbc_sink is not None:
             return self._restore_table_jdbc(tbl)
         t0 = time.time()
         rep = TableReport(db=tbl.db, table=tbl.name, status="failed")
         sig = self.checkpoints.source_signature(tbl.data_files)
-        # with verification on, "imported but never checksummed" must NOT
-        # be skippable — resume re-runs the table so the checksum phase
-        # actually executes (ADVICE r1: masked verification failure)
-        min_skip = "checksummed" if self.cfg.checksum != "off" else "imported"
+        min_skip = self._min_skip_status()
         try:
             if self.checkpoints.should_skip(
                 tbl.db, tbl.name, sig, min_status=min_skip
@@ -656,8 +668,10 @@ class Restorer:
             {"columns": view.columns, "select": view.select,
              "source_file": tbl.view_schema_file},
         )
+        # a replayed view is fully done — no data to checksum or analyze —
+        # so it parks at the top status and every resume skips it
         self.checkpoints.update(
-            tbl.db, tbl.name, "checksummed", signature=sig, view=True
+            tbl.db, tbl.name, "analyzed", signature=sig, view=True
         )
         rep.status = "imported"
         rep.seconds = time.time() - t0
@@ -726,7 +740,7 @@ class Restorer:
         t0 = time.time()
         rep = TableReport(db=tbl.db, table=tbl.name, status="failed")
         sig = self.checkpoints.source_signature(tbl.data_files)
-        min_skip = "checksummed" if self.cfg.checksum != "off" else "imported"
+        min_skip = self._min_skip_status()
         try:
             if self.checkpoints.should_skip(
                 tbl.db, tbl.name, sig, min_status=min_skip
@@ -763,7 +777,7 @@ class Restorer:
                         tbl.db, tbl.name, self.jdbc_sink.dialect,
                     )
                 self.checkpoints.update(
-                    tbl.db, tbl.name, "checksummed", signature=sig, view=True
+                    tbl.db, tbl.name, "analyzed", signature=sig, view=True
                 )
                 rep.status = "imported"
                 return rep
@@ -1148,16 +1162,27 @@ class Restorer:
                 # DECOMPRESSED sizes (same fix as the SQL-dump path): a
                 # gz CSV's rows can exceed compressed_bytes // n_cols,
                 # overrunning the next group's row-id base. Remote-scheme
-                # URIs (s3a://...) keep the discovery size — compressed
-                # remote CSVs aren't locally peekable (README remote
-                # caveat), and plain remote files have size == text size.
-                group_bytes = sum(
-                    sqldump_source.decompressed_size(f.path)
-                    if os.path.exists(f.path)
-                    else f.file_size
-                    for f in csv_files
-                    if f.path in set(paths)
-                )
+                # URIs (s3a://...) keep the discovery size — plain remote
+                # files have size == text size; compressed remote files
+                # can't be probed locally, so warn: their row-id ranges
+                # may overrun (prefer uncompressed remote sources).
+                group_bytes = 0
+                pathset = set(paths)
+                for f in csv_files:
+                    if f.path not in pathset:
+                        continue
+                    if os.path.exists(f.path):
+                        group_bytes += sqldump_source.decompressed_size(f.path)
+                    else:
+                        if f.compression or sqldump_source._is_compressed(f.path):
+                            log.warning(
+                                "remote compressed CSV %s: row-id range "
+                                "reserved from COMPRESSED size — ranges "
+                                "may overrun on highly-compressible data; "
+                                "prefer uncompressed remote sources",
+                                f.path,
+                            )
+                        group_bytes += f.file_size
                 parts.append(
                     transform_table(
                         df,
