@@ -1,0 +1,215 @@
+"""Round-5 fixes: staged-commit crash-window recovery (the swap's
+RENAME -> checkpoint-'imported' gap must never duplicate a table on
+resume) and mysql-dialect database bootstrap (CREATE DATABASE IF NOT
+EXISTS before any probe; 'Unknown database' reads as not-exists).
+
+Model: reference checkpoint restart tests (tests/checkpoint/) and
+restoreSchema (lightning/restore/restore.go:553-602)."""
+
+from __future__ import annotations
+
+import pytest
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _write(path, content):
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(content)
+
+
+@pytest.fixture
+def jdbc_dump(tmp_path):
+    d = str(tmp_path / "dump")
+    _write(f"{d}/shop-schema-create.sql", "CREATE DATABASE IF NOT EXISTS shop;")
+    _write(
+        f"{d}/shop.people-schema.sql",
+        """
+        CREATE TABLE people (
+            id INT PRIMARY KEY AUTO_INCREMENT,
+            name VARCHAR(20) NOT NULL,
+            score DECIMAL(6,2)
+        );
+        """,
+    )
+    _write(
+        f"{d}/shop.people.csv",
+        "name,score\nalice,10.50\nbob,\\N\ncara,3.25\n",
+    )
+    return d
+
+
+def _cfg(jdbc_dump, tmp_path, dbfile):
+    from tidb_lightning_spark.config import Config
+
+    return Config.from_toml(
+        None,
+        source_dir=jdbc_dump,
+        target_dir=str(tmp_path / "state"),
+        backend="jdbc",
+        jdbc_url=f"jdbc:derby:{tmp_path}/{dbfile};create=true",
+        jdbc_driver=DERBY_DRIVER,
+    )
+
+
+def test_crash_after_swap_rename_resumes_without_duplication(
+    spark, jdbc_dump, tmp_path, monkeypatch
+):
+    """ADVICE r4 (medium): a crash between the swap's RENAME and the
+    checkpoint write to 'imported' used to leave the final table fully
+    populated with the checkpoint at 'loaded'; resume then took the
+    append path and re-wrote every row. The pre-swap 'staged' marker now
+    identifies the live table as the verified staging table, and resume
+    finishes the bookkeeping without re-importing."""
+    from tidb_lightning_spark import checkpoints as cps
+    from tidb_lightning_spark.pipeline import Restorer
+
+    cfg = _cfg(jdbc_dump, tmp_path, "crashdb")
+    props = {"driver": DERBY_DRIVER}
+
+    orig = cps.CheckpointStore.update
+
+    def crashing(self, db, table, status, **fields):
+        if status == "imported":
+            raise RuntimeError("simulated crash after swap RENAME")
+        return orig(self, db, table, status, **fields)
+
+    monkeypatch.setattr(cps.CheckpointStore, "update", crashing)
+    rep = Restorer(spark, cfg).run()
+    assert not rep.ok  # the crash happened mid-commit
+    monkeypatch.setattr(cps.CheckpointStore, "update", orig)
+
+    # the swap itself completed: the live table already holds the rows
+    back = spark.read.jdbc(cfg.jdbc_url, "shop.people", properties=props)
+    assert back.count() == 3
+
+    # resume must take the bookkeeping-only fast path: the source is
+    # never re-read, the rows never re-written
+    def no_reimport(self, tbl, info):
+        raise AssertionError("resume re-imported a table the swap finished")
+
+    monkeypatch.setattr(Restorer, "_read_and_transform", no_reimport)
+    rep2 = Restorer(spark, cfg).run()
+    monkeypatch.undo()
+    assert rep2.ok, [t.error for t in rep2.tables]
+    (trep,) = [t for t in rep2.tables if t.table == "people"]
+    assert trep.status == "imported"
+    assert trep.rows == 3
+    # no duplication, and the checksum recorded pre-crash is preserved
+    back = spark.read.jdbc(cfg.jdbc_url, "shop.people", properties=props)
+    rows = [r["name"] for r in back.collect()]
+    assert sorted(rows) == ["alice", "bob", "cara"]
+    assert trep.checksum is not None and trep.checksum["kvs"] == 3
+
+    # the resume path also re-ran the allocator rebase: a fresh INSERT
+    # gets an identity past the bulk-loaded max
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(DERBY_DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(cfg.jdbc_url)
+    try:
+        st = conn.createStatement()
+        st.execute(
+            'INSERT INTO shop.people ("name", "score") VALUES (\'dan\', 1.0)'
+        )
+        rs = st.executeQuery(
+            'SELECT "id" FROM shop.people WHERE "name" = \'dan\''
+        )
+        rs.next()
+        loaded_max = max(
+            r["id"]
+            for r in spark.read.jdbc(
+                cfg.jdbc_url, "shop.people", properties=props
+            ).collect()
+            if r["name"] != "dan"
+        )
+        assert rs.getInt(1) > loaded_max
+        rs.close()
+        st.close()
+    finally:
+        conn.close()
+
+    # a third run with the unchanged source skips (checkpoint complete)
+    rep3 = Restorer(spark, cfg).run()
+    assert all(t.status == "skipped" for t in rep3.tables)
+
+
+def test_crash_before_swap_drop_forces_replace_on_resume(
+    spark, jdbc_dump, tmp_path, monkeypatch
+):
+    """Crash in the other half of the commit window: after the pre-swap
+    marker but before the DROP of the old table (here: a changed-source
+    re-import). On resume the prior status has been overwritten (so the
+    old prior_status >= imported signal is gone), but the marker still
+    proves the live table is OURS — resume must replace, never append
+    old + new together."""
+    from tidb_lightning_spark.pipeline import Restorer
+    from tidb_lightning_spark.sinks import jdbc_sink as js
+    from tidb_lightning_spark.sinks.jdbc_sink import table_row_probe
+
+    cfg = _cfg(jdbc_dump, tmp_path, "dropdb")
+    props = {"driver": DERBY_DRIVER}
+    assert Restorer(spark, cfg).run().ok
+
+    with open(f"{jdbc_dump}/shop.people.csv", "a") as f:
+        f.write("dora,7.00\n")
+
+    orig = js.JDBCSink.drop_table
+
+    def crashing(self, spark_, dbtable):
+        if "__tls_stg" not in dbtable:
+            raise RuntimeError("simulated crash before swap DROP")
+        return orig(self, spark_, dbtable)
+
+    monkeypatch.setattr(js.JDBCSink, "drop_table", crashing)
+    rep = Restorer(spark, cfg).run()
+    assert not rep.ok
+    monkeypatch.setattr(js.JDBCSink, "drop_table", orig)
+
+    # old table still live (3 rows), verified staging left behind
+    assert (
+        spark.read.jdbc(cfg.jdbc_url, "shop.people", properties=props).count()
+        == 3
+    )
+
+    rep2 = Restorer(spark, cfg).run()
+    assert rep2.ok, [t.error for t in rep2.tables]
+    back = spark.read.jdbc(cfg.jdbc_url, "shop.people", properties=props)
+    names = sorted(r["name"] for r in back.collect())
+    assert names == ["alice", "bob", "cara", "dora"]  # replaced, not appended
+    assert (
+        table_row_probe(spark, cfg.jdbc_url, "shop.people__tls_stg", props)
+        is None
+    )
+
+
+def test_unknown_database_reads_as_not_exists():
+    """MySQL 1049 ('Unknown database') from the initial probe means the
+    table cannot exist — it must map to None (stage-and-create path),
+    not raise (ADVICE r4 medium)."""
+    from tidb_lightning_spark.sinks.jdbc_sink import _is_not_exist
+
+    assert _is_not_exist(Exception("Unknown database 'shop'"))
+    assert _is_not_exist(Exception("Table 'shop.people' doesn't exist"))
+    assert not _is_not_exist(Exception("Lock wait timeout exceeded"))
+
+
+def test_ensure_database_dialect_behavior(spark, monkeypatch):
+    """mysql dialect issues CREATE DATABASE IF NOT EXISTS before any
+    table DDL; Derby creates schemas implicitly so it's a no-op."""
+    from tidb_lightning_spark.sinks import jdbc_sink as js
+
+    issued = []
+    monkeypatch.setattr(
+        js, "execute_ddl",
+        lambda spark_, url, sql, props=None, **kw: issued.append(sql) or True,
+    )
+    mysql_sink = js.JDBCSink("jdbc:mysql://h:4000/x", on_duplicate="replace")
+    assert mysql_sink.ensure_database(spark, "shop") is True
+    assert issued == ["CREATE DATABASE IF NOT EXISTS shop"]
+
+    derby_sink = js.JDBCSink("jdbc:derby:/tmp/x", on_duplicate="replace")
+    assert derby_sink.ensure_database(spark, "shop") is False
+    assert issued == ["CREATE DATABASE IF NOT EXISTS shop"]  # unchanged

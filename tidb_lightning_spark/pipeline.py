@@ -749,6 +749,10 @@ class Restorer:
                 return rep
             dbname = f"{self.cfg.jdbc_table_prefix}{tbl.db}"
             dbtable = f"{dbname}.{tbl.name}"
+            # schema replay step 0: the database itself (restoreSchema,
+            # restore.go:553-602) — on mysql-family targets every probe
+            # below would otherwise fail with 'Unknown database' (1049)
+            self.jdbc_sink.ensure_database(self.spark, dbname)
             if tbl.view_schema_file:
                 # view replay at the live target (restore.go:553-602):
                 # MySQL-family targets accept the original body; other
@@ -807,10 +811,54 @@ class Restorer:
                 recovered = True
 
             info = self._table_info(tbl)
-            prior_status = self.checkpoints.get(tbl.db, tbl.name).get(
-                "status", 0
+            prior_rec = self.checkpoints.get(tbl.db, tbl.name)
+            prior_status = prior_rec.get("status", 0)
+            # pre-swap marker left by a crash inside the commit window: it
+            # records what the VERIFIED staging table held just before the
+            # DROP+RENAME. Its presence means the final table (if any) is
+            # ours — either the old import (crash before DROP) or the
+            # swapped-in staging (crash after RENAME but before the
+            # 'imported' checkpoint write). Never append onto it.
+            staged = prior_rec.get("staged")
+            if (
+                staged is not None
+                and prior_status < _STATUS["imported"]
+                and prior_rec.get("signature") == sig
+                and final_count is not None
+                and final_count == staged.get("rows")
+            ):
+                # The swap completed (the live table matches the verified
+                # staging contents) — the crash only lost the checkpoint
+                # write. Finish the bookkeeping instead of re-importing
+                # (or worse, appending a duplicate copy of every row).
+                rep.rows = staged["rows"]
+                self.checkpoints.update(
+                    tbl.db, tbl.name, "imported", signature=sig, staged=None
+                )
+                if staged.get("checksum") is not None:
+                    rep.checksum = dict(staged["checksum"])
+                    self.checkpoints.update(
+                        tbl.db, tbl.name, "checksummed",
+                        signature=sig, checksum=rep.checksum,
+                    )
+                self._rebase_and_analyze(
+                    tbl, info, dbname, dbtable, sig, staged.get("auto_max")
+                )
+                rep.status = "imported"
+                metrics.TABLES.inc(
+                    metrics.TABLE_STATE_COMPLETED,
+                    metrics.TABLE_RESULT_SUCCESS,
+                )
+                log.info(
+                    "resumed `%s`.`%s`: swap had completed before the "
+                    "crash (staged marker matches the live table) — "
+                    "bookkeeping finished without re-import",
+                    tbl.db, tbl.name,
+                )
+                return rep
+            self.checkpoints.update(
+                tbl.db, tbl.name, "loaded", signature=sig, staged=None
             )
-            self.checkpoints.update(tbl.db, tbl.name, "loaded", signature=sig)
 
             df, _ = self._read_and_transform(tbl, info)
             if df is None:  # schema-only table: DDL replay was the work
@@ -836,6 +884,11 @@ class Restorer:
                 or final_count is None
                 or final_count == 0
                 or prior_status >= _STATUS["imported"]
+                # a pre-swap marker (even from a changed source, or with a
+                # final count that no longer matches) still proves the
+                # final table was written by US mid-commit — replace it,
+                # never treat it as an externally pre-populated table
+                or staged is not None
             )
             if use_swap:
                 self.jdbc_sink.drop_table(self.spark, staging_dbtable)
@@ -973,11 +1026,38 @@ class Restorer:
             # crash between DROP and RENAME is repaired by the recovery
             # probe at the top of this method.
             if use_swap:
+                # pre-swap marker: persists the verified staging contents
+                # BEFORE the non-atomic DROP+RENAME, so a crash anywhere in
+                # the commit window is recognized on resume (see the
+                # staged-resume check above) instead of routing into the
+                # append path and duplicating the table
+                self.checkpoints.update(
+                    tbl.db, tbl.name, "closed", signature=sig,
+                    staged={
+                        "rows": rep.rows,
+                        "checksum": (
+                            {
+                                "kvs": readback.kvs,
+                                "bytes": readback.total_bytes,
+                                "value": readback.value,
+                            }
+                            if readback is not None
+                            else None
+                        ),
+                        "auto_max": (
+                            int(row["auto_max___"])
+                            if row.get("auto_max___") is not None
+                            else None
+                        ),
+                    },
+                )
                 self.jdbc_sink.drop_table(self.spark, dbtable)
                 self.jdbc_sink.rename_table(
                     self.spark, dbname, staging_name, tbl.name
                 )
-            self.checkpoints.update(tbl.db, tbl.name, "imported", signature=sig)
+            self.checkpoints.update(
+                tbl.db, tbl.name, "imported", signature=sig, staged=None
+            )
             if want_cks:
                 rep.checksum = {
                     "kvs": readback.kvs,
@@ -989,43 +1069,12 @@ class Restorer:
                     signature=sig, checksum=rep.checksum,
                 )
 
-            # allocator rebase (L1/D2, restore/tidb.go:349-382): point the
-            # target's id generator past the loaded max
-            if auto_cols and row.get("auto_max___") is not None:
-                JDBCSink.rebase_auto_increment(
-                    self.spark, self.cfg.jdbc_url, dbname, tbl.name,
-                    auto_cols[0].name, int(row["auto_max___"]) + 1,
-                    properties=self.jdbc_sink.properties,
-                )
-
-            # post-load ANALYZE at the live target (L3,
-            # restore.go:2215-2220): refresh the target's optimizer stats;
-            # failures only fail the load under analyze=required
-            if self.cfg.analyze != "off":
-                from tidb_lightning_spark.sinks.jdbc_sink import execute_ddl
-
-                if self.jdbc_sink.dialect == "derby":
-                    stats_sql = (
-                        "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS("
-                        f"'{dbname.upper()}', '{tbl.name.upper()}', NULL)"
-                    )
-                else:
-                    stats_sql = f"ANALYZE TABLE {dbtable}"
-                try:
-                    execute_ddl(
-                        self.spark, self.cfg.jdbc_url, stats_sql,
-                        self.jdbc_sink.properties,
-                    )
-                    self.checkpoints.update(
-                        tbl.db, tbl.name, "analyzed", signature=sig
-                    )
-                except Exception as exc:
-                    if self.cfg.analyze == "required":
-                        raise
-                    log.warning(
-                        "ANALYZE skipped for `%s`.`%s`: %s",
-                        tbl.db, tbl.name, exc,
-                    )
+            self._rebase_and_analyze(
+                tbl, info, dbname, dbtable, sig,
+                int(row["auto_max___"])
+                if row.get("auto_max___") is not None
+                else None,
+            )
             rep.status = "imported"
             metrics.TABLES.inc(
                 metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_SUCCESS
@@ -1046,6 +1095,56 @@ class Restorer:
             rep.seconds = time.time() - t0
             metrics.IMPORT_SECONDS.observe(rep.seconds)
         return rep
+
+    # ------------------------------------------------------------------
+    def _rebase_and_analyze(
+        self,
+        tbl: MDTableMeta,
+        info: TableInfo,
+        dbname: str,
+        dbtable: str,
+        sig: str,
+        auto_max: int | None,
+    ) -> None:
+        """Post-import finishing at the live JDBC target, shared by the
+        normal commit and the staged-resume path.
+
+        Allocator rebase (L1/D2, restore/tidb.go:349-382) points the
+        target's id generator past the loaded max; post-load ANALYZE (L3,
+        restore.go:2215-2220) refreshes optimizer stats — failures only
+        fail the load under analyze=required."""
+        from tidb_lightning_spark.sinks.jdbc_sink import JDBCSink, execute_ddl
+
+        auto_cols = [c for c in info.columns if c.auto_increment]
+        if auto_cols and auto_max is not None:
+            JDBCSink.rebase_auto_increment(
+                self.spark, self.cfg.jdbc_url, dbname, tbl.name,
+                auto_cols[0].name, auto_max + 1,
+                properties=self.jdbc_sink.properties,
+            )
+        if self.cfg.analyze != "off":
+            if self.jdbc_sink.dialect == "derby":
+                stats_sql = (
+                    "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS("
+                    f"'{dbname.upper()}', '{tbl.name.upper()}', NULL)"
+                )
+            else:
+                stats_sql = f"ANALYZE TABLE {dbtable}"
+            try:
+                execute_ddl(
+                    self.spark, self.cfg.jdbc_url, stats_sql,
+                    self.jdbc_sink.properties,
+                )
+                self.checkpoints.update(
+                    tbl.db, tbl.name, "analyzed", signature=sig
+                )
+            except Exception as exc:
+                if self.cfg.analyze == "required":
+                    raise
+                log.warning(
+                    "ANALYZE skipped for `%s`.`%s`: %s",
+                    tbl.db, tbl.name, exc,
+                )
 
     # ------------------------------------------------------------------
     def _plan_engines(self, data_files) -> list[list]:
