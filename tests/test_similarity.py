@@ -73,3 +73,68 @@ def test_allpairs_block_count_invariance(spark):
     rows5 = [tuple(r) for r in many.collect()]
     assert rows1 == rows5
     assert len(rows1) == 15
+
+
+# ---------------------------------------------------------------------------
+# Recall harness for the registry's ANN scale paths (r4 verdict item 2):
+# the driver's CORRECTNESS gate can't hash-match approximate results, so
+# these tests are the correctness signal for knn_cosine_lsh / knn_cosine_ivf.
+# Everything is deterministic (md5-derived planes/seeds, no RNG), so the
+# measured recalls are exact constants on the fixture corpus; the floors
+# leave margin only for fixture regeneration.
+# ---------------------------------------------------------------------------
+
+
+def _recall(exact, approx):
+    hits = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    return hits / total
+
+
+def test_registry_lsh_recall_floor(spark):
+    """knn_cosine_lsh exactly as registered (3 planes x 12 tables):
+    measured recall@5 = 0.98 vs brute force; floor 0.8. A bucket-sign or
+    table-seeding bug collapses this to ~0 and fails loudly."""
+    exact = _neighbors(
+        Q.registry()["knn_cosine_bruteforce"].spark(spark, SF_CORRECTNESS)
+    )
+    approx = _neighbors(
+        Q.registry()["knn_cosine_lsh"].spark(spark, SF_CORRECTNESS)
+    )
+    r = _recall(exact, approx)
+    assert r >= 0.8, f"LSH recall@5 regressed: {r:.2f} < 0.8"
+
+
+def test_registry_ivf_recall_floor(spark):
+    """knn_cosine_ivf exactly as registered (8 lists, 3 probed):
+    measured recall@5 = 0.78 on the fixture; floor 0.6."""
+    exact = _neighbors(
+        Q.registry()["knn_cosine_bruteforce"].spark(spark, SF_CORRECTNESS)
+    )
+    approx = _neighbors(
+        Q.registry()["knn_cosine_ivf"].spark(spark, SF_CORRECTNESS)
+    )
+    r = _recall(exact, approx)
+    assert r >= 0.6, f"IVF recall@5 regressed: {r:.2f} < 0.6"
+
+
+def test_lsh_zero_planes_degenerates_to_bruteforce(spark):
+    """n_planes=0 puts every row in one bucket per table => the candidate
+    set is the whole corpus and LSH must EQUAL brute force bit-for-bit
+    (ranks, ids, rounded cosines) — the analog of IVF's full-probe test."""
+    from tidb_lightning_spark.functions.similarity import knn_lsh
+
+    e = Q.load(spark, SF_CORRECTNESS, "embeddings")
+    exact = Q.registry()["knn_cosine_bruteforce"].spark(spark, SF_CORRECTNESS)
+    degen = knn_lsh(
+        e, "vec_id", "embedding", QUERIES, dim=64, k=K,
+        n_planes=0, n_tables=3,
+    )
+    assert _pairs(degen) == _pairs(exact)
+    got = {
+        (r["query_id"], r["rank"]): r["cosine"] for r in degen.collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["cosine"] for r in exact.collect()
+    }
+    assert got == want

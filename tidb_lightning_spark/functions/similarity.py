@@ -6,9 +6,18 @@ LSH bucketing. Buckets come from sign bits of dot products against
 hyperplanes derived deterministically from md5 (driver-side constants), so
 the plan is pure Catalyst expressions and reproducible across runs.
 
-At 100 TB the corpus is scanned once to attach a bucket id, the self-join
-happens per-bucket (candidates share all sign bits), and only candidate
-pairs pay the full dot product — the classic recall/cost trade.
+The LSH index is MULTI-TABLE (the OR-of-ANDs construction, same shape as
+the MinHash banding in functions.dedup): `n_tables` independent tables of
+`n_planes` sign bits each; a corpus row is a candidate for a query if it
+shares ALL bits of ANY table. Recall for a pair with per-plane agreement
+probability p = 1 - angle/pi is 1 - (1 - p^n_planes)^n_tables — a single
+table (the r4 design) gave 4% recall on the test corpus because p^6 is
+tiny when neighbors sit near 60-70 degrees; OR-ing tables is the standard
+repair and is measured by tests/test_similarity.py against brute force.
+
+At 100 TB the corpus is scanned once to attach its bucket ids, the join
+hashes (table, bucket) keys against the broadcast queries, and only
+candidate pairs pay the full dot product — the classic recall/cost trade.
 """
 
 from __future__ import annotations
@@ -20,13 +29,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 N_PLANES = 12
+N_TABLES = 1
 
 
-def _plane(p: int, dim: int) -> list[float]:
+def _plane(p: int, dim: int, table: int = 0) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane from md5."""
     out = []
+    seed = p if table == 0 else f"{table}.{p}"
     for d in range(dim):
-        h = hashlib.md5(f"tls-lsh:{p}:{d}".encode()).digest()
+        h = hashlib.md5(f"tls-lsh:{seed}:{d}".encode()).digest()
         (u,) = struct.unpack("<Q", h[:8])
         out.append(u / 2**63 - 1.0)  # uniform [-1, 1)
     return out
@@ -38,11 +49,13 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def bucket_expr(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+def bucket_expr(
+    vec: Column, dim: int, n_planes: int = N_PLANES, table: int = 0
+) -> Column:
     """Pack sign bits of `n_planes` hyperplane dot products into an int."""
     acc = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _plane(p, dim)])
+        plane = F.array(*[F.lit(v) for v in _plane(p, dim, table)])
         acc = acc + F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return acc
 
@@ -55,33 +68,60 @@ def knn_lsh(
     dim: int,
     k: int = 5,
     n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
-    """ANN top-k: candidates share the full LSH bucket; exact cosine
-    re-ranks within the bucket. Returns (query_id, neighbor_id, rank,
-    cosine); queries in empty buckets simply return fewer neighbors."""
+    """ANN top-k: a candidate shares all `n_planes` sign bits of at least
+    one of the `n_tables` hash tables; exact cosine re-ranks candidates.
+    Returns (query_id, neighbor_id, rank, cosine); queries whose buckets
+    are empty in every table simply return fewer neighbors.
+
+    Scale shape: ONE corpus scan attaches all table buckets; posexplode
+    replicates only (id, vec, norm) n_tables times feeding a broadcast
+    hash join on the (table, bucket) key — the corpus never self-joins.
+    Duplicate candidates (pairs colliding in several tables) are folded
+    by a fixed-width (query_id, neighbor_id, sim) aggregation BEFORE the
+    top-k window, so the only shuffles carry scored id pairs, never
+    vectors. n_planes=0 puts everything in one bucket per table — exact
+    brute force (the degeneration the unit test pins)."""
     from pyspark.sql import Window
 
     base = df.select(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
-    base = base.withColumn("_bucket", bucket_expr(F.col("_v"), dim, n_planes))
+    base = base.withColumn(
+        "_buckets",
+        F.array(*[
+            bucket_expr(F.col("_v"), dim, n_planes, table=t)
+            for t in range(n_tables)
+        ]),
+    )
+    ex = base.select(
+        "_id", "_v", "_norm", F.posexplode("_buckets").alias("_t", "_b")
+    )
 
-    q = base.filter(query_filter(F.col("_id"))).select(
+    q = ex.filter(query_filter(F.col("_id"))).select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qnorm"),
-        F.col("_bucket").alias("_qbucket"),
+        F.col("_t").alias("_qt"),
+        F.col("_b").alias("_qb"),
     )
-    pairs = base.join(
+    scored = ex.join(
         F.broadcast(q),
-        (F.col("_bucket") == F.col("_qbucket")) & (F.col("_id") != F.col("query_id")),
+        (F.col("_t") == F.col("_qt"))
+        & (F.col("_b") == F.col("_qb"))
+        & (F.col("_id") != F.col("query_id")),
     ).select(
         "query_id",
         F.col("_id").alias("neighbor_id"),
         (dot(F.col("_qv"), F.col("_v")) / (F.col("_qnorm") * F.col("_norm"))).alias(
             "sim"
         ),
+    )
+    # fold multi-table collisions (sims are identical per pair)
+    pairs = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("sim").alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
