@@ -213,3 +213,29 @@ def test_ensure_database_dialect_behavior(spark, monkeypatch):
     derby_sink = js.JDBCSink("jdbc:derby:/tmp/x", on_duplicate="replace")
     assert derby_sink.ensure_database(spark, "shop") is False
     assert issued == ["CREATE DATABASE IF NOT EXISTS shop"]  # unchanged
+
+
+def test_force_dense_rowids_stay_inside_reservation(spark):
+    """Streaming ledger contract (ADVICE r4): a batch with base B and n
+    rows must occupy EXACTLY (B, B+n] even for tables without auto
+    columns — striped monotonically_increasing_id would escape the
+    reservation and collide with the next batch's range."""
+    from tidb_lightning_spark.operators.transform import (
+        ROWID_COL,
+        transform_table,
+    )
+    from tidb_lightning_spark.schema.ddl import parse_create_table
+
+    info = parse_create_table(
+        "CREATE TABLE t (a INT, b VARCHAR(10));"
+    )
+    df = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(100)], "_c0 string, _c1 string"
+    ).repartition(7)  # multiple partitions -> striped ids without dense
+    base = 1000
+    out = transform_table(
+        df, info, None, "1970-01-01 00:00:00",
+        rowid_base=base, keep_rowid=True, force_dense=True,
+    )
+    ids = sorted(r[ROWID_COL] for r in out.select(ROWID_COL).collect())
+    assert ids == list(range(base + 1, base + 101))

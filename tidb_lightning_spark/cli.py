@@ -401,15 +401,17 @@ def _ctl(args) -> int:
                 continue
             # 'closed' is the post-import downgrade a required-checksum
             # failure leaves behind; error-ignore accepts the data as-is.
-            # Lift to 'checksummed', not 'imported': with checksum != off
-            # the pipeline only skips tables at >= checksummed
-            # (pipeline.py should_skip min_status), so anything lower
-            # would re-import and re-fail — defeating the flag
-            # (reference ctl main.go:44-96 semantics: accept as-is).
+            # Lift to 'analyzed' — the store's TOP status: ctl doesn't
+            # know the run's config, and the pipeline's skip threshold
+            # (_min_skip_status) can be as high as 'analyzed' under
+            # analyze=required; lifting lower (the old 'checksummed')
+            # left exactly that configuration re-importing and re-failing
+            # — defeating the flag (reference ctl main.go:44-96
+            # semantics: accept as-is, stop retrying every phase).
             if rec.get("status", 0) == STATUS["closed"]:
-                store.update(db, tbl, "checksummed")
+                store.update(db, tbl, "analyzed")
                 lifted += 1
-                print(f"ignored error on `{db}`.`{tbl}` (now checksummed)")
+                print(f"ignored error on `{db}`.`{tbl}` (now analyzed)")
         print(f"ignored {lifted} error(s)")
         return 0
     if args.import_engine:

@@ -366,13 +366,18 @@ def transform_table(
     rowid_base: int = 0,
     keep_rowid: bool | None = None,
     unescape_cols: set[str] | None = None,
+    force_dense: bool = False,
 ) -> DataFrame:
     present = (
         {c.lower() for c in file_columns}
         if file_columns is not None
         else {c.name.lower() for c in info.columns}
     )
-    needs_dense = any(
+    # force_dense: callers that pre-reserve EXACT [base, base+n) ranges
+    # (the streaming ledger) need dense ids even without auto columns —
+    # monotonically_increasing_id is partition-striped and would escape
+    # the reservation, colliding with the next batch's range
+    needs_dense = force_dense or any(
         c.auto_increment or c.auto_random_bits for c in info.columns
     )
     out = permute_columns(df, info, file_columns)

@@ -1311,6 +1311,13 @@ class Restorer:
                     [f.path for f in sql_files], charset
                 )
                 actual = dict(zip((f.path for f in sql_files), transcoded))
+            # lz4 dumps: no JVM codec reads the lz4 frame format, and the
+            # range reader wants seekable plain text — materialize ONCE
+            # driver-side (same contract as the transcode step above;
+            # no-op when nothing is .lz4). The base mapping below keys on
+            # the path the scan actually reads, so rewrite before it.
+            mat = csv_source.materialize_lz4(list(actual.values()))
+            actual = dict(zip(actual.keys(), mat))
             groups: dict[tuple, list] = {}
             for f in sql_files:
                 cols = sqldump_source.peek_columns(actual[f.path], "utf-8")

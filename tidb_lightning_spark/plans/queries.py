@@ -1714,12 +1714,27 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated min
     subquery, expressed as agg + self-join on (partkey, min). Dimension
     joins (part/supplier/nation/region) broadcast; the only shuffles are
-    the two aggs over lineitem, and the second reuses the first's output."""
+    the two aggs over lineitem, and the second reuses the first's output.
+
+    Scale note (r4 verdict item 4): only p_size=15 partkeys survive the
+    downstream joins, so lineitem is broadcast-SEMI-joined against the
+    filtered part keys BEFORE the first groupBy — the full-table shuffle
+    would otherwise aggregate ~99% of groups just to discard them. The
+    correlated min is per partkey, so pre-filtering whole partkeys leaves
+    every surviving group's minimum unchanged (same pruning pattern q9
+    uses)."""
     l = load(spark, sf_dir, "lineitem")
+    p_keys = load(spark, sf_dir, "part").filter(
+        F.col("p_size") == 15
+    ).select("p_partkey")
     unit = dec("l_extendedprice").cast("double") / F.col("l_quantity").cast(
         "double"
     )
-    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+    cost = l.join(
+        F.broadcast(p_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    ).groupBy("l_partkey", "l_suppkey").agg(
         F.min(unit).alias("unit_cost")
     )
     best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))

@@ -108,7 +108,93 @@ def _decompress_open(path: str):
             "driver-side zstd peek needs the `zstd` CLI or the zstandard "
             "module; executor-side scans decompress natively regardless"
         )
+    if path.endswith(".lz4"):
+        import shutil as _sh
+
+        if _sh.which("lz4"):
+            return _ProcStream(["lz4", "-dc", path])
+        raise NotImplementedError(
+            "reading .lz4 needs the `lz4` CLI: Hadoop's Lz4Codec reads "
+            "the Hadoop block container, NOT the lz4 frame format dump "
+            "pipelines produce, so the JVM scan cannot be used"
+        )
     return open(path, "rb")
+
+
+def user_cache_dir(name: str) -> str:
+    """Per-user mode-0700 cache dir with verified ownership.
+
+    The previous world-shared /tmp/tls_* locations were predictable:
+    another local user could pre-create them and plant forged entries
+    (the md5 cache keys are computable from public path/size/mtime).
+    Prefer $XDG_CACHE_HOME / ~/.cache; fall back to a uid-suffixed
+    tempdir. Refuses a directory owned by someone else."""
+    import tempfile
+
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    try:
+        os.makedirs(base, exist_ok=True)
+    except OSError:
+        base = os.path.join(tempfile.gettempdir(), f"tls_cache_u{os.getuid()}")
+        os.makedirs(base, exist_ok=True)
+    d = os.path.join(base, name)
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    os.chmod(d, 0o700)
+    st = os.stat(d)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise PermissionError(
+            f"refusing cache dir {d}: owned by uid {st.st_uid}, "
+            f"not {os.getuid()}"
+        )
+    return d
+
+
+def materialize_lz4(paths: list[str]) -> list[str]:
+    """Driver-side decompress fallback for .lz4 data files (A9 departure
+    table: the reference rejects ALL compressed inputs, router.go:256-273;
+    we accept what a scan can actually read). Spark cannot scan lz4-frame
+    files — Hadoop's Lz4Codec misparses the frame header as a block
+    length and OOMs the executor — so CLI-frame .lz4 is decompressed ONCE
+    on the driver (lz4 CLI) into the per-user cache, keyed by
+    (path, size, mtime), and the plain copy is scanned; it also splits
+    normally afterwards. Non-.lz4 paths pass through untouched. Raises
+    NotImplementedError up front when no lz4 CLI exists — never a late
+    executor failure."""
+    import shutil as _sh
+    import subprocess
+
+    if not any(p.endswith(".lz4") for p in paths):
+        return paths
+    if not _sh.which("lz4"):
+        raise NotImplementedError(
+            "source contains .lz4 files but no `lz4` CLI is available to "
+            "decompress them (Spark's Lz4Codec reads a different "
+            "container format); install lz4 or re-compress as gzip/zstd"
+        )
+    import hashlib
+
+    cache = user_cache_dir("tls_lz4")
+    out = []
+    for p in paths:
+        if not p.endswith(".lz4"):
+            out.append(p)
+            continue
+        st = os.stat(p)
+        key = hashlib.md5(
+            f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}".encode()
+        ).hexdigest()[:16]
+        dst = os.path.join(cache, f"{key}_{os.path.basename(p)[:-4]}")
+        if not os.path.exists(dst):
+            tmp = dst + ".part"
+            with open(tmp, "wb") as fout:
+                subprocess.run(
+                    ["lz4", "-dc", p], stdout=fout, check=True
+                )
+            os.replace(tmp, dst)
+        out.append(dst)
+    return out
 
 
 def read_header(path: str, cfg: CSVConfig) -> list[str]:
@@ -176,10 +262,8 @@ def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
     """
     import codecs
     import hashlib
-    import tempfile
 
-    cache = os.path.join(tempfile.gettempdir(), "tls_transcode")
-    os.makedirs(cache, exist_ok=True)
+    cache = user_cache_dir("tls_transcode")
     out = []
     for p in paths:
         st = os.stat(p)
@@ -219,6 +303,7 @@ def read_csv_files(
     header (the caller groups by header); header_names=None otherwise and
     columns are positional `_c0.._cN`.
     """
+    paths = materialize_lz4(paths)
     header_names: list[str] | None = None
     width = n_columns
     if cfg.header:

@@ -370,7 +370,7 @@ def peek_columns(path: str, encoding: str = "utf-8") -> list[str] | None:
 # statement parser is the bottleneck, not IO)
 SQL_CHUNK_BYTES = 64 * 1024 * 1024
 
-_COMPRESSED_SUFFIXES = (".gz", ".xz", ".bz2", ".zst", ".zstd")
+_COMPRESSED_SUFFIXES = (".gz", ".xz", ".bz2", ".zst", ".zstd", ".lz4")
 
 
 def _is_compressed(path: str) -> bool:
@@ -389,11 +389,11 @@ def decompressed_size(path: str) -> int:
     if not _is_compressed(path):
         return os.path.getsize(path)
     import hashlib
-    import tempfile
+
+    from tidb_lightning_spark.sources.csv_source import user_cache_dir
 
     st = os.stat(path)
-    cache_dir = os.path.join(tempfile.gettempdir(), "tls_dsize")
-    os.makedirs(cache_dir, exist_ok=True)
+    cache_dir = user_cache_dir("tls_dsize")
     key = hashlib.md5(
         f"{os.path.abspath(path)}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]

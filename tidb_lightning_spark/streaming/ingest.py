@@ -141,6 +141,11 @@ def stream_restore(
             pinned_timestamp,
             strict=strict,
             rowid_base=base,
+            # the ledger reserves the EXACT range [base, base+rows) per
+            # batch; dense allocation is the only id scheme that stays
+            # inside it (striped monotonic ids would collide with the
+            # next batch's reservation)
+            force_dense=True,
         )
         if strict and ERR_COL in out.columns:
             bad = (
