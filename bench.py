@@ -91,16 +91,30 @@ def main() -> None:
     except Exception as exc:
         print(f"bench: ingest failed: {exc}", file=sys.stderr)
 
+    # Per-query MEDIAN of `reps` in-process repetitions (r4 verdict item
+    # 8: single-shot numbers on this box swing ~20% under load, so
+    # round-over-round deltas chased noise). The min/max spread is
+    # reported alongside so a wide band flags an untrustworthy median.
+    import statistics
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    spread: dict[str, list[float]] = {}
     for name, spec in Q.registry().items():
         try:
-            timings[name] = round(time_df(spec.spark(spark, sf_dir)), 4)
+            ts = []
+            for _ in range(reps):
+                ts.append(time_df(spec.spark(spark, sf_dir)))
+                # Repetitions and queries must not pollute each other:
+                # drop any persist() a query made (e.g. minhash signature
+                # reuse) so later timings aren't skewed by lingering
+                # cached blocks / GC pressure.
+                spark.catalog.clearCache()
+            timings[name] = round(statistics.median(ts), 4)
+            spread[name] = [round(min(ts), 4), round(max(ts), 4)]
         except Exception as exc:  # keep the bench line intact on a bad query
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
-        # Queries must not pollute each other: drop any persist() a query
-        # made (e.g. minhash signature reuse) so later timings aren't
-        # skewed by lingering cached blocks / GC pressure.
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
 
     # Headline value = the ingest wall (the reference-comparable number:
     # BASELINE.md anchors 28 MiB/s bulk-import throughput; BASELINE.md §
@@ -114,6 +128,8 @@ def main() -> None:
         "value": timings.get("ingest_lineitem_csv", total),
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spread,
+        "bench_reps": reps,
         "queries_total_sec": total,
         "n_queries": len(timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

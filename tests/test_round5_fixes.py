@@ -239,3 +239,119 @@ def test_force_dense_rowids_stay_inside_reservation(spark):
     )
     ids = sorted(r[ROWID_COL] for r in out.select(ROWID_COL).collect())
     assert ids == list(range(base + 1, base + 101))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-in-target-DB driver (r4 verdict item 6; reference MySQL
+# checkpoint driver, checkpoints.go:69-175)
+# ---------------------------------------------------------------------------
+
+
+def test_jdbc_checkpoint_store_roundtrip(spark, tmp_path):
+    """Store primitives against embedded Derby: update/get, engine
+    records via read-modify-write, dump, remove, should_skip."""
+    from tidb_lightning_spark.checkpoints import STATUS, JDBCCheckpointStore
+
+    url = f"jdbc:derby:{tmp_path}/cpdb;create=true"
+    store = JDBCCheckpointStore(spark, url, {"driver": DERBY_DRIVER})
+
+    store.update("db", "t", "loaded", signature="sig1")
+    rec = store.get("db", "t")
+    assert rec["status"] == STATUS["loaded"] and rec["signature"] == "sig1"
+
+    store.engine_update("db", "t", 0, "imported", signature="e0")
+    store.engine_update("db", "t", 1, "imported", signature="e1")
+    assert store.engine_done("db", "t", 0, "e0")
+    assert not store.engine_done("db", "t", 0, "WRONG")
+    store.clear_engines("db", "t")
+    assert store.get("db", "t").get("engines") is None
+    # the engine r-m-w preserved the table-level fields
+    assert store.get("db", "t")["signature"] == "sig1"
+
+    store.update("db", "t", "checksummed", signature="sig1")
+    assert store.should_skip("db", "t", "sig1", min_status="checksummed")
+    assert not store.should_skip("db", "t", "OTHER", min_status="checksummed")
+
+    assert store.dump()["tables"]["`db`.`t`"]["status"] == STATUS["checksummed"]
+    assert store.remove("db", "t") == 1
+    assert store.get("db", "t") == {}
+
+    # a second store over the same URL sees nothing (removed) but works
+    store2 = JDBCCheckpointStore(spark, url, {"driver": DERBY_DRIVER})
+    store2.update("db", "u", "imported", signature="s")
+    assert store2.get("db", "u")["status"] == STATUS["imported"]
+    assert store2.remove() == 1
+
+
+def test_jdbc_checkpoint_resume_survives_driver_machine_loss(
+    spark, jdbc_dump, tmp_path
+):
+    """THE property the driver buys (reference checkpoints.go:69-175):
+    with checkpoint.driver=jdbc the checkpoint lives in the target
+    database, so wiping the local state dir — a brand-new driver
+    machine — still resumes into a skip, never a duplicate append."""
+    import shutil
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    url = f"jdbc:derby:{tmp_path}/mcpdb;create=true"
+    props = {"driver": DERBY_DRIVER}
+    state = str(tmp_path / "state")
+    cfg = Config.from_toml(
+        None,
+        source_dir=jdbc_dump,
+        target_dir=state,
+        backend="jdbc",
+        jdbc_url=url,
+        jdbc_driver=DERBY_DRIVER,
+        checkpoint_driver="jdbc",
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    # no local checkpoint artifacts — the state dir is disposable
+    import os
+
+    local = [
+        f for f in os.listdir(state) if "checkpoint" in f
+    ] if os.path.isdir(state) else []
+    assert local == []
+
+    shutil.rmtree(state, ignore_errors=True)  # the new-machine simulation
+    rep2 = Restorer(spark, cfg).run()
+    assert all(t.status == "skipped" for t in rep2.tables)
+    back = spark.read.jdbc(url, "shop.people", properties=props)
+    assert back.count() == 3  # not appended twice
+
+
+def test_config_maps_mysql_checkpoint_driver(tmp_path):
+    """Reference config name 'mysql' routes to the in-target jdbc store
+    when a live target exists, and to the local sqlite analog otherwise;
+    driver=jdbc without a URL is a config-time error."""
+    import pytest as _pytest
+
+    from tidb_lightning_spark.config import Config
+
+    cfg = Config.from_toml(
+        None,
+        source_dir=str(tmp_path),
+        target_dir=str(tmp_path / "wh"),
+        backend="jdbc",
+        jdbc_url="jdbc:derby:x",
+        checkpoint_driver="mysql",
+    )
+    assert cfg.checkpoint_driver == "jdbc"
+    cfg = Config.from_toml(
+        None,
+        source_dir=str(tmp_path),
+        target_dir=str(tmp_path / "wh"),
+        checkpoint_driver="mysql",
+    )
+    assert cfg.checkpoint_driver == "sqlite"
+    with _pytest.raises(ValueError, match="jdbc-url"):
+        Config.from_toml(
+            None,
+            source_dir=str(tmp_path),
+            target_dir=str(tmp_path / "wh"),
+            checkpoint_driver="jdbc",
+        )

@@ -275,12 +275,236 @@ class SQLiteCheckpointStore(CheckpointStore):
         }
 
 
+class JDBCCheckpointStore(CheckpointStore):
+    """Checkpoint-in-target-DB driver (the reference's MySQL checkpoint
+    driver, checkpoints.go:69-175): records live in the TARGET database
+    (`lightning_checkpoints.checkpoint`, one row per table, same JSON
+    record shape as the file/sqlite drivers), so a resume can run from a
+    DIFFERENT driver machine — the local stores die with the machine
+    that started the import.
+
+    Concurrency contract: in-process writers serialize on an RLock (the
+    table-concurrency case); cross-machine access is resume-after-crash,
+    not concurrent import, matching the reference's usage."""
+
+    SCHEMA = "lightning_checkpoints"  # reference default checkpoint schema
+
+    def __init__(self, spark, url: str, properties: dict | None = None,
+                 enabled: bool = True):
+        import threading
+
+        self.spark = spark
+        self.url = url
+        self.properties = dict(properties or {})
+        self.enabled = enabled
+        self.path = f"{url} [{self.SCHEMA}.checkpoint]"  # ctl display
+        self.dialect = "derby" if url.startswith("jdbc:derby") else "mysql"
+        self._lock = threading.RLock()
+        if enabled:
+            self._init_table()
+
+    def _conn(self):
+        from tidb_lightning_spark.sinks.jdbc_sink import _jdbc_connection
+
+        return _jdbc_connection(self.spark, self.url, self.properties)
+
+    def _init_table(self) -> None:
+        from tidb_lightning_spark.sinks.jdbc_sink import execute_ddl
+
+        if self.dialect == "mysql":
+            execute_ddl(
+                self.spark, self.url,
+                f"CREATE DATABASE IF NOT EXISTS {self.SCHEMA}",
+                self.properties,
+            )
+            execute_ddl(
+                self.spark, self.url,
+                f"CREATE TABLE IF NOT EXISTS {self.SCHEMA}.checkpoint ("
+                " k VARCHAR(191) NOT NULL PRIMARY KEY,"
+                " rec LONGTEXT NOT NULL)",
+                self.properties,
+            )
+        else:  # derby creates the schema implicitly on CREATE TABLE
+            execute_ddl(
+                self.spark, self.url,
+                f"CREATE TABLE {self.SCHEMA}.checkpoint ("
+                ' "k" VARCHAR(512) NOT NULL PRIMARY KEY,'
+                ' "rec" CLOB NOT NULL)',
+                self.properties,
+                ignore_exists=True,
+            )
+
+    def _q(self, ident: str) -> str:
+        return f"`{ident}`" if self.dialect == "mysql" else f'"{ident}"'
+
+    # -- storage primitives (everything else inherits) ------------------
+    def get(self, db: str, table: str) -> dict:
+        if not self.enabled:
+            return {}
+        sql = (
+            f"SELECT {self._q('rec')} FROM {self.SCHEMA}.checkpoint "
+            f"WHERE {self._q('k')} = ?"
+        )
+        with self._conn() as conn:
+            ps = conn.prepareStatement(sql)
+            try:
+                ps.setString(1, self.table_key(db, table))
+                rs = ps.executeQuery()
+                try:
+                    if rs.next():
+                        return json.loads(rs.getString(1))
+                    return {}
+                finally:
+                    rs.close()
+            finally:
+                ps.close()
+
+    def _rmw(self, key: str, mutate) -> None:
+        """Read-modify-write; in-process serialization via the RLock,
+        UPDATE-else-INSERT upsert (portable across derby/mysql)."""
+        with self._lock, self._conn() as conn:
+            ps = conn.prepareStatement(
+                f"SELECT {self._q('rec')} FROM {self.SCHEMA}.checkpoint "
+                f"WHERE {self._q('k')} = ?"
+            )
+            try:
+                ps.setString(1, key)
+                rs = ps.executeQuery()
+                try:
+                    rec = json.loads(rs.getString(1)) if rs.next() else {}
+                finally:
+                    rs.close()
+            finally:
+                ps.close()
+            if mutate(rec) is False:
+                return
+            up = conn.prepareStatement(
+                f"UPDATE {self.SCHEMA}.checkpoint SET {self._q('rec')} = ? "
+                f"WHERE {self._q('k')} = ?"
+            )
+            try:
+                up.setString(1, json.dumps(rec))
+                up.setString(2, key)
+                n = up.executeUpdate()
+            finally:
+                up.close()
+            if n == 0:
+                ins = conn.prepareStatement(
+                    f"INSERT INTO {self.SCHEMA}.checkpoint "
+                    f"({self._q('k')}, {self._q('rec')}) VALUES (?, ?)"
+                )
+                try:
+                    ins.setString(1, key)
+                    ins.setString(2, json.dumps(rec))
+                    ins.executeUpdate()
+                finally:
+                    ins.close()
+
+    def update(self, db: str, table: str, status: str, **fields) -> None:
+        if not self.enabled:
+            return
+
+        def mutate(rec):
+            rec["status"] = STATUS[status]
+            rec["status_name"] = status
+            rec["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            rec.update(fields)
+
+        self._rmw(self.table_key(db, table), mutate)
+
+    def engine_update(
+        self, db: str, table: str, engine: int, status: str, **fields
+    ) -> None:
+        if not self.enabled:
+            return
+
+        def mutate(rec):
+            e = rec.setdefault("engines", {}).setdefault(str(engine), {})
+            e["status"] = status
+            e["updated_at"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            e.update(fields)
+
+        self._rmw(self.table_key(db, table), mutate)
+
+    def clear_engines(self, db: str, table: str) -> None:
+        if not self.enabled:
+            return
+
+        def mutate(rec):
+            return rec.pop("engines", None) is not None
+
+        self._rmw(self.table_key(db, table), mutate)
+
+    def remove(self, db: str | None = None, table: str | None = None) -> int:
+        if not self.enabled:
+            return 0
+        with self._lock, self._conn() as conn:
+            st = conn.createStatement()
+            try:
+                if db is None:
+                    rs = st.executeQuery(
+                        f"SELECT COUNT(*) FROM {self.SCHEMA}.checkpoint"
+                    )
+                    rs.next()
+                    n = int(rs.getLong(1))
+                    rs.close()
+                    st.execute(f"DELETE FROM {self.SCHEMA}.checkpoint")
+                    return n
+            finally:
+                st.close()
+            ps = conn.prepareStatement(
+                f"DELETE FROM {self.SCHEMA}.checkpoint "
+                f"WHERE {self._q('k')} = ?"
+            )
+            try:
+                ps.setString(1, self.table_key(db, table))
+                return int(ps.executeUpdate())
+            finally:
+                ps.close()
+
+    def dump(self) -> dict:
+        if not self.enabled:
+            return {"version": 1, "tables": {}}
+        with self._conn() as conn:
+            st = conn.createStatement()
+            try:
+                rs = st.executeQuery(
+                    f"SELECT {self._q('k')}, {self._q('rec')} "
+                    f"FROM {self.SCHEMA}.checkpoint"
+                )
+                tables = {}
+                try:
+                    while rs.next():
+                        tables[rs.getString(1)] = json.loads(rs.getString(2))
+                finally:
+                    rs.close()
+            finally:
+                st.close()
+        return {"version": 1, "tables": tables}
+
+
 def open_checkpoint_store(
-    target_dir: str, driver: str = "file", enabled: bool = True
+    target_dir: str,
+    driver: str = "file",
+    enabled: bool = True,
+    spark=None,
+    jdbc_url: str | None = None,
+    jdbc_properties: dict | None = None,
 ) -> CheckpointStore:
     """Driver dispatch mirroring the reference's checkpoint.driver config
-    (file / mysql -> here: file / sqlite). Auto-detects an existing store
-    of either flavor so `ctl` works regardless of how the import ran."""
+    (file / mysql -> here: file / sqlite / jdbc-in-target). Auto-detects
+    an existing local store of either flavor so `ctl` works regardless
+    of how the import ran; the jdbc driver needs the live session and
+    target URL and is only reachable by explicit configuration."""
+    if driver == "jdbc":
+        if spark is None or not jdbc_url:
+            raise ValueError(
+                "checkpoint driver 'jdbc' needs a SparkSession and a "
+                "jdbc-url (checkpoints live in the target database)"
+            )
+        return JDBCCheckpointStore(
+            spark, jdbc_url, jdbc_properties, enabled=enabled
+        )
     jpath = os.path.join(target_dir, "_tls_checkpoints.json")
     spath = os.path.join(target_dir, "_tls_checkpoints.sqlite")
     if driver == "auto":
@@ -291,4 +515,6 @@ def open_checkpoint_store(
         return SQLiteCheckpointStore(spath, enabled=enabled)
     if driver == "file":
         return CheckpointStore(jpath, enabled=enabled)
-    raise ValueError(f"unknown checkpoint driver {driver!r} (file|sqlite|auto)")
+    raise ValueError(
+        f"unknown checkpoint driver {driver!r} (file|sqlite|jdbc|auto)"
+    )

@@ -101,8 +101,6 @@ class Config:
         cp = raw.get("checkpoint", {})
         cfg.checkpoint_enable = cp.get("enable", True)
         cfg.checkpoint_driver = cp.get("driver", cfg.checkpoint_driver)
-        if cfg.checkpoint_driver == "mysql":  # reference name -> our analog
-            cfg.checkpoint_driver = "sqlite"
         post = raw.get("post-restore", {})
         cfg.checksum = _tristate(post.get("checksum", "required"))
         cfg.analyze = _tristate(post.get("analyze", "optional"))
@@ -116,6 +114,16 @@ class Config:
         for k, v in overrides.items():
             if v is not None:
                 setattr(cfg, k, v)
+        if cfg.checkpoint_driver == "mysql":
+            # reference name -> our analog (after overrides, which can
+            # set both the driver and the backend): with a live JDBC
+            # target the checkpoint lives IN that target (reference
+            # MySQL driver, checkpoints.go:69-175 — resume works from a
+            # new driver machine); without one, the local sqlite driver
+            # is the closest database-backed analog
+            cfg.checkpoint_driver = (
+                "jdbc" if cfg.backend in ("tidb", "jdbc") else "sqlite"
+            )
         cfg.validate()
         return cfg
 
@@ -131,6 +139,11 @@ class Config:
             raise ValueError(
                 "backend=jdbc/tidb requires tidb.jdbc-url (the target "
                 "database's JDBC URL)"
+            )
+        if self.checkpoint_driver == "jdbc" and not self.jdbc_url:
+            raise ValueError(
+                "checkpoint.driver=jdbc stores checkpoints in the target "
+                "database and requires tidb.jdbc-url"
             )
         if self.output_format not in ("parquet", "orc"):
             raise ValueError(f"invalid output-format {self.output_format!r}")

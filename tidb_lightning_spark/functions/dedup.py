@@ -148,7 +148,12 @@ def band_hashes_df(wide: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
     """(a, b, est_jaccard) — banded-LSH near-duplicate candidates.
 
     Pipeline: wide signatures (one corpus scan) -> 8 band hashes/doc ->
@@ -158,8 +163,20 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     estimate joins shuffle (id, 64 longs) — never the text. Hot buckets
     are genuinely-identical content (exact dedup's job); dissimilar docs
     sharing popular shingles no longer collide (r=8 banding).
-    """
-    wide = minhash_wide_df(df, id_col, text_col).persist()
+
+    Cache lifetimes: by default the wide signature DF is persisted here
+    and released when the RETURNED handle is garbage-collected — a
+    caller that derives a plan and drops the handle
+    (`lsh_candidate_pairs(...).filter(...)`) would silently recompute
+    signatures. Composing callers pass `signatures=` (a persisted
+    `minhash_wide_df(df, id_col, text_col)`) instead: the function then
+    never touches the cache lifetime, the caller unpersists after its
+    action runs, and every derived plan reuses the one cached scan
+    (tests/test_dedup_cache.py asserts the InMemoryTableScan)."""
+    if signatures is not None:
+        wide = signatures
+    else:
+        wide = minhash_wide_df(df, id_col, text_col).persist()
     bands = band_hashes_df(wide, id_col)
     left = bands.select(
         F.col(id_col).alias("_a"), "band_idx", "band_hash"
@@ -196,6 +213,8 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+    if signatures is not None:
+        return result  # the caller owns the signature cache lifetime
     return _unpersist_on_gc(result, wide)
 
 
@@ -282,8 +301,14 @@ def near_dup_clusters(
     large-star/small-star contraction (Kiveris et al.) halves the round
     count; the join structure here is the same building block.
     """
+    # own the signature cache explicitly: the derived .filter/.select
+    # below drops lsh_candidate_pairs' returned handle, which under the
+    # GC-tied default would release the cache before edges materialize
+    # and recompute every signature (the API caveat this parameter
+    # exists for)
+    sigs = minhash_wide_df(df, id_col, text_col).persist()
     pairs = (
-        lsh_candidate_pairs(df, id_col, text_col)
+        lsh_candidate_pairs(df, id_col, text_col, signatures=sigs)
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
@@ -317,6 +342,7 @@ def near_dup_clusters(
             break
         prev_sum = cur_sum
     edges.unpersist()
+    sigs.unpersist()
     result = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

@@ -178,6 +178,11 @@ class Restorer:
             cfg.target_dir,
             driver=cfg.checkpoint_driver,
             enabled=cfg.checkpoint_enable,
+            spark=spark,
+            jdbc_url=cfg.jdbc_url,
+            jdbc_properties=(
+                {"driver": cfg.jdbc_driver} if cfg.jdbc_driver else {}
+            ),
         )
         # pinned timestamp for CURRENT_TIMESTAMP defaults (determinism —
         # session.go:203, restore.go:2490-2496)
