@@ -666,8 +666,12 @@ class Restorer:
         from tidb_lightning_spark.schema.ddl import parse_create_view
 
         charset = _codecs.lookup(self.cfg.character_set or "utf-8").name
-        with open(tbl.view_schema_file, encoding=charset, errors="replace") as f:
-            view = parse_create_view(f.read())
+        with csv_source._decompress_open(
+            tbl.view_schema_file, self.spark
+        ) as f:
+            view = parse_create_view(
+                f.read().decode(charset, errors="replace")
+            )
         self.sink.write_view_meta(
             tbl.db, tbl.name,
             {"columns": view.columns, "select": view.select,
@@ -765,8 +769,12 @@ class Restorer:
                 from tidb_lightning_spark.schema.ddl import parse_create_view
                 from tidb_lightning_spark.sinks.jdbc_sink import execute_ddl
 
-                with open(tbl.view_schema_file, errors="replace") as f:
-                    view = parse_create_view(f.read())
+                with csv_source._decompress_open(
+                    tbl.view_schema_file, self.spark
+                ) as f:
+                    view = parse_create_view(
+                        f.read().decode("utf-8", errors="replace")
+                    )
                 if self.jdbc_sink.dialect == "mysql":
                     cols = (
                         "(" + ", ".join(f"`{c}`" for c in view.columns) + ")"
@@ -1175,7 +1183,9 @@ class Restorer:
     # ------------------------------------------------------------------
     def _table_info(self, tbl: MDTableMeta) -> TableInfo:
         if tbl.schema_file:
-            with open(tbl.schema_file, "rb") as f:
+            # schema files may live on remote storage (A1): route the
+            # bounded driver-side read through the Hadoop FS peek
+            with csv_source._decompress_open(tbl.schema_file, self.spark) as f:
                 sql = f.read().decode(self.cfg.character_set, errors="replace")
             info = parse_create_table(sql)
             info.db, info.name = tbl.db, tbl.name  # post-routing identity
@@ -1196,7 +1206,7 @@ class Restorer:
         from tidb_lightning_spark.schema.types import MySQLType
 
         header = (
-            csv_source.read_header(first.path, self.cfg.csv)
+            csv_source.read_header(first.path, self.cfg.csv, self.spark)
             if first.type == "csv" and self.cfg.csv.header
             else None
         )
@@ -1239,7 +1249,7 @@ class Restorer:
 
         if csv_files:
             for header, paths in csv_source.group_files_by_header(
-                [f.path for f in csv_files], self.cfg.csv
+                [f.path for f in csv_files], self.cfg.csv, self.spark
             ):
                 df, names = csv_source.read_csv_files(
                     self.spark,
@@ -1304,6 +1314,22 @@ class Restorer:
                 rowid_base += group_bytes // max(1, len(info.columns)) + 1
 
         if sql_files:
+            remote = [
+                f.path for f in sql_files
+                if "://" in f.path and not f.path.startswith("file:")
+            ]
+            if remote:
+                # fail FAST on the driver with the remedy — the
+                # statement-aligned range reader opens paths directly on
+                # executors (sqldump_source.py:17-19), so a remote dump
+                # would die mid-scan with a bare FileNotFoundError
+                raise IngestError(
+                    f"SQL-dump files on remote storage are not supported "
+                    f"({remote[0]!r}): the statement-aligned range reader "
+                    "opens files directly on executors. Copy the dump to "
+                    "shared/local storage, or use CSV/parquet sources "
+                    "(scanned remotely via the Hadoop connector)."
+                )
             # the Spark text reader is UTF-8-only: legacy-charset dumps are
             # stream-transcoded driver-side first (A10 — same contract as
             # the CSV path; reader.go:39-69)

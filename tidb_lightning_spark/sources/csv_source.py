@@ -86,7 +86,56 @@ class _ProcStream:
         self.close()
 
 
-def _decompress_open(path: str):
+class _HadoopStream:
+    """Driver-side read adapter over a Hadoop FSDataInputStream (py4j).
+    Used for bounded peeks (schema files, CSV headers, width probes) on
+    scheme'd URIs — the same connector the executors scan with, so any
+    store Spark can read, the driver can peek (A1 external storage,
+    reference lightning.go:273-279). Java 17's readNBytes keeps the
+    transfer one py4j call per read, never per byte."""
+
+    def __init__(self, spark, path: str):
+        jvm = spark._jvm
+        self._p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = self._p.getFileSystem(spark._jsc.hadoopConfiguration())
+        self._in = fs.open(self._p)
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            return bytes(self._in.readAllBytes())
+        return bytes(self._in.readNBytes(int(n)))
+
+    def readable(self) -> bool:
+        return True
+
+    def close(self) -> None:
+        self._in.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _decompress_open(path: str, spark=None):
+    if "://" in path and not path.startswith("file:"):
+        if path.endswith((".gz", ".xz", ".bz2", ".zst", ".zstd", ".lz4")):
+            raise NotImplementedError(
+                f"driver-side peek of a COMPRESSED remote file {path!r} is "
+                "not supported — use uncompressed remote sources (executor "
+                "scans still decompress gz natively), or mount the store"
+            )
+        if spark is None:
+            raise ValueError(
+                f"remote source {path!r} needs a SparkSession for the "
+                "Hadoop FileSystem peek"
+            )
+        return _HadoopStream(spark, path)
+    if path.startswith("file:"):
+        import re
+
+        path = re.sub("^file:/+", "/", path)
     if path.endswith(".gz"):
         import gzip
 
@@ -167,6 +216,16 @@ def materialize_lz4(paths: list[str]) -> list[str]:
 
     if not any(p.endswith(".lz4") for p in paths):
         return paths
+    remote = [
+        p for p in paths
+        if p.endswith(".lz4") and "://" in p and not p.startswith("file:")
+    ]
+    if remote:
+        raise NotImplementedError(
+            f"lz4 files on remote storage are not supported ({remote[0]!r}):"
+            " the driver-side decompress fallback needs local access; "
+            "re-compress as gzip/zstd (scanned natively) or copy locally"
+        )
     if not _sh.which("lz4"):
         raise NotImplementedError(
             "source contains .lz4 files but no `lz4` CLI is available to "
@@ -197,9 +256,9 @@ def materialize_lz4(paths: list[str]) -> list[str]:
     return out
 
 
-def read_header(path: str, cfg: CSVConfig) -> list[str]:
+def read_header(path: str, cfg: CSVConfig, spark=None) -> list[str]:
     """Driver-side first-line read -> column names (csv_parser.go:513-538)."""
-    with _decompress_open(path) as f:
+    with _decompress_open(path, spark) as f:
         raw = f.read(1 << 20)
     text = raw.decode(codecs.lookup(cfg.character_set).name, errors="replace")
     line = io.StringIO(text).readline().rstrip("\r\n")
@@ -263,6 +322,14 @@ def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
     import codecs
     import hashlib
 
+    remote = [p for p in paths if "://" in p and not p.startswith("file:")]
+    if remote:
+        raise NotImplementedError(
+            f"legacy-charset files on remote storage are not supported "
+            f"({remote[0]!r}): transcoding needs local access — "
+            "pre-transcode to UTF-8 (a distributed text pass) or copy "
+            "locally"
+        )
     cache = user_cache_dir("tls_transcode")
     out = []
     for p in paths:
@@ -307,7 +374,7 @@ def read_csv_files(
     header_names: list[str] | None = None
     width = n_columns
     if cfg.header:
-        header_names = read_header(paths[0], cfg)
+        header_names = read_header(paths[0], cfg, spark)
         width = len(header_names)
 
     charset = codecs.lookup(cfg.character_set).name
@@ -316,7 +383,7 @@ def read_csv_files(
         cfg = dataclasses.replace(cfg, character_set="utf-8")
     if width is None:
         # probe width from the first line of the first file
-        width = len(_split_line_first(paths[0], cfg))
+        width = len(_split_line_first(paths[0], cfg, spark))
 
     n_read = width + (1 if cfg.trim_last_sep else 0)
     schema = T.StructType(
@@ -354,15 +421,15 @@ def read_csv_files(
     return df, header_names
 
 
-def _split_line_first(path: str, cfg: CSVConfig) -> list[str]:
-    with _decompress_open(path) as f:
+def _split_line_first(path: str, cfg: CSVConfig, spark=None) -> list[str]:
+    with _decompress_open(path, spark) as f:
         raw = f.read(1 << 20)
     text = raw.decode(codecs.lookup(cfg.character_set).name, errors="replace")
     return _split_line(io.StringIO(text).readline().rstrip("\r\n"), cfg)
 
 
 def group_files_by_header(
-    paths: list[str], cfg: CSVConfig
+    paths: list[str], cfg: CSVConfig, spark=None
 ) -> list[tuple[tuple[str, ...] | None, list[str]]]:
     """Batch files sharing an identical header into one scan group."""
     if not cfg.header:
@@ -370,7 +437,7 @@ def group_files_by_header(
     groups: dict[tuple[str, ...], list[str]] = {}
     order: list[tuple[str, ...]] = []
     for p in paths:
-        h = tuple(read_header(p, cfg))
+        h = tuple(read_header(p, cfg, spark))
         if h not in groups:
             groups[h] = []
             order.append(h)
