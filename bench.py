@@ -101,6 +101,13 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     for name, spec in Q.registry().items():
         try:
+            # one untimed warmup execution: absorbs whole-stage-codegen
+            # compilation (first run of a plan shape pays ~1-5 s of
+            # Janino) and the post-ingest GC/shuffle-cleanup turbulence
+            # that made early queries' first rep swing 5x (r4 spread
+            # data); the timed reps then measure steady state.
+            time_df(spec.spark(spark, sf_dir))
+            spark.catalog.clearCache()
             ts = []
             for _ in range(reps):
                 ts.append(time_df(spec.spark(spark, sf_dir)))

@@ -1,0 +1,111 @@
+"""Gopher-style repetition filters (functions/quality.py): line-level
+metrics need multi-line text, which the fixture corpus lacks — exercise
+them on synthetic docs, asserting exact expected values AND Spark/DuckDB
+twin agreement on the same rows."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.functions import quality as QL
+
+DOCS = [
+    # (doc_id, text)
+    (1, "alpha beta gamma\nalpha beta gamma\nunique line here"),
+    (2, "one line only"),
+    (3, ""),
+    (4, "- bullet a\n- bullet b\nplain line"),
+    (5, "cut off here...\nanother trunc...\nfull sentence stays"),
+    (6, "# # # # tags tags"),
+    (7, "word word word word word other"),
+    (8, "a\n\n\na"),  # empty lines dropped, duplicate 'a' lines
+    (9, "the quick brown fox jumps over two lazy dogs today"),
+]
+
+
+@pytest.fixture(scope="module")
+def qdf(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _vals(qdf, col_builder):
+    rows = qdf.select("doc_id", col_builder(F.col("text")).alias("v")).collect()
+    return {r.doc_id: r.v for r in rows}
+
+
+def test_dup_line_frac(qdf):
+    v = _vals(qdf, QL.dup_line_frac)
+    assert v[1] == pytest.approx(1 - 2 / 3)  # 3 lines, 2 distinct
+    assert v[2] == 0.0
+    assert v[3] == 0.0
+    assert v[8] == pytest.approx(0.5)  # 2 'a' lines, 1 distinct
+
+
+def test_dup_line_char_frac(qdf):
+    v = _vals(qdf, QL.dup_line_char_frac)
+    # doc 1: two 16-char duplicate lines out of 16+16+16 = 48 chars
+    assert v[1] == pytest.approx(32 / 48)
+    assert v[2] == 0.0
+    assert v[8] == pytest.approx(1.0)
+
+
+def test_token_repetition(qdf):
+    dup = _vals(qdf, QL.dup_token_frac)
+    top = _vals(qdf, QL.top_token_frac)
+    # doc 7: 6 tokens, 2 distinct; 'word' covers 5/6
+    assert dup[7] == pytest.approx(1 - 2 / 6)
+    assert top[7] == pytest.approx(5 / 6)
+    assert dup[3] == 0.0 and top[3] == 0.0
+
+
+def test_layout_ratios(qdf):
+    bullets = _vals(qdf, QL.bullet_line_frac)
+    ellipsis = _vals(qdf, QL.ellipsis_line_frac)
+    symbols = _vals(qdf, QL.symbol_word_ratio)
+    assert bullets[4] == pytest.approx(2 / 3)
+    assert ellipsis[5] == pytest.approx(2 / 3)
+    assert symbols[6] == pytest.approx(4 / 6)  # four '#' / 6 tokens
+
+
+def test_gopher_keep_flags(qdf):
+    v = _vals(qdf, QL.gopher_keep)
+    assert v[1] is False  # dup-line heavy
+    assert v[6] is False  # symbol soup
+    assert v[7] is False  # top-token 5/6
+    assert v[4] is False  # '-' and 'bullet' each 2/8 tokens > 0.20
+    assert v[9] is True  # clean prose: all rules pass
+    assert v[3] is False  # below min_words
+
+
+SQL_BUILDERS = [
+    ("dup_line_frac", QL.dup_line_frac, QL.sql_dup_line_frac),
+    ("dup_line_char_frac", QL.dup_line_char_frac, QL.sql_dup_line_char_frac),
+    ("dup_token_frac", QL.dup_token_frac, QL.sql_dup_token_frac),
+    ("top_token_frac", QL.top_token_frac, QL.sql_top_token_frac),
+    ("symbol_word_ratio", QL.symbol_word_ratio, QL.sql_symbol_word_ratio),
+    ("bullet_line_frac", QL.bullet_line_frac, QL.sql_bullet_line_frac),
+    ("ellipsis_line_frac", QL.ellipsis_line_frac, QL.sql_ellipsis_line_frac),
+    ("gopher_keep", QL.gopher_keep, QL.sql_gopher_keep),
+]
+
+
+@pytest.mark.parametrize(
+    "name,spark_fn,sql_fn", SQL_BUILDERS, ids=[b[0] for b in SQL_BUILDERS]
+)
+def test_sql_twins_agree_on_multiline(qdf, name, spark_fn, sql_fn):
+    """Every builder's DuckDB twin must agree bit-for-bit on the
+    synthetic multi-line docs (the registry parity test only sees the
+    single-line fixture corpus)."""
+    got = _vals(qdf, spark_fn)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs (doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", DOCS)
+    rows = con.execute(
+        f"SELECT doc_id, {sql_fn('text')} FROM docs"
+    ).fetchall()
+    want = {r[0]: r[1] for r in rows}
+    assert got == want, f"{name}: {got} != {want}"

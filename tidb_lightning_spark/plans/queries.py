@@ -2263,3 +2263,344 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("test_doc_id", "train_doc_id")
         .orderBy("test_doc_id", "train_doc_id")
     )
+
+
+from tidb_lightning_spark.functions import quality as QL  # noqa: E402
+
+
+@register(
+    "quality_repetition_filters",
+    f"""
+    SELECT doc_id,
+           {QL.sql_dup_line_frac('text')} AS dup_line_frac,
+           {QL.sql_dup_line_char_frac('text')} AS dup_line_char_frac,
+           {QL.sql_dup_token_frac('text')} AS dup_token_frac,
+           {QL.sql_top_token_frac('text')} AS top_token_frac,
+           {QL.sql_symbol_word_ratio('text')} AS symbol_word_ratio,
+           {QL.sql_gopher_keep('text')} AS keep
+    FROM documents
+    """,
+)
+def quality_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gate (Rae et al. 2021 §A1.1):
+    duplicate-line/token fractions, top-token fraction, symbol-to-word
+    ratio, and the combined keep verdict — the standard pre-training
+    corpus filter. Pure per-row Catalyst array folds: one codegen stage,
+    zero shuffles, linear in corpus size; at 100 TB this runs at scan
+    speed alongside ingestion (reference has no text surface — this is
+    beyond-reference, SURVEY §2.N)."""
+    d = widen(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        QL.dup_line_frac(t).alias("dup_line_frac"),
+        QL.dup_line_char_frac(t).alias("dup_line_char_frac"),
+        QL.dup_token_frac(t).alias("dup_token_frac"),
+        QL.top_token_frac(t).alias("top_token_frac"),
+        QL.symbol_word_ratio(t).alias("symbol_word_ratio"),
+        QL.gopher_keep(t).alias("keep"),
+    )
+
+
+@register(
+    "quality_top_bigram",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, length(text) AS n_chars,
+             {TX.SQL_TOKENS.format(col='lower(text)')} AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, n_chars,
+             unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])
+                         ELSE [] END) AS bigram
+      FROM tok
+    ), cnt AS (
+      SELECT doc_id, n_chars, bigram, count(*) AS n
+      FROM bg GROUP BY doc_id, n_chars, bigram
+    ), rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY n DESC, bigram) AS r
+      FROM cnt
+    )
+    SELECT doc_id, bigram AS top_bigram, CAST(n AS BIGINT) AS n_occurrences,
+           CAST(n * length(bigram) AS DOUBLE)
+             / CAST(greatest(n_chars, 1) AS DOUBLE) AS char_frac
+    FROM rk WHERE r = 1
+    """,
+)
+def quality_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-frequent bigram and the fraction of characters
+    it covers — the top-n-gram Gopher repetition rule. Unlike the per-row
+    filters this needs a per-doc argmax over grouped counts, so it is a
+    grouped aggregation: explode bigrams once, map-side-combinable count
+    on (doc_id, bigram), then a per-doc window. Only (doc_id, bigram,
+    count) rows shuffle — the document text dies at the scan, and the
+    window key (doc_id) is the same key as the groupBy so AQE coalesces
+    the two exchanges. Ties break lexicographically for cross-engine
+    determinism."""
+    d = widen(spark, sf_dir, "documents")
+    t = TX.tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    bg = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(
+            F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    cnt = bg.groupBy("doc_id", "n_chars", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), "bigram")
+    return (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("n").alias("n_occurrences"),
+            (
+                (F.col("n") * F.length("bigram")).cast("double")
+                / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+            ).alias("char_frac"),
+        )
+    )
+
+
+@register(
+    "domain_quota_sample",
+    f"""
+    WITH rk AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {TX.sql_hash60(
+                   "concat(CAST(doc_id AS VARCHAR), ':quota-v1')")}, doc_id
+             ) AS quota_rank
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(quota_rank AS BIGINT) AS quota_rank
+    FROM rk WHERE quota_rank <= 10
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: keep at most K documents per source,
+    chosen by a salted hash (deterministic, engine- and run-stable — no
+    RNG) — the standard over-represented-domain downsampler in web-corpus
+    pipelines. One shuffle on `source`; the window never materializes
+    more than a partition. Skewed sources are exactly the case AQE's
+    skew-join/partition splitting handles; at 100 TB swap row_number for
+    a count-per-source broadcast + hash-threshold filter (map-only) if a
+    single domain exceeds a partition."""
+    d = load(spark, sf_dir, "documents")
+    order_key = TX.hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":quota-v1"))
+    )
+    w = Window.partitionBy("source").orderBy(order_key, "doc_id")
+    return (
+        d.select("doc_id", "source")
+        .withColumn("quota_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("quota_rank") <= 10)
+    )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH clusters AS ({D.sql_near_dup_clusters("documents", "doc_id", "text")}),
+    j AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    ), rk AS (
+      SELECT cluster_id, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id) AS r,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM rk WHERE r = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: compose the
+    LSH connected components (near_dup_clusters) with a quality criterion
+    and keep the best member (longest text, doc_id tiebreak) — the final
+    'which copy survives' step of a fuzzy-dedup pipeline, where the
+    keeper is chosen by quality rather than defaulting to min-id. The
+    extra work over the clustering itself is one window on cluster_id —
+    clusters are tiny, so no skew; text never joins, only (doc_id,
+    cluster_id, n_chars)."""
+    d = widen(spark, sf_dir, "documents")
+    from tidb_lightning_spark.functions import dedup as _D
+
+    labels = _D.near_dup_clusters(d, "doc_id", "text")
+    j = labels.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("r", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("r") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_members",
+        )
+    )
+
+
+@register(
+    "corpus_shuffle_buckets",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {TX.sql_hash60(
+                 "concat(CAST(doc_id AS VARCHAR), ':shuffle-v1')")} % 64
+               AS bucket,
+             {TX.sql_hash60(
+                 "concat(CAST(doc_id AS VARCHAR), ':order-v1')")} AS okey
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(row_number() OVER (
+             PARTITION BY bucket ORDER BY okey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def corpus_shuffle_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle, the scale-safe way:
+    a salted hash assigns each doc to one of 64 buckets, an independent
+    salted hash orders docs within the bucket (bucket, pos) — reading
+    buckets in order yields a reproducible pseudo-random permutation of
+    the corpus without any global sort or RNG state. One shuffle on the
+    bucket key; each window sorts only its bucket (corpus/64 rows). At
+    100 TB raise the bucket count so a bucket fits an executor — the plan
+    shape is unchanged; contrast a row_number over a global ORDER BY,
+    which funnels the corpus through one partition."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        TX.hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle-v1"))
+        )
+        % 64
+    )
+    okey = TX.hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":order-v1"))
+    )
+    w = Window.partitionBy("bucket").orderBy("okey", "doc_id")
+    return (
+        d.select("doc_id", bucket.alias("bucket"), okey.alias("okey"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "bucket", "pos")
+    )
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), g AS (
+      SELECT label, dim,
+             sum(CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM ex GROUP BY label, dim
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(s AS DOUBLE) / (1000000.0 * n) AS centroid,
+           CAST(n AS BIGINT) AS n_vectors
+    FROM g
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), long format (label,
+    dim, centroid) — the building block for centroid-based near-dup
+    pruning, cluster summaries, and IVF list seeding. Determinism trick:
+    each float is rounded to a scaled BIGINT before summing, so the sum
+    is exact integer arithmetic (order-independent across partitions)
+    and the final value is one IEEE division — bit-identical in Spark
+    and DuckDB, which a naive float avg (partition-order-dependent)
+    is not. posexplode is a generate (no shuffle); the only exchange is
+    the (label, dim) groupBy with map-side partial sums."""
+    e = widen(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000)
+        .cast("bigint")
+        .alias("sv"),
+    )
+    g = ex.groupBy("label", "dim").agg(
+        F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return g.select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / (F.lit(1000000.0) * F.col("n"))).alias(
+            "centroid"
+        ),
+        F.col("n").cast("bigint").alias("n_vectors"),
+    )
+
+
+@register(
+    "corpus_stats_by_source",
+    f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({TX.sql_bpe_token_count('text')}) AS BIGINT)
+             AS total_tokens,
+           CAST(sum(CASE WHEN {QL.sql_gopher_keep('text')}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum({TX.sql_bpe_token_count('text')}) AS DOUBLE)
+             / count(*) AS mean_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: doc/char/token totals, quality-gate pass
+    count, mean tokens — the summary a curation pipeline publishes per
+    domain. All aggregates are exact integer sums (the mean is one final
+    IEEE division), so results are partition-order-independent. Single
+    map-side-combinable groupBy on `source`; the quality verdict and
+    token counts run in the scan stage."""
+    d = widen(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = d.select(
+        "source",
+        F.col("n_chars"),
+        TX.bpe_token_count(t).alias("toks"),
+        QL.gopher_keep(t).cast("int").alias("keep"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("toks").cast("bigint").alias("total_tokens"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            (
+                F.sum("toks").cast("double") / F.count(F.lit(1))
+            ).alias("mean_tokens"),
+        )
+        .orderBy("source")
+    )
