@@ -1,0 +1,168 @@
+"""Plan-shape regression tests: the COVERAGE.md plan-audit claims
+(broadcast joins, filter/column pushdown, exchange budgets) as
+assertions, so a refactor that silently de-optimizes a headline plan
+fails CI instead of only showing up as a bench regression.
+
+All assertions run on the *static* physical plan (no job execution):
+explicit broadcast() hints and pushed filters are visible pre-AQE.
+Exchange budgets count `Exchange` nodes in the formatted plan — AQE can
+coalesce them at runtime but never adds more.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tidb_lightning_spark.plans import queries as Q
+
+from .conftest import SF_CORRECTNESS
+
+
+def plan_of(spark, name: str) -> str:
+    df = Q.registry()[name].spark(spark, SF_CORRECTNESS)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def n_exchanges(plan: str) -> int:
+    # count Exchange operators in the numbered-tree header ("(n) Exchange");
+    # excludes the per-node detail blocks repeating the word
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("\n")[0], "shipdate filter not pushed to the parquet scan"
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_orderkey" not in schema_line, (
+        "column pruning lost: q1 reads 7 columns, not the full table"
+    )
+    # partial agg -> final agg -> 4-row sort: 2 exchanges
+    assert n_exchanges(plan) <= 2, plan
+
+
+def test_q6_filters_reach_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not in PushedFilters: {pushed}"
+
+
+def test_q3_fact_never_join_shuffles(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "q3's dimension joins must broadcast — the lineitem fact "
+        "table must not shuffle for a join"
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_lineitem_pruned_before_aggregation(spark):
+    """r4 verdict item 4: the cost aggregation must consume lineitem
+    AFTER the p_size=15 semi-join, not group the full fact table."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert "p_size" in plan and "15" in plan
+    first_agg = plan.index("HashAggregate")
+    first_join = plan.index("BroadcastHashJoin")
+    assert first_join < first_agg, (
+        "part-key semi-join must sit below the first aggregation"
+    )
+
+
+def test_checksum_two_exchanges(spark):
+    plan = plan_of(spark, "checksum_lineitem")
+    assert n_exchanges(plan) <= 2, (
+        f"checksum must be map-side partial -> one final row: {plan}"
+    )
+
+
+def test_corpus_split_assign_map_only(spark):
+    plan = plan_of(spark, "corpus_split_assign")
+    assert n_exchanges(plan) == 0, "hash-bucket split must be map-only"
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" not in schema_line, "split reads doc_id only"
+
+
+def test_top_bigrams_single_count_exchange(spark):
+    plan = plan_of(spark, "top_bigrams")
+    # widen() may add one small-input repartition; the aggregation itself
+    # adds exactly one exchange on the bigram key, then TakeOrdered.
+    assert n_exchanges(plan) <= 2, plan
+    assert "TakeOrderedAndProject" in plan, (
+        "top-50 must be TakeOrdered, not a global sort"
+    )
+
+
+def test_quality_filters_single_stage(spark):
+    plan = plan_of(spark, "quality_repetition_filters")
+    # per-row array folds: no aggregation, no join; only widen's
+    # small-input repartition may appear
+    assert "HashAggregate" not in plan and "Join" not in plan
+    assert n_exchanges(plan) <= 1
+
+
+def test_corpus_shuffle_no_global_sort(spark):
+    plan = plan_of(spark, "corpus_shuffle_buckets")
+    # windows partitioned by bucket: exchange is hashpartitioning, never
+    # a rangepartitioning global sort
+    assert "rangepartitioning" not in plan.lower(), (
+        "training shuffle must not globally sort the corpus"
+    )
+
+
+def test_embedding_centroids_one_agg_exchange(spark):
+    plan = plan_of(spark, "embedding_centroids")
+    assert n_exchanges(plan) <= 2  # widen repartition + (label,dim) agg
+    assert "Generate" in plan  # posexplode stays a generate, not a join
+
+
+def test_q18_semi_probe_broadcasts(spark):
+    plan = plan_of(spark, "q18_large_orders")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_exact_text_dies_at_scan(spark):
+    plan = plan_of(spark, "dedup_exact_documents")
+    # the shuffled key is md5(text) — the raw text column must not
+    # survive into the exchange's input schema (grouping by text would
+    # shuffle the whole corpus at scale)
+    m = re.search(r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert not re.search(r"\btext#", m.group(1)), (
+        f"exchange carries raw text: {m.group(1)}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "text_analysis",
+        "quality_repetition_filters",
+    ],
+)
+def test_hot_paths_are_whole_stage_codegen(spark, name):
+    # the codegen explain can't see through an unexecuted AdaptiveSparkPlan
+    # (reports 0 subtrees); disable AQE just for plan construction
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = Q.registry()[name].spark(spark, SF_CORRECTNESS)
+        jvm = spark._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    assert m and int(m.group(1)) >= 1, (
+        f"{name} fell out of whole-stage codegen (Python/UDF crept in?)"
+    )

@@ -408,18 +408,21 @@ def checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
            min(n_chars) AS n_chars
     FROM documents
-    GROUP BY text
+    GROUP BY md5(text)
     """,
 )
 def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on full text, keep lowest doc_id.
+    """Exact dedup: hash-groupBy on md5(text), keep lowest doc_id.
 
-    At 100 TB you'd group on md5(text) (fixed-width shuffle key) and
-    re-verify within buckets; here text and md5(text) are equivalent keys,
-    and Spark hash-partitions the shuffle either way.
+    The group key is the 128-bit digest, not the raw text, so the
+    shuffle moves 32-byte keys + counters while the document text dies
+    at the scan — grouping by text directly would shuffle the whole
+    corpus at 100 TB. md5 collisions are negligible at any corpus size
+    (2^64 birthday bound); a paranoid pipeline re-verifies within
+    buckets, which touches only n_copies>1 groups.
     """
     d = load(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
+    return d.groupBy(F.md5("text")).agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
         F.min("n_chars").alias("n_chars"),
@@ -1664,16 +1667,27 @@ def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines sort-and-interpolate identically, so doubles bit-match).
     Spark's `percentile` is a full-sort-per-group aggregate: fine at any
     group count since each group sorts independently post-shuffle; for
-    sketch-accuracy-is-enough cases `percentile_approx` keeps it one pass."""
+    sketch-accuracy-is-enough cases `percentile_approx` keeps it one pass.
+    The three l_quantity percentiles share ONE array-argument aggregate —
+    each percentile() expression buffers every group value, so folding
+    them cuts per-group agg memory 3x (same values, one sort)."""
     l = load(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_quantity, 0.5D)").alias("median_qty"),
-            F.expr("percentile(l_quantity, 0.25D)").alias("q1_qty"),
-            F.expr("percentile(l_quantity, 0.9D)").alias("p90_qty"),
+            F.expr(
+                "percentile(l_quantity, array(0.5D, 0.25D, 0.9D))"
+            ).alias("qs"),
             F.expr("percentile(l_extendedprice, 0.95D)").alias("p95_price"),
             F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("median_qty"),
+            F.col("qs")[1].alias("q1_qty"),
+            F.col("qs")[2].alias("p90_qty"),
+            "p95_price",
+            "n",
         )
         .orderBy("l_returnflag")
     )
