@@ -109,6 +109,23 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--strict", action="store_true", default=None)
     st.add_argument("--log-level", default="INFO")
 
+    cu = sub.add_parser(
+        "curate",
+        help="continuous corpus curation: quality-gate + cross-batch "
+             "exact-dedup newly-arrived document parquet from a growing "
+             "dir (beyond-reference; re-run or cron for incremental "
+             "curation)",
+    )
+    cu.add_argument("--source", "-d", required=True,
+                    help="directory of document parquet files being "
+                         "appended to (doc_id, text, lang, source, n_chars)")
+    cu.add_argument("--target", required=True,
+                    help="curated warehouse output directory")
+    cu.add_argument("--min-quality", type=float, default=0.0,
+                    help="additional quality_score floor on top of the "
+                         "Gopher repetition gate")
+    cu.add_argument("--log-level", default="INFO")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level.upper() if hasattr(args, "log_level") else "INFO",
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
@@ -118,6 +135,8 @@ def main(argv: list[str] | None = None) -> int:
             return _ctl(args)
         if args.cmd == "stream":
             return _stream(args)
+        if args.cmd == "curate":
+            return _curate(args)
         if args.cmd == "sql":
             return _sql(args)
         if args.cmd == "serve":
@@ -308,6 +327,41 @@ def _stream(args) -> int:
         drained.append(name)
     print(json.dumps(
         {"drained_tables": drained, "skipped_tables": skipped, "ok": True}
+    ))
+    return 0
+
+
+def _curate(args) -> int:
+    """One incremental curation drain: quality-gate + cross-batch exact
+    dedup of newly-arrived document parquet (streaming/curation.py).
+    File offsets AND the dedup fingerprint state ride the checkpoint at
+    `<target>/_curate_ckpt`, so re-running admits each fingerprint at
+    most once across all invocations."""
+    from tidb_lightning_spark.session import get_spark
+    from tidb_lightning_spark.streaming.curation import curate_to_warehouse
+
+    spark = get_spark(app_name="tls-curate")
+    spark.sparkContext.setLogLevel("WARN")
+    table_dir = os.path.join(args.target, "documents_curated")
+    curate_to_warehouse(
+        spark,
+        args.source,
+        table_dir,
+        os.path.join(args.target, "_curate_ckpt"),
+        min_quality=args.min_quality,
+    )
+    batches = sorted(
+        p for p in os.listdir(table_dir) if p.startswith("_batch_id=")
+    ) if os.path.isdir(table_dir) else []
+    n_rows = (
+        spark.read.parquet(*[os.path.join(table_dir, b) for b in batches])
+        .count()
+        if batches
+        else 0
+    )
+    print(json.dumps(
+        {"curated_dir": table_dir, "batches": len(batches),
+         "rows_total": n_rows, "ok": True}
     ))
     return 0
 
