@@ -61,3 +61,48 @@ def test_default_path_still_self_manages(spark):
     assert n >= 0
     del res
     gc.collect()  # finalizer must not raise
+
+
+def test_identical_plan_refcount_survives_prior_handle_gc(spark):
+    """Spark's cache manager is plan-keyed: dropping run #1's handle must
+    NOT evict the cache run #2 of the SAME operator just populated (the
+    bug made dedup_keep_best recompute its whole propagation lineage,
+    measured 17x slower)."""
+    from tidb_lightning_spark.functions.dedup import near_dup_clusters
+
+    d = Q.load(spark, SF_CORRECTNESS, "documents").limit(150)
+    first = near_dup_clusters(d, "doc_id", "text")
+    second = near_dup_clusters(d, "doc_id", "text")
+    del first
+    gc.collect()  # run #1's finalizer fires; refcount must protect run #2
+    cached_plans = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached_plans > 0, (
+        "prior handle's GC evicted the identical live plan's cache"
+    )
+    assert second.count() > 0
+    del second
+    gc.collect()  # last holder: now the cache may be released
+
+
+def test_hold_cache_keeps_parents_alive_through_composition(spark):
+    """A derived plan returned to a caller (join/window on top of
+    near_dup_clusters) must keep the parents' caches alive for as long
+    as the DERIVED handle lives — the dedup_keep_best composition."""
+    from tidb_lightning_spark.functions.dedup import hold_cache, near_dup_clusters
+
+    d = Q.load(spark, SF_CORRECTNESS, "documents").limit(150)
+
+    def build():
+        labels = near_dup_clusters(d, "doc_id", "text")
+        out = labels.join(d.select("doc_id", "n_chars"), "doc_id")
+        return hold_cache(out, labels)
+
+    composed = build()  # `labels` local is gone after return
+    gc.collect()
+    cached_plans = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached_plans > 0, "composition lost the propagation cache"
+    plan = composed._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, (
+        "derived plan does not reuse the persisted labels:\n" + plan[:2000]
+    )
+    assert composed.count() > 0

@@ -27,6 +27,20 @@ BAND_R = 8  # rows per band; N_BANDS * BAND_R == N_MINHASH
 SHINGLE_K = 3
 
 
+# Spark's cache manager is PLAN-keyed, not handle-keyed: unpersisting a
+# DataFrame evicts the cache entry of every semantically-equal plan. Two
+# back-to-back calls of the same operator build identical plans, so a
+# naive gc-finalizer for call #1 would evict the cache call #2 just
+# populated (measured: dedup_keep_best write went 0.3 s -> 5-8 s whenever
+# the previous handle happened to be collected mid-run). Refcount by
+# semantic hash so only the LAST live handle of a plan unpersists it.
+_CACHE_REFS: dict[int, int] = {}
+
+
+def _plan_key(df: DataFrame) -> int:
+    return df._jdf.queryExecution().analyzed().semanticHash()
+
+
 def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Release persisted intermediates when `result` is dropped by the
     caller. A returned lazy DataFrame outlives the function that persisted
@@ -40,17 +54,45 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     cache before execution and simply recomputes the signatures — derived
     Spark plans hold no Python reference to `result`. Callers composing
     further should keep the returned object alive until their action
-    runs (as near_dup_clusters does via its `pairs` local)."""
+    runs, via hold_cache()."""
     import weakref
 
-    def _cleanup(dfs=cached):
-        for c in dfs:
+    keyed = []
+    for c in cached:
+        key = _plan_key(c)
+        _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
+        keyed.append((key, c))
+
+    def _cleanup(dfs=keyed):
+        for key, c in dfs:
+            n = _CACHE_REFS.get(key, 1) - 1
+            if n > 0:
+                _CACHE_REFS[key] = n
+                continue  # an identical live plan still owns this cache
+            _CACHE_REFS.pop(key, None)
             try:
                 c.unpersist(False)
             except Exception:
                 pass  # session already stopped
 
     weakref.finalize(result, _cleanup)
+    return result
+
+
+def hold_cache(result: DataFrame, *holders: DataFrame) -> DataFrame:
+    """Make a DERIVED plan keep its parents' gc-tied caches alive.
+
+    The caveat on _unpersist_on_gc: a caller that builds on a returned
+    DataFrame (join/filter/window) and drops the original handle loses
+    the persisted intermediates before its own action runs — Spark plans
+    hold no Python reference to the parent object, so the weakref
+    finalizer fires and the action recomputes the full lineage (for
+    near_dup_clusters that is the whole LSH pipeline plus every
+    propagation round, measured 17x slower). Attaching the parents to
+    the derived result extends the caches' lifetime to the composed
+    plan's."""
+    existing = getattr(result, "_tls_cache_holders", ())
+    result._tls_cache_holders = tuple(existing) + holders
     return result
 
 # MinHash permutation family: one base hash per shingle, then 64 linear

@@ -2462,7 +2462,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").desc(), "doc_id"
     )
     wc = Window.partitionBy("cluster_id")
-    return (
+    out = (
         j.withColumn("r", F.row_number().over(w))
         .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("bigint"))
         .filter(F.col("r") == 1)
@@ -2472,6 +2472,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+    # without this, the labels handle dies at return, its gc-tied cache
+    # unpersists, and the action recomputes the LSH pipeline + every
+    # propagation round (measured 5.1 s vs 0.3 s at sf0.1)
+    return _D.hold_cache(out, labels)
 
 
 @register(
