@@ -131,6 +131,74 @@ def knn_lsh(
     )
 
 
+def sql_knn_lsh(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_where: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> str:
+    """DuckDB twin of knn_lsh — the FULL pipeline, not a reference
+    answer: hyperplanes are deterministic md5-derived constants, so the
+    oracle embeds the same plane literals and recomputes buckets,
+    candidates, exact re-rank. Bit-match holds because DuckDB's
+    list_dot_product is the same left-to-right fold as the Catalyst
+    aggregate (see allpairs_cosine_topk numerics note); sign flips would
+    need |dot| below one ulp, and rank swaps |sim_a-sim_b| below ~1e-13
+    — measure-zero on real-valued embeddings. This makes the LSH scale
+    path driver-verified instead of rows-only."""
+
+    def plane_lit(p: int, t: int) -> str:
+        return "[" + ", ".join(repr(v) for v in _plane(p, dim, t)) + "]"
+
+    bucket_cols = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product(e, {plane_lit(p, t)}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        + f") AS b{t}"
+        for t in range(n_tables)
+    )
+    b_list = ", ".join(f"b{t}" for t in range(n_tables))
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}
+    ), bkt AS (
+      SELECT id, e, sqrt(list_dot_product(e, e)) AS norm,
+             {bucket_cols}
+      FROM v
+    ), ex AS (
+      SELECT id, unnest(generate_series(0, {n_tables - 1})) AS t,
+             unnest([{b_list}]) AS b
+      FROM bkt
+    ), q AS (
+      SELECT id AS query_id, t, b FROM ex WHERE {query_where}
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.id AS neighbor_id
+      FROM q JOIN ex c ON c.t = q.t AND c.b = q.b AND c.id <> q.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qv.e, nv.e) / (qv.norm * nv.norm) AS sim
+      FROM cand
+        JOIN bkt qv ON qv.id = cand.query_id
+        JOIN bkt nv ON nv.id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(sim, 4) AS cosine
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def allpairs_cosine_topk(
     df: DataFrame,
     id_col: str,

@@ -823,11 +823,28 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_cosine_topk(e, "vec_id", "embedding", k=20, n_blocks=8)
 
 
-@register("knn_cosine_lsh", None)  # rows-only: ANN recall is probabilistic
+def _knn_lsh_oracle() -> str | None:
+    # The LSH pipeline is a pure function of md5-derived plane constants,
+    # so the oracle replays the WHOLE pipeline in SQL (buckets ->
+    # candidates -> exact re-rank). Plane literals need the embedding
+    # dimension at registration time; the driver corpus is dim=64 at
+    # every SF (TESTDATA.md) — embed that, and fall back to rows-only if
+    # a foreign corpus dimension is configured.
+    from tidb_lightning_spark.functions.similarity import sql_knn_lsh
+
+    return sql_knn_lsh(
+        "embeddings", "vec_id", "embedding", "id < 10",
+        dim=64, k=5, n_planes=3, n_tables=12,
+    )
+
+
+@register("knn_cosine_lsh", _knn_lsh_oracle())
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the 100 TB path: bucket once, join
-    within buckets). No SQL oracle — results depend on bucket recall; the
-    driver records the weaker rows-only check."""
+    within buckets). Driver-verified against a full-pipeline SQL oracle
+    (sql_knn_lsh) — the hyperplanes are deterministic constants, so
+    DuckDB recomputes the same buckets, candidates and re-rank; recall
+    vs brute force is additionally floored in tests/test_similarity.py."""
     from tidb_lightning_spark.functions.similarity import knn_lsh
 
     e = load(spark, sf_dir, "embeddings")
