@@ -199,6 +199,134 @@ def sql_knn_lsh(
     """
 
 
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k_top: int = 20,
+    n_planes: int = 3,
+    n_tables: int = 12,
+) -> DataFrame:
+    """Top near-duplicate embedding PAIRS via multi-table LSH — the scale
+    twin of the exact all-pairs baseline (near_dup_embeddings). Corpus is
+    scanned once to attach bucket ids; the self-join carries ONLY
+    (id, table, bucket) rows (fixed-width keys, the minhash-band shape),
+    candidate id-pairs are deduped, and each side's vector is joined back
+    by id exactly once — vectors are never replicated per hash table and
+    never cross-joined. High-cosine pairs collide in some table with
+    probability 1-(1-p^n_planes)^n_tables, p = 1 - angle/pi, so the
+    exact top pairs are found with near-certainty while the candidate
+    set stays ~linear in corpus size."""
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    base = base.withColumn(
+        "_buckets",
+        F.array(*[
+            bucket_expr(F.col("_v"), dim, n_planes, table=t)
+            for t in range(n_tables)
+        ]),
+    )
+    ex = base.select(
+        "_id", F.posexplode("_buckets").alias("_t", "_b")
+    )
+    a = ex.select(
+        F.col("_id").alias("a"), F.col("_t").alias("_ta"),
+        F.col("_b").alias("_ba"),
+    )
+    b = ex.select(
+        F.col("_id").alias("b"), F.col("_t").alias("_tb"),
+        F.col("_b").alias("_bb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("_ta") == F.col("_tb"))
+            & (F.col("_ba") == F.col("_bb"))
+            & (F.col("a") < F.col("b")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    va = base.select(
+        F.col("_id").alias("a"), F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = base.select(
+        F.col("_id").alias("b"), F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "a", "b")
+        .limit(k_top)
+    )
+
+
+def sql_lsh_near_dup_pairs(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k_top: int = 20,
+    n_planes: int = 3,
+    n_tables: int = 12,
+) -> str:
+    """DuckDB twin of lsh_near_dup_pairs (full pipeline, same plane
+    constants — see sql_knn_lsh for the bit-match argument)."""
+
+    def plane_lit(p: int, t: int) -> str:
+        return "[" + ", ".join(repr(v) for v in _plane(p, dim, t)) + "]"
+
+    bucket_cols = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN list_dot_product(e, {plane_lit(p, t)}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        + f") AS b{t}"
+        for t in range(n_tables)
+    )
+    b_list = ", ".join(f"b{t}" for t in range(n_tables))
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}
+    ), bkt AS (
+      SELECT id, e, sqrt(list_dot_product(e, e)) AS norm,
+             {bucket_cols}
+      FROM v
+    ), ex AS (
+      SELECT id, unnest(generate_series(0, {n_tables - 1})) AS t,
+             unnest([{b_list}]) AS b
+      FROM bkt
+    ), cand AS (
+      SELECT DISTINCT x.id AS a, y.id AS b
+      FROM ex x JOIN ex y ON x.t = y.t AND x.b = y.b AND x.id < y.id
+    ), scored AS (
+      SELECT cand.a, cand.b,
+             list_dot_product(va.e, vb.e) / (va.norm * vb.norm) AS cosine
+      FROM cand
+        JOIN bkt va ON va.id = cand.a
+        JOIN bkt vb ON vb.id = cand.b
+    )
+    SELECT a, b, cosine FROM scored
+    ORDER BY cosine DESC, a, b
+    LIMIT {k_top}
+    """
+
+
 def allpairs_cosine_topk(
     df: DataFrame,
     id_col: str,

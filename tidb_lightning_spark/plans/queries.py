@@ -838,6 +838,30 @@ def _knn_lsh_oracle() -> str | None:
     )
 
 
+def _near_dup_lsh_oracle() -> str:
+    from tidb_lightning_spark.functions.similarity import (
+        sql_lsh_near_dup_pairs,
+    )
+
+    return sql_lsh_near_dup_pairs(
+        "embeddings", "vec_id", "embedding", dim=64, k_top=20
+    )
+
+
+@register("near_dup_embeddings_lsh", _near_dup_lsh_oracle())
+def near_dup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of near_dup_embeddings: top near-dup pairs via
+    multi-table LSH instead of the quadratic all-pairs join. The
+    self-join carries (id, table, bucket) keys only; vectors are joined
+    back by id once per side. Driver-verified against the full-pipeline
+    SQL oracle (sql_lsh_near_dup_pairs) — same deterministic plane
+    constants in both engines."""
+    from tidb_lightning_spark.functions.similarity import lsh_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(e, "vec_id", "embedding", dim=64, k_top=20)
+
+
 @register("knn_cosine_lsh", _knn_lsh_oracle())
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (the 100 TB path: bucket once, join
