@@ -1,0 +1,78 @@
+"""Cross-engine twin-agreement fuzz: the text/quality builders must
+produce IDENTICAL values in Spark and DuckDB on adversarial inputs —
+exotic whitespace (\\x0b is inside Java's \\s but not RE2's: the reason
+tokenization uses an explicit class), control chars, unicode, empty and
+whitespace-only strings. Deterministic corpus (seeded), one batch per
+engine."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.functions import quality as QL
+from tidb_lightning_spark.functions import text as TX
+
+ALPHABET = (
+    list("abcdefghij XYZ0123456789")
+    + ["\t", "\n", "\r", "\x0b", "\f", "  ", "\n\n"]
+    + ["#", "...", "-", "*", "•", "é", "ß", "中", "🙂"]
+)
+
+
+def _mk_docs(n=120, seed=42):
+    rng = random.Random(seed)
+    docs = [(0, ""), (1, " \t\n\x0b "), (2, "\x0bword\x0bword\x0b")]
+    for i in range(3, n):
+        length = rng.randint(1, 60)
+        docs.append((i, "".join(rng.choice(ALPHABET) for _ in range(length))))
+    return docs
+
+
+BUILDERS = [
+    ("token_count", TX.token_count, lambda c: f"CAST({TX.sql_token_count(c)} AS INT)"),
+    ("bpe_token_count", TX.bpe_token_count, TX.sql_bpe_token_count),
+    ("fingerprint", TX.fingerprint, TX.sql_fingerprint),
+    ("lang_id", TX.lang_id, TX.sql_lang_id),
+    ("quality_score", TX.quality_score, TX.sql_quality_score),
+    ("dup_line_frac", QL.dup_line_frac, QL.sql_dup_line_frac),
+    ("dup_line_char_frac", QL.dup_line_char_frac, QL.sql_dup_line_char_frac),
+    ("dup_token_frac", QL.dup_token_frac, QL.sql_dup_token_frac),
+    ("top_token_frac", QL.top_token_frac, QL.sql_top_token_frac),
+    ("symbol_word_ratio", QL.symbol_word_ratio, QL.sql_symbol_word_ratio),
+    ("bullet_line_frac", QL.bullet_line_frac, QL.sql_bullet_line_frac),
+    ("ellipsis_line_frac", QL.ellipsis_line_frac, QL.sql_ellipsis_line_frac),
+    ("gopher_keep", QL.gopher_keep, QL.sql_gopher_keep),
+]
+
+
+@pytest.mark.parametrize(
+    "name,spark_fn,sql_fn", BUILDERS, ids=[b[0] for b in BUILDERS]
+)
+def test_twins_agree_on_adversarial_text(spark, name, spark_fn, sql_fn):
+    docs = _mk_docs()
+    qdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.v
+        for r in qdf.select(
+            "doc_id", spark_fn(F.col("text")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", docs)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {sql_fn('text')} FROM docs"
+        ).fetchall()
+    }
+    diffs = {
+        k: (got[k], want[k], repr(dict(docs)[k]))
+        for k in got
+        if got[k] != want[k]
+    }
+    assert not diffs, f"{name}: {len(diffs)} diffs, first: {list(diffs.items())[:3]}"

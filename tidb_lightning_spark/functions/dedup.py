@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from tidb_lightning_spark.functions.text import hash60, sql_hash60, tokens
+from tidb_lightning_spark.functions.text import (
+    TOKEN_WS,
+    hash60,
+    sql_hash60,
+    tokens,
+)
 
 N_MINHASH = 64
 N_BANDS = 8
@@ -264,7 +269,7 @@ def _sql_wide_ctes(table: str, id_col: str, text_col: str) -> str:
     """Shared DuckDB CTE chain ending in `sig` = the wide (id, mh0..mh63)
     signature. DuckDB's scalar range(a,b) returns the list [a, b), so
     shingling is a list_transform — the same shape as the Spark side."""
-    t = f"list_filter(string_split_regex({text_col}, '\\s+'), x -> x != '')"
+    t = f"list_filter(string_split_regex({text_col}, '{TOKEN_WS}'), x -> x != '')"
     parts = " || ' ' || ".join(f"t[i+{off}]" for off in range(SHINGLE_K))
     h31 = f"({sql_hash60('s')} % {MERSENNE31})"
     mins = ", ".join(
@@ -445,7 +450,7 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def sql_simhash(table: str, id_col: str, text_col: str) -> str:
     toks = (
         f"SELECT {id_col}, unnest(list_filter("
-        f"string_split_regex({text_col}, '\\s+'), x -> x != '')) AS tok "
+        f"string_split_regex({text_col}, '{TOKEN_WS}'), x -> x != '')) AS tok "
         f"FROM {table}"
     )
     h = sql_hash60("tok")
@@ -476,8 +481,8 @@ def jaccard_tokens(a: Column, b: Column) -> Column:
 
 
 def sql_jaccard_tokens(a: str, b: str) -> str:
-    ta = f"list_distinct(list_filter(string_split_regex({a}, '\\s+'), x -> x != ''))"
-    tb = f"list_distinct(list_filter(string_split_regex({b}, '\\s+'), x -> x != ''))"
+    ta = f"list_distinct(list_filter(string_split_regex({a}, '{TOKEN_WS}'), x -> x != ''))"
+    tb = f"list_distinct(list_filter(string_split_regex({b}, '{TOKEN_WS}'), x -> x != ''))"
     inter = f"len(list_intersect({ta}, {tb}))"
     union = f"(len({ta}) + len({tb}) - {inter})"
     return f"(CAST({inter} AS DOUBLE) / CAST(greatest({union}, 1) AS DOUBLE))"

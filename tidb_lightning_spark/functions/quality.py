@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from tidb_lightning_spark.functions.text import SQL_TOKENS, tokens
+from tidb_lightning_spark.functions.text import SQL_TOKENS, TOKEN_WS, tokens
 
 # ---------------------------------------------------------------------------
 # line-level repetition
@@ -131,7 +131,7 @@ def bullet_line_frac(col: Column) -> Column:
     """Fraction of lines that start like a bullet ('-', '*', '•')."""
     lines = doc_lines(col)
     n = F.size(lines)
-    hits = F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+    hits = F.size(F.filter(lines, lambda x: x.rlike("^" + TOKEN_WS[:-1] + "*[-*•]")))
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         hits.cast("double") / n.cast("double")
     )
@@ -141,7 +141,7 @@ def ellipsis_line_frac(col: Column) -> Column:
     """Fraction of lines ending in '...' (truncated scrapes)."""
     lines = doc_lines(col)
     n = F.size(lines)
-    hits = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$")))
+    hits = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\." + TOKEN_WS[:-1] + "*$")))
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         hits.cast("double") / n.cast("double")
     )
@@ -244,7 +244,7 @@ def sql_bullet_line_frac(col: str) -> str:
     lines = _SQL_LINES.format(col=col)
     hits = (
         f"len(list_filter({lines}, "
-        f"x -> regexp_matches(x, '^\\s*[-*•]')))"
+        f"x -> regexp_matches(x, '^{TOKEN_WS[:-1]}*[-*•]')))"
     )
     return (
         f"(CASE WHEN len({lines}) <= 0 THEN 0.0 ELSE "
@@ -256,7 +256,7 @@ def sql_ellipsis_line_frac(col: str) -> str:
     lines = _SQL_LINES.format(col=col)
     hits = (
         f"len(list_filter({lines}, "
-        f"x -> regexp_matches(x, '\\.\\.\\.\\s*$')))"
+        f"x -> regexp_matches(x, '\\.\\.\\.{TOKEN_WS[:-1]}*$')))"
     )
     return (
         f"(CASE WHEN len({lines}) <= 0 THEN 0.0 ELSE "

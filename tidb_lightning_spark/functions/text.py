@@ -5,9 +5,11 @@ Everything is built-in Catalyst expressions (no UDFs) and every operator
 has an exact ANSI-SQL twin runnable by DuckDB, so the driver's oracle can
 hash-match values. Shared determinism rules:
 
-  * tokenization = regex split on \\s+ with empty strings dropped —
-    identical semantics in Spark `split`/`filter` and DuckDB
-    `string_split_regex`/`list_filter`;
+  * tokenization = regex split on TOKEN_WS (an explicit whitespace
+    class) with empty strings dropped — Java's \\s includes \\x0b while
+    RE2's (DuckDB) does not, so the class is spelled out and the SAME
+    pattern string feeds Spark `split` and DuckDB `string_split_regex`
+    (neither engine's string literal eats the backslashes);
   * all hashes derive from md5 -> first 15 hex chars -> BIGINT (60-bit),
     the same construction as functions/checksum.py;
   * ratios are single IEEE divisions of exact integer counts — bit-equal
@@ -28,8 +30,14 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 }
 
 
+# One pattern string, two engines: Java and RE2 interpret this class
+# identically (\x0b spelled explicitly — it is inside Java's \s but not
+# RE2's), and both receive it verbatim.
+TOKEN_WS = r"[ \t\n\r\f\x0b]+"
+
+
 def tokens(col: Column) -> Column:
-    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+    return F.filter(F.split(col, TOKEN_WS), lambda x: x != "")
 
 
 def token_count(col: Column) -> Column:
@@ -100,7 +108,7 @@ def quality_score(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: lower-case, whitespace-collapsed,
     trimmed text -> 60-bit hash. The exact-dedup key for noisy corpora."""
-    canon = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    canon = F.trim(F.regexp_replace(F.lower(col), TOKEN_WS, " "))
     return hash60(canon)
 
 
@@ -109,7 +117,7 @@ def fingerprint(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 SQL_TOKENS = (
-    "list_filter(string_split_regex({col}, '\\s+'), x -> x != '')"
+    "list_filter(string_split_regex({col}, '" + TOKEN_WS + "'), x -> x != '')"
 )
 
 
@@ -165,5 +173,5 @@ def sql_quality_score(col: str) -> str:
 
 
 def sql_fingerprint(col: str) -> str:
-    canon = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    canon = f"trim(regexp_replace(lower({col}), '{TOKEN_WS}', ' ', 'g'))"
     return sql_hash60(canon)

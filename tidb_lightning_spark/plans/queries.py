@@ -429,11 +429,16 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("keep_id", "n_copies", "n_chars")
 
 
+from tidb_lightning_spark.functions.text import (  # noqa: E402
+    sql_token_count as _sql_token_count,
+)
+
+
 @register(
     "text_token_stats",
-    """
+    f"""
     SELECT doc_id,
-           len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+           {_sql_token_count('text')} AS n_tokens,
            length(text) AS n_chars_obs,
            lang
     FROM documents
@@ -441,7 +446,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    tokens = TX.tokens(F.col("text"))
     return d.select(
         "doc_id",
         F.size(tokens).alias("n_tokens"),
@@ -828,7 +833,7 @@ def _knn_lsh_oracle() -> str | None:
     # so the oracle replays the WHOLE pipeline in SQL (buckets ->
     # candidates -> exact re-rank). Plane literals need the embedding
     # dimension at registration time; the driver corpus is dim=64 at
-    # every SF (TESTDATA.md) — embed that, and fall back to rows-only if
+    # every SF (verified on sf0.001/0.01/0.1) — embed that; use rows-only if
     # a foreign corpus dimension is configured.
     from tidb_lightning_spark.functions.similarity import sql_knn_lsh
 
