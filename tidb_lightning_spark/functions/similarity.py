@@ -60,6 +60,75 @@ def bucket_expr(
     return acc
 
 
+def attach_buckets_df(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """(_id, _v, _norm, _t, _b): every hash table's bucket id attached in
+    ONE Arrow-batched pass. Buckets and norms use the numpy dim-by-dim
+    accumulation — bit-identical to the Catalyst/DuckDB left-to-right
+    fold (allpairs_cosine_topk numerics note), so downstream exact
+    re-ranks and the SQL oracles agree. Building the buckets as Catalyst
+    expressions instead (n_tables*n_planes*dim literal nodes) spent more
+    time in the analyzer than in execution — measured seconds of plan
+    overhead at any data size."""
+    import numpy as np
+    import pandas as pd
+
+    from tidb_lightning_spark._shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    plane_mat = np.array(
+        [
+            [_plane(p, dim, t) for p in range(n_planes)]
+            for t in range(n_tables)
+        ]
+    ).reshape(max(n_tables * n_planes, 1), -1)
+    pw = plane_mat.T  # (dim, n_tables*n_planes)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    def attach(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.stack(
+                pdf[vec_col].map(
+                    lambda v: np.asarray(v, dtype="float64")
+                ).to_numpy()
+            )
+            norm2 = np.zeros(len(V))
+            if n_planes > 0:
+                acc = np.zeros((len(V), n_tables * n_planes))
+                for d in range(dim):
+                    acc += np.outer(V[:, d], pw[d])
+                    norm2 += V[:, d] * V[:, d]
+                bits = (acc > 0).reshape(len(V), n_tables, n_planes)
+                buckets = (bits * weights).sum(axis=2)  # (N, n_tables)
+            else:  # degeneration: one bucket per table == brute force
+                for d in range(dim):
+                    norm2 += V[:, d] * V[:, d]
+                buckets = np.zeros((len(V), n_tables), dtype="int64")
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "_v": [v for v in V for _ in range(n_tables)],
+                    "_norm": np.repeat(np.sqrt(norm2), n_tables),
+                    "_t": np.tile(np.arange(n_tables), len(V)),
+                    "_b": buckets.ravel().astype("int64"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        attach,
+        schema="_id long, _v array<double>, _norm double, _t int, _b long",
+    )
+
+
 def knn_lsh(
     df: DataFrame,
     id_col: str,
@@ -85,20 +154,7 @@ def knn_lsh(
     brute force (the degeneration the unit test pins)."""
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
-    ).withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
-    base = base.withColumn(
-        "_buckets",
-        F.array(*[
-            bucket_expr(F.col("_v"), dim, n_planes, table=t)
-            for t in range(n_tables)
-        ]),
-    )
-    ex = base.select(
-        "_id", "_v", "_norm", F.posexplode("_buckets").alias("_t", "_b")
-    )
+    ex = attach_buckets_df(df, id_col, vec_col, dim, n_planes, n_tables)
 
     q = ex.filter(query_filter(F.col("_id"))).select(
         F.col("_id").alias("query_id"),
@@ -232,48 +288,9 @@ def lsh_near_dup_pairs(
 
     ensure_shipped(df.sparkSession)
 
-    planes = np.array(
-        [
-            [_plane(p, dim, t) for p in range(n_planes)]
-            for t in range(n_tables)
-        ]
-    )  # (n_tables, n_planes, dim)
-    pw = planes.reshape(-1, dim).T  # (dim, n_tables*n_planes)
-    weights = (1 << np.arange(n_planes)).astype("int64")
-
-    def attach_buckets(it):
-        # buckets via the same dim-by-dim accumulation as the Catalyst
-        # fold (bit-identical signs); building this as a Catalyst
-        # expression tree (n_tables*n_planes*dim literals) spent more
-        # time in the analyzer than in execution — measured 4-8 s of
-        # plan overhead at ANY data size.
-        for pdf in it:
-            V = np.stack(
-                pdf[vec_col].map(
-                    lambda v: np.asarray(v, dtype="float64")
-                ).to_numpy()
-            )
-            acc = np.zeros((len(V), pw.shape[1]))
-            for d in range(dim):
-                acc += np.outer(V[:, d], pw[d])
-            bits = (acc > 0).reshape(len(V), n_tables, n_planes)
-            buckets = (bits * weights).sum(axis=2)  # (N, n_tables)
-            out = pd.DataFrame(
-                {
-                    "_id": np.repeat(
-                        pdf[id_col].to_numpy(), n_tables
-                    ),
-                    "_v": [v for v in V for _ in range(n_tables)],
-                    "_t": np.tile(np.arange(n_tables), len(V)),
-                    "_b": buckets.ravel().astype("int64"),
-                }
-            )
-            yield out
-
-    ex = df.select(id_col, vec_col).mapInPandas(
-        attach_buckets,
-        schema="_id long, _v array<double>, _t int, _b long",
-    )
+    ex = attach_buckets_df(
+        df, id_col, vec_col, dim, n_planes, n_tables
+    ).drop("_norm")
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
