@@ -138,3 +138,33 @@ def test_lsh_zero_planes_degenerates_to_bruteforce(spark):
         (r["query_id"], r["rank"]): r["cosine"] for r in exact.collect()
     }
     assert got == want
+
+
+def test_numpy_bucket_attach_matches_catalyst_spec(spark):
+    """attach_buckets_df (the Arrow fast path) must reproduce the
+    bucket_expr Catalyst fold bit-for-bit — sign flips would silently
+    change candidate sets while both the query and its oracle agreed."""
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_spark.functions.similarity import (
+        attach_buckets_df,
+        bucket_expr,
+    )
+
+    e = Q.load(spark, SF_CORRECTNESS, "embeddings").limit(200)
+    dim = 64
+    fast = {
+        (r["_id"], r["_t"]): r["_b"]
+        for r in attach_buckets_df(
+            e, "vec_id", "embedding", dim, n_planes=3, n_tables=4
+        ).collect()
+    }
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    spec_cols = [
+        bucket_expr(vec, dim, 3, table=t).alias(f"b{t}") for t in range(4)
+    ]
+    for r in e.select(F.col("vec_id"), *spec_cols).collect():
+        for t in range(4):
+            assert fast[(r["vec_id"], t)] == r[f"b{t}"], (
+                f"bucket mismatch vec {r['vec_id']} table {t}"
+            )

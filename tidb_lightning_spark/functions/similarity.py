@@ -52,7 +52,14 @@ def dot(a: Column, b: Column) -> Column:
 def bucket_expr(
     vec: Column, dim: int, n_planes: int = N_PLANES, table: int = 0
 ) -> Column:
-    """Pack sign bits of `n_planes` hyperplane dot products into an int."""
+    """Pack sign bits of `n_planes` hyperplane dot products into an int.
+
+    Executable specification: the Catalyst fold this expresses is what
+    the numpy fast path (attach_buckets_df) and the SQL oracles must
+    reproduce bit-for-bit; tests/test_similarity.py cross-checks the two
+    on the fixture corpus. The production paths use attach_buckets_df —
+    building this expression for all tables costs more in the analyzer
+    than the data costs to process."""
     acc = F.lit(0)
     for p in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _plane(p, dim, table)])
