@@ -2668,3 +2668,99 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "token_concentration",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {TX.SQL_TOKENS.format(col='lower(text)')} AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           CASE WHEN len(toks) <= 0 THEN 0.0 ELSE
+             CAST(list_sum(list_transform(list_distinct(toks),
+                    d -> len(list_filter(toks, x -> x = d))
+                         * len(list_filter(toks, x -> x = d)))) AS DOUBLE)
+             / (CAST(len(toks) AS DOUBLE) * CAST(len(toks) AS DOUBLE))
+           END AS concentration
+    FROM t
+    """,
+)
+def token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token concentration (Simpson index): the probability
+    two randomly drawn tokens are the same word, sum(cnt_i^2)/n^2 — a
+    repetition/diversity signal the Gopher fractions don't capture
+    (top_token_frac sees only the mode; this weights the whole
+    distribution). Exact integer arithmetic per row (squared counts over
+    the distinct-token fold), one IEEE division at the end — no shuffle,
+    runs at scan speed, bit-identical across engines."""
+    d = widen(spark, sf_dir, "documents")
+    t = TX.tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    ss = F.aggregate(
+        F.transform(
+            F.array_distinct(t),
+            lambda dd: F.size(F.filter(t, lambda x: x == dd))
+            * F.size(F.filter(t, lambda x: x == dd)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.when(n <= 0, F.lit(0.0))
+        .otherwise(
+            ss.cast("double") / (n.cast("double") * n.cast("double"))
+        )
+        .alias("concentration"),
+    )
+
+
+@register(
+    "minhash_calibration",
+    f"""
+    WITH pairs AS ({D.sql_lsh_candidate_pairs("documents", "doc_id", "text")})
+    SELECT p.a, p.b, p.est_jaccard,
+           {D.sql_jaccard_tokens("da.text", "db.text")} AS exact_jaccard
+    FROM pairs p
+      JOIN documents da ON da.doc_id = p.a
+      JOIN documents db ON db.doc_id = p.b
+    ORDER BY a, b
+    """,
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration: every banded-LSH candidate pair scored by
+    BOTH the MinHash estimate (agreeing signature fraction) and the exact
+    token-set Jaccard — the query an operator of the dedup pipeline runs
+    to validate thresholds before a production sweep (an estimator bias
+    would silently move the near-dup cutoff). The exact Jaccard is only
+    computed on candidates (corpus-linear, not quadratic); signatures are
+    computed once and shared with the pair generation via the explicit
+    cache handle."""
+    from tidb_lightning_spark.functions.dedup import (
+        _unpersist_on_gc,
+        lsh_candidate_pairs,
+        minhash_wide_df,
+    )
+
+    d = widen(spark, sf_dir, "documents")
+    sigs = minhash_wide_df(d, "doc_id", "text").persist()
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", signatures=sigs)
+    da = d.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta"))
+    db = d.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb"))
+    out = (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "est_jaccard",
+            D.jaccard_tokens(F.col("_ta"), F.col("_tb")).alias(
+                "exact_jaccard"
+            ),
+        )
+        .orderBy("a", "b")
+    )
+    return _unpersist_on_gc(out, sigs)
