@@ -25,7 +25,12 @@ ALPHABET = (
 
 def _mk_docs(n=120, seed=42):
     rng = random.Random(seed)
-    docs = [(0, ""), (1, " \t\n\x0b "), (2, "\x0bword\x0bword\x0b")]
+    docs = [
+        (0, ""),
+        (1, " \t\n\x0b "),
+        (2, "\x0bword\x0bword\x0b"),
+        (200, None),  # NULL text: engines must agree (0-counts or NULL)
+    ]
     for i in range(3, n):
         length = rng.randint(1, 60)
         docs.append((i, "".join(rng.choice(ALPHABET) for _ in range(length))))

@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
 
     ctl = sub.add_parser("ctl", help="checkpoint / control operations")
     ctl.add_argument("--target", required=True)
+    ctl.add_argument(
+        "--config",
+        help="TOML task config; REQUIRED to reach checkpoint driver "
+             "'jdbc' (checkpoints living in the target database) — "
+             "without it ctl auto-detects local file/sqlite stores only",
+    )
     ctl.add_argument("--checkpoint-dump", action="store_true")
     ctl.add_argument("--checkpoint-remove", metavar="DB.TBL or 'all'")
     ctl.add_argument(
@@ -410,7 +416,35 @@ def _sql(args) -> int:
 def _ctl(args) -> int:
     from tidb_lightning_spark.checkpoints import open_checkpoint_store
 
-    store = open_checkpoint_store(args.target, driver="auto")
+    if getattr(args, "config", None):
+        # resolve the driver the same way the pipeline does: a tidb/jdbc
+        # backend keeps its checkpoints IN the target database, which the
+        # local 'auto' probe cannot see (it would silently print '{}')
+        from tidb_lightning_spark.config import Config
+
+        # ctl has no dump directory; satisfy validate() with the target
+        # (source_dir is irrelevant to checkpoint operations)
+        cfg = Config.from_toml(
+            args.config, source_dir=args.target, target_dir=args.target
+        )
+        if cfg.checkpoint_driver == "jdbc":
+            from tidb_lightning_spark.session import get_spark
+
+            store = open_checkpoint_store(
+                args.target,
+                driver="jdbc",
+                spark=get_spark(app_name="tls-ctl"),
+                jdbc_url=cfg.jdbc_url,
+                jdbc_properties=(
+                    {"driver": cfg.jdbc_driver} if cfg.jdbc_driver else {}
+                ),
+            )
+        else:
+            store = open_checkpoint_store(
+                args.target, driver=cfg.checkpoint_driver
+            )
+    else:
+        store = open_checkpoint_store(args.target, driver="auto")
     if args.checkpoint_dump:
         print(json.dumps(store.dump(), indent=2))
         return 0
@@ -463,6 +497,17 @@ def _ctl(args) -> int:
             # — defeating the flag (reference ctl main.go:44-96
             # semantics: accept as-is, stop retrying every phase).
             if rec.get("status", 0) == STATUS["closed"]:
+                if rec.get("staged"):
+                    # NOT a checksum failure: a crash inside the staged
+                    # commit window left the swap unfinished (live table
+                    # still holds the OLD data). Lifting would accept the
+                    # stale contents as imported; the resume path knows
+                    # how to finish/redo the swap instead.
+                    print(
+                        f"skipping `{db}`.`{tbl}`: unfinished staged "
+                        "commit — re-run the import to complete the swap"
+                    )
+                    continue
                 store.update(db, tbl, "analyzed")
                 lifted += 1
                 print(f"ignored error on `{db}`.`{tbl}` (now analyzed)")

@@ -120,7 +120,11 @@ class Config:
             # target the checkpoint lives IN that target (reference
             # MySQL driver, checkpoints.go:69-175 — resume works from a
             # new driver machine); without one, the local sqlite driver
-            # is the closest database-backed analog
+            # is the closest database-backed analog. NOTE: in-target
+            # checkpoints are invisible to local auto-detection — `ctl`
+            # reaches them via --config; the HTTP server's /progress
+            # endpoints (target-dir only, no config) show local stores
+            # only
             cfg.checkpoint_driver = (
                 "jdbc" if cfg.backend in ("tidb", "jdbc") else "sqlite"
             )

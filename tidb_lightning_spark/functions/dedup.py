@@ -46,6 +46,32 @@ def _plan_key(df: DataFrame) -> int:
     return df._jdf.queryExecution().analyzed().semanticHash()
 
 
+def cache_acquire(df: DataFrame) -> DataFrame:
+    """Register a persist() with the plan-keyed refcount. Every explicit
+    persist inside this module MUST pair with cache_release (or transfer
+    ownership via _unpersist_on_gc) — a raw .unpersist() bypasses the
+    refcount and evicts the cache of ANY semantically-equal plan another
+    holder still owns (Spark's cache manager is plan-keyed)."""
+    key = _plan_key(df)
+    _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
+    df.persist()
+    return df
+
+
+def cache_release(df: DataFrame) -> None:
+    """Decrement the plan's refcount; unpersist only as the last holder."""
+    key = _plan_key(df)
+    n = _CACHE_REFS.get(key, 1) - 1
+    if n > 0:
+        _CACHE_REFS[key] = n
+        return
+    _CACHE_REFS.pop(key, None)
+    try:
+        df.unpersist(False)
+    except Exception:
+        pass
+
+
 def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Release persisted intermediates when `result` is dropped by the
     caller. A returned lazy DataFrame outlives the function that persisted
@@ -353,18 +379,22 @@ def near_dup_clusters(
     # GC-tied default would release the cache before edges materialize
     # and recompute every signature (the API caveat this parameter
     # exists for)
-    sigs = minhash_wide_df(df, id_col, text_col).persist()
+    sigs = cache_acquire(minhash_wide_df(df, id_col, text_col))
     pairs = (
         lsh_candidate_pairs(df, id_col, text_col, signatures=sigs)
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = df.select(F.col(id_col).alias("id")).withColumn(
-        "label", F.col("id")
-    ).persist()
+    edges = cache_acquire(
+        pairs.union(
+            pairs.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    )
+    labels = cache_acquire(
+        df.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
+    )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
@@ -372,7 +402,7 @@ def near_dup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = cache_acquire(
             labels.join(nbr, labels.id == nbr.dst, "left")
             .select(
                 F.col("id"),
@@ -380,20 +410,23 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        cache_release(labels)
         labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
-    sigs.unpersist()
+    cache_release(edges)
+    cache_release(sigs)
     result = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
-    return _unpersist_on_gc(result, labels)
+    # transfer ownership: _unpersist_on_gc takes its own ref, so drop the
+    # loop's acquire — the finalizer's decrement is then the last one
+    out = _unpersist_on_gc(result, labels)
+    cache_release(labels)
+    return out
 
 
 def sql_near_dup_clusters(

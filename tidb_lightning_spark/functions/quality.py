@@ -38,8 +38,11 @@ from tidb_lightning_spark.functions.text import SQL_TOKENS, TOKEN_WS, tokens
 
 
 def doc_lines(col: Column) -> Column:
-    """Non-empty lines of a document (split on \\n, '' dropped)."""
-    return F.filter(F.split(col, "\n"), lambda x: x != "")
+    """Non-empty lines of a document (split on \\n, '' dropped);
+    null-safe — NULL text has zero lines on both engines."""
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), "\n"), lambda x: x != ""
+    )
 
 
 def dup_line_frac(col: Column) -> Column:
@@ -185,7 +188,10 @@ def gopher_keep(col: Column) -> Column:
 # ANSI-SQL twins (DuckDB)
 # ---------------------------------------------------------------------------
 
-_SQL_LINES = "list_filter(string_split({col}, chr(10)), x -> x != '')"
+_SQL_LINES = (
+    "list_filter(string_split(coalesce({col}, ''), chr(10)),"
+    " x -> x != '')"
+)
 
 
 def sql_dup_line_frac(col: str) -> str:

@@ -82,13 +82,17 @@ def attach_buckets_df(
     re-ranks and the SQL oracles agree. Building the buckets as Catalyst
     expressions instead (n_tables*n_planes*dim literal nodes) spent more
     time in the analyzer than in execution — measured seconds of plan
-    overhead at any data size."""
+    overhead at any data size.
+
+    `_id` keeps the source id column's type (string ids work — the old
+    Catalyst path was type-agnostic and this one must stay so)."""
     import numpy as np
     import pandas as pd
 
     from tidb_lightning_spark._shipping import ensure_shipped
 
     ensure_shipped(df.sparkSession)
+    id_type = df.schema[id_col].dataType.simpleString()
 
     plane_mat = np.array(
         [
@@ -132,7 +136,10 @@ def attach_buckets_df(
 
     return df.select(id_col, vec_col).mapInPandas(
         attach,
-        schema="_id long, _v array<double>, _norm double, _t int, _b long",
+        schema=(
+            f"_id {id_type}, _v array<double>, _norm double, "
+            "_t int, _b long"
+        ),
     )
 
 
@@ -151,9 +158,10 @@ def knn_lsh(
     Returns (query_id, neighbor_id, rank, cosine); queries whose buckets
     are empty in every table simply return fewer neighbors.
 
-    Scale shape: ONE corpus scan attaches all table buckets; posexplode
-    replicates only (id, vec, norm) n_tables times feeding a broadcast
-    hash join on the (table, bucket) key — the corpus never self-joins.
+    Scale shape: ONE corpus-wide Arrow pass attaches all table buckets
+    (plus a second pass over only the filter-pruned query rows), feeding
+    a broadcast hash join on the (table, bucket) key — the corpus never
+    self-joins and is never attached twice.
     Duplicate candidates (pairs colliding in several tables) are folded
     by a fixed-width (query_id, neighbor_id, sim) aggregation BEFORE the
     top-k window, so the only shuffles carry scored id pairs, never
@@ -163,7 +171,15 @@ def knn_lsh(
 
     ex = attach_buckets_df(df, id_col, vec_col, dim, n_planes, n_tables)
 
-    q = ex.filter(query_filter(F.col("_id"))).select(
+    # The broadcast-query side must NOT re-run the corpus-wide attach: a
+    # shared `ex` is referenced by both join inputs, and without a
+    # persist each reference executes the full Arrow+numpy pass. Attach
+    # buckets to the pre-filtered query rows instead — the filter pushes
+    # to the scan, so this second pass reads only the query vectors.
+    q = attach_buckets_df(
+        df.filter(query_filter(F.col(id_col))),
+        id_col, vec_col, dim, n_planes, n_tables,
+    ).select(
         F.col("_id").alias("query_id"),
         F.col("_v").alias("_qv"),
         F.col("_norm").alias("_qnorm"),

@@ -37,7 +37,12 @@ TOKEN_WS = r"[ \t\n\r\f\x0b]+"
 
 
 def tokens(col: Column) -> Column:
-    return F.filter(F.split(col, TOKEN_WS), lambda x: x != "")
+    # null-safe: Spark size(split(NULL)) is -1 while DuckDB len(NULL) is
+    # NULL — the <=0 guards downstream would diverge; NULL text tokenizes
+    # as empty on BOTH sides (SQL_TOKENS coalesces identically)
+    return F.filter(
+        F.split(F.coalesce(col, F.lit("")), TOKEN_WS), lambda x: x != ""
+    )
 
 
 def token_count(col: Column) -> Column:
@@ -108,7 +113,11 @@ def quality_score(col: Column) -> Column:
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: lower-case, whitespace-collapsed,
     trimmed text -> 60-bit hash. The exact-dedup key for noisy corpora."""
-    canon = F.trim(F.regexp_replace(F.lower(col), TOKEN_WS, " "))
+    # null-safe: DuckDB concat() ignores NULL (md5 chain would yield
+    # CAST('0x' ...) there but NULL here) — canonicalize NULL as ''
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), TOKEN_WS, " ")
+    )
     return hash60(canon)
 
 
@@ -117,7 +126,9 @@ def fingerprint(col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 SQL_TOKENS = (
-    "list_filter(string_split_regex({col}, '" + TOKEN_WS + "'), x -> x != '')"
+    "list_filter(string_split_regex(coalesce({col}, ''), '"
+    + TOKEN_WS
+    + "'), x -> x != '')"
 )
 
 
@@ -173,5 +184,8 @@ def sql_quality_score(col: str) -> str:
 
 
 def sql_fingerprint(col: str) -> str:
-    canon = f"trim(regexp_replace(lower({col}), '{TOKEN_WS}', ' ', 'g'))"
+    canon = (
+        f"trim(regexp_replace(lower(coalesce({col}, '')), "
+        f"'{TOKEN_WS}', ' ', 'g'))"
+    )
     return sql_hash60(canon)

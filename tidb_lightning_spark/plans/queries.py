@@ -828,13 +828,30 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_cosine_topk(e, "vec_id", "embedding", k=20, n_blocks=8)
 
 
+def _corpus_dim(default: int = 64) -> int | None:
+    """Embedding dimension of the driver's correctness corpus, probed
+    from one parquet page at registration time; None when the corpus is
+    absent or its dimension differs from every-SF-verified 64 — the LSH
+    oracles embed dim-sized plane literals, so a foreign dimension must
+    fall back to rows-only instead of erroring inside DuckDB."""
+    try:
+        batch = _first_parquet_batch(
+            "/root/testdata/sf0.01/embeddings.parquet", ["embedding"]
+        )
+        return len(batch.column("embedding")[0])
+    except Exception:
+        return None
+
+
 def _knn_lsh_oracle() -> str | None:
     # The LSH pipeline is a pure function of md5-derived plane constants,
     # so the oracle replays the WHOLE pipeline in SQL (buckets ->
     # candidates -> exact re-rank). Plane literals need the embedding
-    # dimension at registration time; the driver corpus is dim=64 at
-    # every SF (verified on sf0.001/0.01/0.1) — embed that; use rows-only if
-    # a foreign corpus dimension is configured.
+    # dimension at registration time: probe it, and return None
+    # (rows-only check) when it isn't the 64 the Spark side will discover
+    # at run time.
+    if _corpus_dim() != 64:
+        return None
     from tidb_lightning_spark.functions.similarity import sql_knn_lsh
 
     return sql_knn_lsh(
@@ -843,7 +860,9 @@ def _knn_lsh_oracle() -> str | None:
     )
 
 
-def _near_dup_lsh_oracle() -> str:
+def _near_dup_lsh_oracle() -> str | None:
+    if _corpus_dim() != 64:  # same plane-literal constraint as knn_lsh
+        return None
     from tidb_lightning_spark.functions.similarity import (
         sql_lsh_near_dup_pairs,
     )
@@ -2701,10 +2720,13 @@ def token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = F.aggregate(
         F.transform(
             F.array_distinct(t),
-            lambda dd: F.size(F.filter(t, lambda x: x == dd))
-            * F.size(F.filter(t, lambda x: x == dd)),
+            # counts are IntegerType: square in LONG or a ~46k-repetition
+            # spam doc (exactly this metric's target) wraps 32 bits while
+            # the DuckDB twin computes in BIGINT
+            lambda dd: F.size(F.filter(t, lambda x: x == dd)).cast("long")
+            * F.size(F.filter(t, lambda x: x == dd)).cast("long"),
         ),
-        F.lit(0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     return d.select(
