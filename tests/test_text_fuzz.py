@@ -81,3 +81,74 @@ def test_twins_agree_on_adversarial_text(spark, name, spark_fn, sql_fn):
         if got[k] != want[k]
     }
     assert not diffs, f"{name}: {len(diffs)} diffs, first: {list(diffs.items())[:3]}"
+
+
+def test_dedup_twins_agree_on_adversarial_text(spark):
+    """The dedup surface (simhash, token Jaccard, full banded-LSH
+    candidate pipeline) must also match its DuckDB twins on adversarial
+    whitespace/unicode — these share tokens() but their SQL twins are
+    hand-built, so a divergence would surface as a driver correctness
+    failure only once fixture data got weird. NULL text is excluded:
+    near-dup semantics of a NULL document are undefined (the quality
+    gate upstream drops them)."""
+    from tidb_lightning_spark.functions import dedup as D
+
+    docs = [(i, t) for i, t in _mk_docs(80) if t is not None]
+    # seed guaranteed near-dup pairs so the LSH pipeline has candidates
+    docs += [
+        (500, "alpha beta gamma delta epsilon zeta eta theta"),
+        (501, "alpha beta gamma delta epsilon zeta eta iota"),
+        (502, "alpha\tbeta gamma\x0bdelta epsilon zeta eta theta"),
+    ]
+    qdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+
+    # simhash
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_df(qdf, "doc_id", "text").collect()
+    }
+    want = dict(
+        con.execute(D.sql_simhash("documents", "doc_id", "text")).fetchall()
+    )
+    assert got == want, "simhash diverged"
+
+    # full banded-LSH candidate pipeline (pairs + jaccard estimate)
+    got_p = {
+        (r["a"], r["b"]): round(r["est_jaccard"], 10)
+        for r in D.lsh_candidate_pairs(qdf, "doc_id", "text").collect()
+    }
+    want_p = {
+        (a, b): round(e, 10)
+        for a, b, e in con.execute(
+            D.sql_lsh_candidate_pairs("documents", "doc_id", "text")
+        ).fetchall()
+    }
+    assert got_p == want_p, (
+        f"LSH candidates diverged: {set(got_p) ^ set(want_p)}"
+    )
+    assert any(a == 500 and b == 501 for a, b in got_p), (
+        "seeded near-dup pair not found — pipeline degenerated"
+    )
+
+    # exact token-set Jaccard twin
+    from pyspark.sql import functions as F
+
+    ref = docs[-1][1]
+    got_j = {
+        r["doc_id"]: round(r["j"], 12)
+        for r in qdf.select(
+            "doc_id",
+            D.jaccard_tokens(F.col("text"), F.lit(ref)).alias("j"),
+        ).collect()
+    }
+    want_j = {
+        i: round(j, 12)
+        for i, j in con.execute(
+            f"SELECT doc_id, {D.sql_jaccard_tokens('text', '$ref$')} "
+            "FROM documents".replace("$ref$", "'" + ref.replace("'", "''") + "'")
+        ).fetchall()
+    }
+    assert got_j == want_j, "jaccard diverged"
