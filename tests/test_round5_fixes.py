@@ -407,3 +407,32 @@ def test_ctl_config_resolves_checkpoint_driver(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "real" in out, out
     assert "decoy" not in out
+
+
+def test_cli_sql_unquoted_db_tbl_rewrite(spark, tmp_path, capsys):
+    """`cli sql` accepts the natural (un-backticked) db.tbl spelling:
+    the first parse fails to resolve, and the retry rewrites known
+    registered names to their `db.tbl` views."""
+    import json as _json
+
+    from tidb_lightning_spark import cli
+
+    d = str(tmp_path / "dump")
+    _write(f"{d}/demo-schema-create.sql", "CREATE DATABASE IF NOT EXISTS demo;")
+    _write(
+        f"{d}/demo.t-schema.sql",
+        "CREATE TABLE t (id INT PRIMARY KEY, v VARCHAR(10));",
+    )
+    _write(f"{d}/demo.t.csv", "id,v\n1,a\n2,b\n")
+    target = str(tmp_path / "wh")
+    assert cli.main(["run", "--source", d, "--target", target]) == 0
+    capsys.readouterr()
+    rc = cli.main([
+        "sql", "--target", target,
+        "SELECT count(*) AS n FROM demo.t",
+        "--format", "json",
+    ])
+    assert rc == 0
+    out = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    assert out and _json.loads(out[-1])["n"] > 0

@@ -399,7 +399,27 @@ def _sql(args) -> int:
     if not found:
         print(f"error: no tables under {args.target}", file=sys.stderr)
         return 1
-    out = spark.sql(args.query)
+    try:
+        out = spark.sql(args.query)
+    except Exception as exc:
+        # convenience: un-backticked db.tbl parses as catalog schema.table
+        # and fails to resolve; rewrite known names to the registered
+        # `db.tbl` views and retry once
+        import re as _re
+
+        names = _re.findall(
+            r"\[([A-Za-z0-9_]+), ([A-Za-z0-9_]+)\]", str(exc)
+        )
+        rewritten = args.query
+        for db, tbl in names:
+            rewritten = _re.sub(
+                rf"(?<!`)\b{_re.escape(db)}\.{_re.escape(tbl)}\b(?!`)",
+                f"`{db}.{tbl}`",
+                rewritten,
+            )
+        if rewritten == args.query:
+            raise
+        out = spark.sql(rewritten)
     rows = out.limit(args.limit).collect()
     if args.format == "json":
         for r in rows:
