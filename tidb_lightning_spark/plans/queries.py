@@ -2786,3 +2786,45 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("a", "b")
     )
     return _unpersist_on_gc(out, sigs)
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH fp AS (SELECT source, md5(text) AS h FROM documents),
+    g AS (SELECT h, count(*) AS c FROM fp GROUP BY h)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_groups,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS dup_rate
+    FROM fp JOIN g USING (h)
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate: which domains ship polluted
+    content — the triage view a curation pipeline consults before
+    deciding per-domain quotas or crawler fixes. Same md5 digest key as
+    dedup_exact_documents, so the shuffles carry 32-byte hashes and
+    counters, never text; group counts join back on the digest (AQE
+    broadcast-converts the count side when small). Exact integer sums +
+    one final division keep it bit-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select("source", F.md5("text").alias("h"))
+    g = fp.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.when(F.col("c") > 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        fp.join(g, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_in_dup_groups"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
