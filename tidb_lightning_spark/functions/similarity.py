@@ -496,22 +496,47 @@ def allpairs_cosine_topk(
 N_LISTS = 16
 N_PROBE = 4
 KMEANS_ITERS = 2
+# centroid means are quantized to 1e-6 via exact BIGINT sums so training
+# is bit-stable across engines (same trick as plans.queries
+# embedding_centroids): a bigint sum is order-independent, so Spark's
+# partition-parallel aggregation and DuckDB's serial one produce the
+# SAME centroid doubles, and the full k-means replay can be a SQL oracle
+IVF_QUANT = 1e6
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Driver-side left-fold dot product — the SAME rounding sequence as
+    the Catalyst `dot` fold and DuckDB's list_dot_product (their parity
+    is what makes the LSH full-pipeline oracle bit-stable; see
+    sql_knn_lsh). Used for centroid norm constants, so never math.fsum
+    here — pairwise/compensated summation would break the parity."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _centroid_dist_structs(
+    vec: Column, centroids: list[list[float]]
+) -> list[Column]:
+    """(dist_i, i) structs with dist_i = ||c_i||^2 - 2*dot(v, c_i):
+    argmin-equivalent to squared Euclidean (the dot(v,v) term is constant
+    per row) and, unlike a zip_with (x-y)^2 fold, built from the SAME
+    left-to-right dot fold DuckDB's list_dot_product uses — the property
+    the full-pipeline IVF SQL oracle needs for bit-stable assignment."""
+    entries = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(v) for v in c])
+        d = F.lit(_py_dot(c, c)) - F.lit(2.0) * dot(vec, carr)
+        entries.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
+    return entries
 
 
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """argmin_i ||vec - c_i||^2 as a pure Catalyst expression: an array of
     (dist, idx) structs reduced with array_min (struct ordering compares
     dist first). Centroids are driver-side constants -> broadcast literals."""
-    entries = []
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(v) for v in c])
-        d = F.aggregate(
-            F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        entries.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
-    return F.array_min(F.array(*entries))["idx"]
+    return F.array_min(F.array(*_centroid_dist_structs(vec, centroids)))["idx"]
 
 
 def train_ivf_centroids(
@@ -521,7 +546,8 @@ def train_ivf_centroids(
     n_lists: int = N_LISTS,
     iters: int = KMEANS_ITERS,
 ) -> list[list[float]]:
-    """Distributed Lloyd's k-means, deterministic seeding.
+    """Distributed Lloyd's k-means, deterministic seeding, BIT-STABLE
+    across engines.
 
     Seeds = the n_lists corpus vectors with the smallest md5(id) (a
     deterministic pseudo-random draw — no RNG, stable across runs and
@@ -530,6 +556,13 @@ def train_ivf_centroids(
     per-dimension means via posexplode + groupBy — the shuffle payload is
     (cluster, dim, partial sums), i.e. O(n_lists * dim) per partition
     after map-side combine, not the corpus.
+
+    The per-dimension mean is sum(floor(x*1e6)) / (1e6*count) — an exact
+    BIGINT numerator, so the result does not depend on partition count or
+    aggregation order. That makes the whole training replayable inside a
+    DuckDB oracle (sql_knn_ivf) AND resume-stable, where a float avg()
+    drifts in the last ulp with the shuffle layout. Accuracy cost vs a
+    true mean is < 1e-6 per coordinate — far below the cluster geometry.
 
     At 100 TB you train on a sample; callers pass df.sample(...) for
     that — the math is identical.
@@ -553,12 +586,21 @@ def train_ivf_centroids(
         means = (
             assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
             .groupBy("_c", "_d")
-            .agg(F.avg("_x").alias("_m"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("_x") * F.lit(IVF_QUANT)).cast("long")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
             .collect()
         )
         new = {}
         for r in means:
-            new.setdefault(r["_c"], {})[r["_d"]] = r["_m"]
+            # same two-step rounding as the SQL twin:
+            # CAST(s AS DOUBLE) / (1e6 * n)
+            new.setdefault(r["_c"], {})[r["_d"]] = r["_s"] / (
+                IVF_QUANT * r["_n"]
+            )
         centroids = [
             [new[i][d] for d in sorted(new[i])] if i in new else centroids[i]
             for i in range(n_lists)
@@ -598,17 +640,17 @@ def knn_ivf(
     base = base.withColumn("_list", _nearest_centroid(F.col("_v"), centroids))
 
     # per-query probe set: the n_probe nearest centroid ids, as an array
-    dists = []
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(v) for v in c])
-        d = F.aggregate(
-            F.zip_with(F.col("_qv"), carr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dists.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
+    # (same ||c||^2 - 2*dot distance as assignment — one formula, both
+    # engines; see _centroid_dist_structs)
     probe = F.transform(
-        F.slice(F.array_sort(F.array(*dists)), 1, n_probe), lambda s: s["idx"]
+        F.slice(
+            F.array_sort(
+                F.array(*_centroid_dist_structs(F.col("_qv"), centroids))
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["idx"],
     )
 
     q = (
@@ -637,3 +679,111 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("cosine"))
     )
+
+
+def sql_knn_ivf(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_where: str,
+    dim: int,
+    k: int = 5,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+    iters: int = KMEANS_ITERS,
+) -> str:
+    """DuckDB twin of knn_ivf — the FULL pipeline including k-means
+    training, not a reference answer. Replayable because every step is
+    deterministic and bit-stable across engines:
+
+    - seeds: the n_lists vectors with the smallest md5(id) — identical
+      lowercase-hex ordering in both engines;
+    - assignment distance: ||c||^2 - 2*dot(v,c), where dot is the same
+      left-to-right fold in Catalyst, Python (centroid constants) and
+      DuckDB's list_dot_product (parity established by sql_knn_lsh);
+    - centroid means: exact BIGINT sums of floor(x*1e6), divided as
+      CAST(s AS DOUBLE)/(1e6*n) — order-independent, so Spark's
+      partition-parallel aggregate equals DuckDB's serial one bit-for-bit
+      (see train_ivf_centroids);
+    - ties: (dist, idx) ordering both sides.
+
+    The `iters` Lloyd iterations are unrolled as CTE pairs
+    (assign -> quantized means), mirroring the driver loop."""
+    q = IVF_QUANT
+
+    def assign(src_cent: str) -> str:
+        return f"""(
+      SELECT id, e, _c FROM (
+        SELECT v.id, v.e, c.idx AS _c,
+               row_number() OVER (
+                 PARTITION BY v.id
+                 ORDER BY c.cn2 - 2.0 * list_dot_product(v.e, c.c), c.idx
+               ) AS rn
+        FROM v, {src_cent} c
+      ) WHERE rn = 1
+    )"""
+
+    steps = []
+    for i in range(iters):
+        steps.append(f"a{i} AS {assign(f'cent{i}')}")
+        steps.append(f"""m{i + 1} AS (
+      SELECT _c, d, SUM(CAST(floor(e[d] * {q!r}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM a{i}, dims GROUP BY _c, d
+    )""")
+        steps.append(f"""cent{i + 1} AS (
+      SELECT p.idx, COALESCE(m.c, p.c) AS c,
+             list_dot_product(COALESCE(m.c, p.c), COALESCE(m.c, p.c)) AS cn2
+      FROM cent{i} p LEFT JOIN (
+        SELECT _c AS idx,
+               list(CAST(s AS DOUBLE) / ({q!r} * n) ORDER BY d) AS c
+        FROM m{i + 1} GROUP BY _c
+      ) m ON m.idx = p.idx
+    )""")
+    iter_ctes = ",\n    ".join(steps)
+    return f"""
+    WITH v AS (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS e FROM {table}
+    ), dims AS (
+      SELECT unnest(generate_series(1, {dim})) AS d
+    ), cent0 AS (
+      SELECT idx, c, list_dot_product(c, c) AS cn2 FROM (
+        SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1
+                 AS idx,
+               e AS c
+        FROM v
+      ) WHERE idx < {n_lists}
+    ),
+    {iter_ctes},
+    al AS {assign(f"cent{iters}")},
+    bkt AS (
+      SELECT id, e, sqrt(list_dot_product(e, e)) AS norm FROM v
+    ), probe AS (
+      SELECT query_id, idx FROM (
+        SELECT v.id AS query_id, c.idx,
+               row_number() OVER (
+                 PARTITION BY v.id
+                 ORDER BY c.cn2 - 2.0 * list_dot_product(v.e, c.c), c.idx
+               ) AS pr
+        FROM v, cent{iters} c
+        WHERE {query_where}
+      ) WHERE pr <= {n_probe}
+    ), cand AS (
+      SELECT p.query_id, a.id AS neighbor_id
+      FROM probe p JOIN al a ON a._c = p.idx AND a.id <> p.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qv.e, nv.e) / (qv.norm * nv.norm) AS sim
+      FROM cand
+        JOIN bkt qv ON qv.id = cand.query_id
+        JOIN bkt nv ON nv.id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(sim, 4) AS cosine
+    FROM ranked WHERE rank <= {k}
+    """

@@ -828,7 +828,7 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allpairs_cosine_topk(e, "vec_id", "embedding", k=20, n_blocks=8)
 
 
-def _corpus_dim(default: int = 64) -> int | None:
+def _corpus_dim() -> int | None:
     """Embedding dimension of the driver's correctness corpus, probed
     from one parquet page at registration time; None when the corpus is
     absent or its dimension differs from every-SF-verified 64 — the LSH
@@ -912,12 +912,31 @@ def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_cosine_ivf", None)  # rows-only: ANN recall is probabilistic
+def _knn_ivf_oracle() -> str | None:
+    # Training is bit-stable across engines (md5 seeding, BIGINT-quantized
+    # means, one shared distance formula — see
+    # similarity.train_ivf_centroids), so the oracle replays the ENTIRE
+    # pipeline in SQL: unrolled Lloyd iterations -> list assignment ->
+    # probe -> exact re-rank. Same dim-literal constraint as the LSH
+    # oracles: rows-only fallback when the corpus isn't dim-64.
+    if _corpus_dim() != 64:
+        return None
+    from tidb_lightning_spark.functions.similarity import sql_knn_ivf
+
+    return sql_knn_ivf(
+        "embeddings", "vec_id", "embedding", "v.id < 10",
+        dim=64, k=5, n_lists=8, n_probe=3, iters=2,
+    )
+
+
+@register("knn_cosine_ivf", _knn_ivf_oracle())
 def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the second scale path: k-means lists + n_probe search).
-    Deterministically seeded distributed Lloyd training; n_probe==n_lists
-    degrades to exact search (asserted in tests/test_similarity.py). No
-    SQL oracle — recall depends on list assignment."""
+    Deterministically seeded distributed Lloyd training with
+    BIGINT-quantized centroid means — bit-stable across engines, so the
+    driver verifies the FULL pipeline (training included) against the
+    sql_knn_ivf DuckDB twin. n_probe==n_lists degrades to exact search
+    and recall vs brute force is floored in tests/test_similarity.py."""
     from tidb_lightning_spark.functions.similarity import knn_ivf
 
     e = load(spark, sf_dir, "embeddings")
