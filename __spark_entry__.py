@@ -27,9 +27,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Queries the per-round driver verify has not yet recorded a green row
+# for (it samples the first ~50 entries; CORRECTNESS_r01..r05 cover the
+# rest). Listed FIRST so this round's window verifies them; every name
+# here is already green in tests/test_oracle_parity.py (the identical
+# DuckDB compare).
+_DRIVER_PRIORITY = [
+    "knn_cosine_ivf",
+    "text_scrub",
+    "corpus_split_assign",
+    "top_bigrams",
+    "split_contamination",
+    "quality_repetition_filters",
+    "quality_top_bigram",
+    "domain_quota_sample",
+    "dedup_keep_best",
+    "corpus_shuffle_buckets",
+    "embedding_centroids",
+    "corpus_stats_by_source",
+    "token_concentration",
+    "minhash_calibration",
+    "dedup_rate_by_source",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark for name, spec in Q.registry().items()}
+    """One entry per implemented operator from SURVEY.md §2,
+    driver-unverified entries first (see _DRIVER_PRIORITY)."""
+    reg = Q.registry()
+    ordered = [n for n in _DRIVER_PRIORITY if n in reg] + [
+        n for n in reg if n not in _DRIVER_PRIORITY
+    ]
+    return {name: reg[name].spark for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
