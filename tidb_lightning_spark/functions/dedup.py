@@ -39,7 +39,17 @@ SHINGLE_K = 3
 # populated (measured: dedup_keep_best write went 0.3 s -> 5-8 s whenever
 # the previous handle happened to be collected mid-run). Refcount by
 # semantic hash so only the LAST live handle of a plan unpersists it.
+# All read-modify-writes hold _CACHE_LOCK: weakref finalizers run on
+# whatever thread drops the last reference, and driver code may persist
+# from table-concurrency worker threads — unsynchronized interleaving
+# could under/over-unpersist a shared plan. RLock, not Lock: a gc pass
+# can fire a finalizer ON the thread that already holds the lock (any
+# allocation inside the locked region may trigger collection), and the
+# finalizer's _cleanup re-enters. NOTE an external
+# spark.catalog.clearCache() (e.g. bench warmup) evicts blocks without
+# touching these counts; outstanding handles then harmlessly recompute.
 _CACHE_REFS: dict[int, int] = {}
+_CACHE_LOCK = __import__("threading").RLock()
 
 
 def _plan_key(df: DataFrame) -> int:
@@ -53,7 +63,8 @@ def cache_acquire(df: DataFrame) -> DataFrame:
     refcount and evicts the cache of ANY semantically-equal plan another
     holder still owns (Spark's cache manager is plan-keyed)."""
     key = _plan_key(df)
-    _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
+    with _CACHE_LOCK:
+        _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
     df.persist()
     return df
 
@@ -61,11 +72,12 @@ def cache_acquire(df: DataFrame) -> DataFrame:
 def cache_release(df: DataFrame) -> None:
     """Decrement the plan's refcount; unpersist only as the last holder."""
     key = _plan_key(df)
-    n = _CACHE_REFS.get(key, 1) - 1
-    if n > 0:
-        _CACHE_REFS[key] = n
-        return
-    _CACHE_REFS.pop(key, None)
+    with _CACHE_LOCK:
+        n = _CACHE_REFS.get(key, 1) - 1
+        if n > 0:
+            _CACHE_REFS[key] = n
+            return
+        _CACHE_REFS.pop(key, None)
     try:
         df.unpersist(False)
     except Exception:
@@ -91,16 +103,18 @@ def _unpersist_on_gc(result: DataFrame, *cached: DataFrame) -> DataFrame:
     keyed = []
     for c in cached:
         key = _plan_key(c)
-        _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
+        with _CACHE_LOCK:
+            _CACHE_REFS[key] = _CACHE_REFS.get(key, 0) + 1
         keyed.append((key, c))
 
     def _cleanup(dfs=keyed):
         for key, c in dfs:
-            n = _CACHE_REFS.get(key, 1) - 1
-            if n > 0:
-                _CACHE_REFS[key] = n
-                continue  # an identical live plan still owns this cache
-            _CACHE_REFS.pop(key, None)
+            with _CACHE_LOCK:
+                n = _CACHE_REFS.get(key, 1) - 1
+                if n > 0:
+                    _CACHE_REFS[key] = n
+                    continue  # an identical live plan still owns this cache
+                _CACHE_REFS.pop(key, None)
             try:
                 c.unpersist(False)
             except Exception:
@@ -353,6 +367,98 @@ def sql_lsh_candidate_pairs(table: str, id_col: str, text_col: str) -> str:
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = 25,
+) -> tuple[DataFrame, int]:
+    """(id, cluster_id = min id reachable), rounds used — alternating
+    large-star/small-star contraction (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii, "Connected Components in MapReduce and
+    Beyond"): O(log^2 n) rounds regardless of component DIAMETER, where
+    plain min-label propagation needs O(diameter) shuffle rounds — a
+    chain-shaped duplicate cluster at PB scale would cost hundreds.
+
+    `nodes` is one `id` column; `edges` is (src, dst) in any orientation.
+
+    Per alternation (all edges kept oriented big->small, no self-loops):
+      large-star: every node links its LARGER neighbors to the minimum
+        of its closed neighborhood — long chains fold toward minima;
+      small-star: every node rewires its smaller neighbors (and itself)
+        onto its minimum neighbor — stars flatten to depth one.
+    Both are one groupBy(min) + one join; convergence = identical
+    (count, xor of edge hashes) fingerprint two alternations running
+    (xor is order-independent and collision-safe in 64 bits at any
+    realistic edge count). At the fixpoint every non-root points
+    straight at its component's minimum id.
+
+    Each round's edge set is localCheckpoint'ed (eager): persist alone
+    keeps the FULL lineage, so Catalyst re-analyzes an O(rounds)-deep
+    plan every round — measured minutes of pure planning by round ~9 on
+    a 200-edge graph. Truncating lineage keeps per-round cost flat (the
+    same reason GraphFrames checkpoints its CC loop); executor-local
+    checkpoint storage is the right durability trade for a loop that
+    re-runs from scratch on failure anyway."""
+    e = (
+        edges.select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    prev_fp = None
+    for _ in range(max_rounds):
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
+        sym = e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("u", "_mv").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (big -> small) orientation: m(u) = min
+        # neighbor; every other small neighbor AND u itself link to m
+        mn = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mn, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mn.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()  # eager: truncates lineage AND runs round
+        )
+        rounds += 1
+        fp = (
+            small.select(F.xxhash64("u", "v").alias("h"))
+            .agg(F.count(F.lit(1)).alias("n"), F.expr("bit_xor(h)").alias("x"))
+            .collect()[0]
+        )
+        e = small
+        if prev_fp == (fp["n"], fp["x"]):
+            break
+        prev_fp = (fp["n"], fp["x"])
+    labels = (
+        nodes.select(F.col(nodes.columns[0]).alias("id"))
+        .join(e.groupBy("u").agg(F.min("v").alias("_root")),
+              F.col("id") == F.col("u"), "left")
+        .select(
+            "id", F.coalesce(F.col("_root"), F.col("id")).alias("cluster_id")
+        )
+    )
+    return labels, rounds
+
+
 def near_dup_clusters(
     df: DataFrame,
     id_col: str,
@@ -366,13 +472,12 @@ def near_dup_clusters(
     to KEEP; the rest are near-dup drops). This is the
     cluster-then-keep-canonical step of a dedup pipeline.
 
-    Algorithm: distributed min-label propagation — per round, each node
-    takes min(own label, neighbors' labels); converges in O(component
-    diameter) rounds (near-dup components are shallow). Convergence is
-    detected by the strictly-decreasing sum(label) (one tiny agg action
-    per round, no full comparison join). At petabyte scale the classic
-    large-star/small-star contraction (Kiveris et al.) halves the round
-    count; the join structure here is the same building block.
+    Components are solved by the alternating large-star/small-star
+    contraction (see connected_components): round count is O(log^2 n) in
+    the component SIZE, independent of its diameter — the
+    chain-of-duplicates topology that costs min-label propagation one
+    shuffle round per link (hundreds at PB scale) converges in a handful
+    of alternations (tests/test_dedup.py pins the bound on a 200-chain).
     """
     # own the signature cache explicitly: the derived .filter/.select
     # below drops lsh_candidate_pairs' returned handle, which under the
@@ -380,53 +485,18 @@ def near_dup_clusters(
     # and recompute every signature (the API caveat this parameter
     # exists for)
     sigs = cache_acquire(minhash_wide_df(df, id_col, text_col))
-    pairs = (
+    edges = (
         lsh_candidate_pairs(df, id_col, text_col, signatures=sigs)
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    edges = cache_acquire(
-        pairs.union(
-            pairs.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
-        )
+    labels, _rounds = connected_components(
+        df.select(F.col(id_col).alias("id")), edges, max_rounds=max_iter
     )
-    labels = cache_acquire(
-        df.select(F.col(id_col).alias("id")).withColumn("label", F.col("id"))
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = cache_acquire(
-            labels.join(nbr, labels.id == nbr.dst, "left")
-            .select(
-                F.col("id"),
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        cache_release(labels)
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    cache_release(edges)
     cache_release(sigs)
-    result = labels.select(
-        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
-    )
-    # transfer ownership: _unpersist_on_gc takes its own ref, so drop the
-    # loop's acquire — the finalizer's decrement is then the last one
-    out = _unpersist_on_gc(result, labels)
-    cache_release(labels)
-    return out
+    # labels reads the loop's final localCheckpoint — the JVM plan holds
+    # the checkpointed blocks, so no gc-tied cache handles are needed
+    return labels.select(F.col("id").alias(id_col), F.col("cluster_id"))
 
 
 def sql_near_dup_clusters(
