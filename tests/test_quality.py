@@ -109,3 +109,38 @@ def test_sql_twins_agree_on_multiline(qdf, name, spark_fn, sql_fn):
     ).fetchall()
     want = {r[0]: r[1] for r in rows}
     assert got == want, f"{name}: {got} != {want}"
+
+
+def test_hist_quantiles_within_one_bucket_of_exact(spark):
+    """quantiles_by_returnflag_hist's documented accuracy bound: every
+    estimate lands within one bucket width (0.5 for quantities, 64 for
+    prices) of the exact interpolated percentile."""
+    import duckdb as _dd
+
+    from tidb_lightning_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["l_returnflag"]: r
+        for r in Q.registry()["quantiles_by_returnflag_hist"]
+        .spark(spark, sf)
+        .collect()
+    }
+    con = _dd.connect()
+    exact = con.execute(
+        f"""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS m,
+               quantile_cont(l_quantity, 0.25) AS q1,
+               quantile_cont(l_quantity, 0.9) AS p90,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM '{sf}/lineitem.parquet' GROUP BY l_returnflag
+        """
+    ).fetchall()
+    assert len(exact) == len(got)
+    for flag, m, q1, p90, p95 in exact:
+        r = got[flag]
+        assert abs(r["median_qty"] - m) <= 0.5
+        assert abs(r["q1_qty"] - q1) <= 0.5
+        assert abs(r["p90_qty"] - p90) <= 0.5
+        assert abs(r["p95_price"] - p95) <= 64.0

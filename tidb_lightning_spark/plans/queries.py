@@ -480,6 +480,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (baseline ANN; SURVEY 'similarity search').
 
+    ORACLE ANCHOR — cost is O(corpus x queries). Scale twins: use
+    knn_cosine_lsh or knn_cosine_ivf beyond ~1M corpus rows; both are
+    hash-verified against full-pipeline SQL oracles and recall-floored
+    against this baseline.
+
     The query set is broadcast; each partition of the corpus scores its
     vectors against all queries (no shuffle of the corpus), then a per-query
     top-k. Dot product is a JVM-side zip_with/aggregate fold — no UDF.
@@ -820,8 +825,11 @@ def ngram_jaccard_vs_first_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: exact top-20 closest pairs via the
     blocked all-pairs operator (numpy-vectorized block tasks, bit-identical
-    fold order to the SQL oracle — see allpairs_cosine_topk docstring;
-    knn_cosine_lsh / knn_cosine_ivf are the approximate scale paths)."""
+    fold order to the SQL oracle — see allpairs_cosine_topk docstring).
+
+    ORACLE ANCHOR — cost is O(n^2) pairs. Scale twin: use
+    near_dup_embeddings_lsh beyond ~1M rows (bucket join carries ids
+    only; hash-verified against the same-constants SQL oracle)."""
     from tidb_lightning_spark.functions.similarity import allpairs_cosine_topk
 
     e = load(spark, sf_dir, "embeddings")
@@ -1749,9 +1757,12 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates (exact percentile with linear interpolation —
     both engines sort-and-interpolate identically, so doubles bit-match).
-    Spark's `percentile` is a full-sort-per-group aggregate: fine at any
-    group count since each group sorts independently post-shuffle; for
-    sketch-accuracy-is-enough cases `percentile_approx` keeps it one pass.
+
+    ORACLE ANCHOR ONLY — each exact percentile() aggregate buffers every
+    group value, so with a handful of groups a 100x scale-up puts
+    billions of doubles in single agg buffers (driver-class OOM, not a
+    slow query). Scale twin: quantiles_by_returnflag_hist (same output
+    shape, O(histogram) memory per group, error <= one bucket width).
     The three l_quantity percentiles share ONE array-argument aggregate —
     each percentile() expression buffers every group value, so folding
     them cuts per-group agg memory 3x (same values, one sort)."""
@@ -1772,6 +1783,128 @@ def quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qs")[2].alias("p90_qty"),
             "p95_price",
             "n",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _hist_quantile_sql() -> str:
+    """DuckDB twin of quantiles_by_returnflag_hist — the same histogram
+    arithmetic (floor-bucket counts, running sum, ceil-rank pick), so
+    values hash-match bit-for-bit."""
+    return """
+    WITH qh AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 2.0) AS BIGINT) AS b,
+             count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, b
+    ), qc AS (
+      SELECT l_returnflag, b, c,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM qh
+    ), q AS (
+      SELECT l_returnflag,
+             min(CASE WHEN cum >= ceil(0.5 * n) THEN (CAST(b AS DOUBLE) + 0.5) / 2.0 END)
+               AS median_qty,
+             min(CASE WHEN cum >= ceil(0.25 * n) THEN (CAST(b AS DOUBLE) + 0.5) / 2.0 END)
+               AS q1_qty,
+             min(CASE WHEN cum >= ceil(0.9 * n) THEN (CAST(b AS DOUBLE) + 0.5) / 2.0 END)
+               AS p90_qty,
+             CAST(max(n) AS BIGINT) AS n
+      FROM qc GROUP BY l_returnflag
+    ), ph AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS b,
+             count(*) AS c
+      FROM lineitem GROUP BY l_returnflag, b
+    ), pc AS (
+      SELECT l_returnflag, b, c,
+             sum(c) OVER (PARTITION BY l_returnflag ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY l_returnflag) AS n
+      FROM ph
+    ), p AS (
+      SELECT l_returnflag,
+             min(CASE WHEN cum >= ceil(0.95 * n) THEN (CAST(b AS DOUBLE) + 0.5) * 64.0 END)
+               AS p95_price
+      FROM pc GROUP BY l_returnflag
+    )
+    SELECT q.l_returnflag, q.median_qty, q.q1_qty, q.p90_qty,
+           p.p95_price, q.n
+    FROM q JOIN p ON p.l_returnflag = q.l_returnflag
+    ORDER BY q.l_returnflag
+    """
+
+
+def _hist_quantiles(
+    df: DataFrame, key: str, col: str, scale: float, invert: bool,
+    targets: dict[str, float],
+) -> DataFrame:
+    """(key, <name>=estimate..., n): fixed-width-histogram quantiles.
+
+    bucket = floor(value * scale) (or value / scale when invert);
+    estimate = the midpoint of the first bucket whose running count
+    reaches ceil(p * n). Error <= one bucket width BY CONSTRUCTION, and
+    every step (integer bucket counts, running sums, ceil of p*n) is
+    deterministic in both engines — unlike percentile_approx, whose GK
+    sketch DuckDB cannot replay. Memory: O(distinct buckets) per group;
+    the shuffle carries (key, bucket, count) after map-side combine."""
+    b = (
+        F.floor(F.col(col) / F.lit(scale)) if invert
+        else F.floor(F.col(col) * F.lit(scale))
+    ).cast("long")
+    counts = df.groupBy(key, b.alias("b")).agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy(key)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(key)
+    cum = counts.select(
+        key, "b",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    mid = (
+        (F.col("b") + 0.5) * F.lit(scale) if invert
+        else (F.col("b") + 0.5) / F.lit(scale)
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), mid)
+        ).alias(name)
+        for name, p in targets.items()
+    ] + [F.max("n").cast("long").alias("n")]
+    return cum.groupBy(key).agg(*aggs)
+
+
+@register("quantiles_by_returnflag_hist", _hist_quantile_sql())
+def quantiles_by_returnflag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of quantiles_by_returnflag: fixed-width-histogram
+    quantile estimates (bucket width 0.5 for l_quantity, 64 for
+    l_extendedprice) instead of exact percentile()'s
+    buffer-every-group-value aggregate. Per-group state is the bucket
+    histogram — O(value range / width), independent of row count — so
+    the 100x scale-up that OOMs the exact form stays flat here; accuracy
+    is within one bucket width of exact (pinned in
+    tests/test_quality.py). Fully deterministic arithmetic, so the
+    DuckDB oracle hash-verifies the estimates bit-for-bit."""
+    l = load(spark, sf_dir, "lineitem")
+    q = _hist_quantiles(
+        l, "l_returnflag", "l_quantity", 2.0, invert=False,
+        targets={"median_qty": 0.5, "q1_qty": 0.25, "p90_qty": 0.9},
+    )
+    p = _hist_quantiles(
+        l, "l_returnflag", "l_extendedprice", 64.0, invert=True,
+        targets={"p95_price": 0.95},
+    ).select("l_returnflag", "p95_price")
+    return (
+        q.join(p, "l_returnflag")
+        .select(
+            "l_returnflag", "median_qty", "q1_qty", "p90_qty",
+            "p95_price", "n",
         )
         .orderBy("l_returnflag")
     )
