@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB compare).
 _DRIVER_PRIORITY = [
     "knn_cosine_ivf",
+    "quantiles_by_returnflag_hist",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

@@ -144,3 +144,28 @@ def test_remote_compressed_peek_is_explicit_error(spark, tmp_path):
     src = _mount(spark, "tlspeek", d)
     with pytest.raises(NotImplementedError, match="uncompressed"):
         read_header(f"{src}/h.csv.gz", CSVConfig(), spark)
+
+
+def test_widen_sizes_scheme_uri(spark, tmp_path):
+    """widen()'s size peek was the last local-path-only driver probe
+    (r5 verdict): on a scheme'd sf_dir it computed size 0 and silently
+    repartitioned. It must now size through the Hadoop FS walk."""
+    import shutil
+
+    from tidb_lightning_spark.plans import queries as Q
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(
+        "/root/testdata/sf0.001/documents.parquet", f"{d}/documents.parquet"
+    )
+    src = _mount(spark, "tlswiden", d)
+    local = Q.widen(spark, d, "documents")
+    remote = Q.widen(spark, src, "documents")
+    assert remote.count() == local.count() > 0
+    # same sizing decision both ways (the tiny corpus repartitions to
+    # cores in both; the point is the remote size is not read as 0 —
+    # both plans must agree)
+    assert (
+        remote.rdd.getNumPartitions() == local.rdd.getNumPartitions()
+    )

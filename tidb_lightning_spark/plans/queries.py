@@ -68,15 +68,26 @@ def widen(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = load(spark, sf_dir, table)
     cores = spark.sparkContext.defaultParallelism
     path = f"{sf_dir}/{table}.parquet"
-    size = (
-        os.path.getsize(path)
-        if os.path.isfile(path)
-        else sum(
+    if path.startswith("file:"):  # normalize like loader._walk does
+        import re
+
+        path = re.sub("^file:/+", "/", path)
+    if "://" in path:
+        # scheme'd (object-store) corpus: size the peek through the same
+        # Hadoop FS walk discovery uses (sources.loader._walk) — the
+        # os.path branch below would silently report 0 bytes and force
+        # the repartition branch on every remote table
+        from tidb_lightning_spark.sources.loader import _walk
+
+        size = sum(sz for _, sz in _walk(path, spark=spark))
+    elif os.path.isfile(path):
+        size = os.path.getsize(path)
+    else:
+        size = sum(
             os.path.getsize(os.path.join(r, f))
             for r, _, fs in os.walk(path)
             for f in fs
         )
-    )
     def conf_bytes(key: str, default: int) -> int:
         # unset size confs stringify with a unit suffix ("134217728b",
         # "128MB") on vanilla sessions — parse, don't int()
