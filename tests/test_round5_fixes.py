@@ -436,3 +436,33 @@ def test_cli_sql_unquoted_db_tbl_rewrite(spark, tmp_path, capsys):
     out = [ln for ln in capsys.readouterr().out.splitlines()
            if ln.startswith("{")]
     assert out and _json.loads(out[-1])["n"] > 0
+
+
+def test_cli_sql_rewrite_preserves_string_literals(spark, tmp_path, capsys):
+    """The db.tbl retry rewrite must not touch a 'db.tbl' spelling inside
+    a quoted string constant (r5 advice: a global regex rewrote the
+    literal's VALUE)."""
+    import json as _json
+
+    from tidb_lightning_spark import cli
+
+    d = str(tmp_path / "dump")
+    _write(f"{d}/demo-schema-create.sql", "CREATE DATABASE IF NOT EXISTS demo;")
+    _write(
+        f"{d}/demo.t-schema.sql",
+        "CREATE TABLE t (id INT PRIMARY KEY, v VARCHAR(10));",
+    )
+    _write(f"{d}/demo.t.csv", "id,v\n1,a\n2,b\n")
+    target = str(tmp_path / "wh")
+    assert cli.main(["run", "--source", d, "--target", target]) == 0
+    capsys.readouterr()
+    rc = cli.main([
+        "sql", "--target", target,
+        "SELECT 'demo.t' AS tag, count(*) AS n FROM demo.t",
+        "--format", "json",
+    ])
+    assert rc == 0
+    out = [ln for ln in capsys.readouterr().out.splitlines()
+           if ln.startswith("{")]
+    rec = _json.loads(out[-1])
+    assert rec["tag"] == "demo.t" and rec["n"] == 2

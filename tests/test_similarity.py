@@ -168,3 +168,26 @@ def test_numpy_bucket_attach_matches_catalyst_spec(spark):
             assert fast[(r["vec_id"], t)] == r[f"b{t}"], (
                 f"bucket mismatch vec {r['vec_id']} table {t}"
             )
+
+
+def test_lsh_near_dup_pairs_string_ids(spark):
+    """attach_buckets_df's id-type-agnostic contract must extend to the
+    pair scorer: string doc ids flow through the Arrow boundary and the
+    pair orientation uses the same lexicographic < as a Spark plan
+    would (r5 advice: the schema was hard-coded `a long, b long`)."""
+    from tidb_lightning_spark.functions.similarity import lsh_near_dup_pairs
+
+    e = (
+        Q.load(spark, SF_CORRECTNESS, "embeddings")
+        .limit(80)
+        .select(
+            F.concat(F.lit("doc-"), F.lpad(F.col("vec_id"), 5, "0")).alias(
+                "sid"
+            ),
+            "embedding",
+        )
+    )
+    got = lsh_near_dup_pairs(e, "sid", "embedding", dim=64, k_top=5).collect()
+    assert len(got) > 0
+    for r in got:
+        assert isinstance(r["a"], str) and r["a"] < r["b"]

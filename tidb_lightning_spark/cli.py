@@ -412,11 +412,17 @@ def _sql(args) -> int:
         )
         rewritten = args.query
         for db, tbl in names:
-            rewritten = _re.sub(
-                rf"(?<!`)\b{_re.escape(db)}\.{_re.escape(tbl)}\b(?!`)",
-                f"`{db}.{tbl}`",
-                rewritten,
+            pat = _re.compile(
+                rf"(?<!`)\b{_re.escape(db)}\.{_re.escape(tbl)}\b(?!`)"
             )
+            # rewrite only OUTSIDE single-quoted literals: split on ',
+            # even segments are SQL text, odd are string contents
+            # (''-escaped quotes just yield empty odd segments) — a
+            # constant like SELECT 'a.b' FROM a.b must keep its value
+            parts = rewritten.split("'")
+            for i in range(0, len(parts), 2):
+                parts[i] = pat.sub(f"`{db}.{tbl}`", parts[i])
+            rewritten = "'".join(parts)
         if rewritten == args.query:
             raise
         out = spark.sql(rewritten)

@@ -63,10 +63,14 @@ def dup_line_char_frac(col: Column) -> Column:
     count*len(line) characters. O(distinct*total) per row — fine, line
     counts are small and the work is per-row (scales linearly in docs).
     """
+    # fold accumulators and per-line products in LONG: a document near
+    # Spark's 2 GiB string cap can overflow a 32-bit sum, and the DuckDB
+    # twin's list_sum computes in BIGINT/HUGEINT — the same overflow
+    # class already fixed in token_concentration
     lines = doc_lines(col)
     total = F.aggregate(
-        F.transform(lines, F.length),
-        F.lit(0),
+        F.transform(lines, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     dup_chars = F.aggregate(
@@ -74,10 +78,11 @@ def dup_line_char_frac(col: Column) -> Column:
             F.array_distinct(lines),
             lambda d: F.when(
                 F.size(F.filter(lines, lambda x: x == d)) > 1,
-                F.size(F.filter(lines, lambda x: x == d)) * F.length(d),
-            ).otherwise(F.lit(0)),
+                F.size(F.filter(lines, lambda x: x == d)).cast("long")
+                * F.length(d).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
         ),
-        F.lit(0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     return F.when(total <= 0, F.lit(0.0)).otherwise(

@@ -314,10 +314,16 @@ def lsh_near_dup_pairs(
     ex = attach_buckets_df(
         df, id_col, vec_col, dim, n_planes, n_tables
     ).drop("_norm")
+    # pair schema follows the id column's type (attach_buckets_df's
+    # id-type-agnostic contract: string doc ids must not die at the
+    # Arrow boundary — numpy's minimum/maximum order object arrays
+    # elementwise with the same < the Spark plan would use)
+    id_type = df.schema[id_col].dataType.simpleString()
+    pd_id = "object" if id_type in ("string", "varchar") else "int64"
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-            {"a": "int64", "b": "int64", "cosine": "float64"}
+            {"a": pd_id, "b": pd_id, "cosine": "float64"}
         )
         if len(pdf) < 2:
             return empty
@@ -340,7 +346,7 @@ def lsh_near_dup_pairs(
         ).head(k_top)
 
     bucket_top = ex.groupBy("_t", "_b").applyInPandas(
-        score, schema="a long, b long, cosine double"
+        score, schema=f"a {id_type}, b {id_type}, cosine double"
     )
     # multi-table collisions: identical sims, fold to one row per pair
     pairs = bucket_top.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))
