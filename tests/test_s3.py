@@ -169,3 +169,20 @@ def test_widen_sizes_scheme_uri(spark, tmp_path):
     assert (
         remote.rdd.getNumPartitions() == local.rdd.getNumPartitions()
     )
+
+
+def test_preflight_names_missing_s3a_connector(spark, tmp_path):
+    """An s3a:// source on a classpath without hadoop-aws must fail at
+    config time with the jar + credential remedy, not minutes later as
+    a ClassNotFoundException inside an executor scan."""
+    from tidb_lightning_spark.pipeline import (
+        IngestError,
+        preflight_remote_scheme,
+    )
+
+    with pytest.raises(IngestError, match="hadoop-aws"):
+        preflight_remote_scheme(spark, "s3a://bucket/dump")
+    # local paths, file: URIs and JVM-known schemes pass silently
+    preflight_remote_scheme(spark, str(tmp_path))
+    preflight_remote_scheme(spark, f"file://{tmp_path}")
+    preflight_remote_scheme(spark, "viewfs://any/mount")

@@ -40,6 +40,68 @@ class IngestError(RuntimeError):
     pass
 
 
+# object-store schemes -> (connector jar coordinates, credential confs).
+# The reference preflights its allowed schemes at config time
+# (config.go:741-783, allowed: local/s3/gcs/noop); the Spark analog is
+# "does this JVM have a FileSystem implementation for the scheme", which
+# fails at first touch deep inside an executor scan unless checked here.
+_REMOTE_SCHEME_HINTS = {
+    "s3a": (
+        "org.apache.hadoop:hadoop-aws:<hadoop-version> (bundles the AWS "
+        "SDK); pass via spark.jars.packages or drop hadoop-aws + "
+        "aws-java-sdk-bundle jars on the classpath",
+        "fs.s3a.access.key / fs.s3a.secret.key (or an IAM instance "
+        "profile / AWS_* env credentials)",
+    ),
+    "s3": (
+        "org.apache.hadoop:hadoop-aws:<hadoop-version>, plus "
+        "spark.hadoop.fs.s3.impl=org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "fs.s3a.access.key / fs.s3a.secret.key",
+    ),
+    "gs": (
+        "com.google.cloud.bigdataoss:gcs-connector:hadoop3-<version> "
+        "shaded jar",
+        "google.cloud.auth.service.account.json.keyfile (or workload "
+        "identity)",
+    ),
+    "abfs": (
+        "hadoop-azure + hadoop-azure-datalake jars",
+        "fs.azure.account.key.<account>.dfs.core.windows.net",
+    ),
+    "abfss": (
+        "hadoop-azure + hadoop-azure-datalake jars",
+        "fs.azure.account.key.<account>.dfs.core.windows.net",
+    ),
+    "oss": ("hadoop-aliyun jar", "fs.oss.accessKeyId / fs.oss.accessKeySecret"),
+}
+
+
+def preflight_remote_scheme(spark, uri: str | None) -> None:
+    """Config-time check (M7) that a scheme'd source/target URI has a
+    loadable Hadoop FileSystem implementation in THIS JVM — otherwise the
+    failure surfaces minutes later as a ClassNotFoundException inside an
+    executor scan. Names the missing jars and the credential confs for
+    the scheme instead. No-op for local paths and schemes the JVM knows."""
+    if not uri or "://" not in uri or uri.startswith("file:"):
+        return
+    scheme = uri.split("://", 1)[0].lower()
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.hadoop.fs.FileSystem.getFileSystemClass(
+            scheme, spark._jsc.hadoopConfiguration()
+        )
+    except Exception as exc:
+        jars, creds = _REMOTE_SCHEME_HINTS.get(
+            scheme, (f"a Hadoop FileSystem connector for '{scheme}://'", "-")
+        )
+        raise IngestError(
+            f"no Hadoop FileSystem for scheme '{scheme}://' ({uri!r}): "
+            f"this Spark classpath cannot reach the store. Add {jars}; "
+            f"credentials: {creds}. (Underlying: "
+            f"{str(exc).splitlines()[0][:160]})"
+        ) from None
+
+
 def _partition_columns(info: TableInfo) -> list[str] | None:
     """Hive-style output partitioning for MySQL RANGE/LIST COLUMNS tables
     (H4). Only value-based single-column partitioning maps cleanly to a
@@ -193,6 +255,8 @@ class Restorer:
     def run(self) -> RunReport:
         t0 = time.time()
         cfg = self.cfg
+        preflight_remote_scheme(self.spark, cfg.source_dir)
+        preflight_remote_scheme(self.spark, cfg.target_dir)
         result = discover(
             cfg.source_dir,
             file_router=FileRouter.build(cfg.file_routes, cfg.default_file_rules),
