@@ -253,3 +253,21 @@ def test_web_progress_page(server):
     assert status == 200
     assert "spark-lightning import progress" in body
     assert "/progress/task" in body  # polls the JSON endpoints
+
+
+def test_progress_tables_lists_all(server, tmp_path):
+    """/progress/tables feeds the web page's per-table rows: every
+    checkpointed table with a human-readable status in one call."""
+    base, *_ = server
+    cps = {
+        "mydb.people": {"status": "checksummed", "signature": "abc"},
+        "mydb.orders": {"status": "loaded", "signature": "def"},
+    }
+    (tmp_path / "_tls_checkpoints.json").write_text(json.dumps(cps))
+    _, body = _req(base, "/progress/tables")
+    got = json.loads(body)
+    assert got["mydb.people"]["status"] == "checksummed"
+    assert got["mydb.orders"]["status"] == "loaded"
+    # the page itself references the endpoint and renders table rows
+    _, page = _req(base, "/web")
+    assert "/progress/tables" in page

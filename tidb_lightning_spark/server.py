@@ -170,6 +170,7 @@ async function tick(){
   try{
     const p = await (await fetch('/progress/task')).json();
     const t = await (await fetch('/tasks')).json();
+    const tb = await (await fetch('/progress/tables')).json();
     const pct = p.bytes_total ? (100*p.bytes_done/p.bytes_total) : 0;
     document.getElementById('fill').style.width = pct.toFixed(1)+'%';
     document.getElementById('line').textContent =
@@ -178,9 +179,15 @@ async function tick(){
       `${((p.bytes_total??0)/1048576).toFixed(1)} MiB (${pct.toFixed(0)}%), `+
       `${p.speed_mib_s??0} MiB/s, ETA ${p.eta_s??'-'} s`+
       (p.current ? `, importing ${p.current}` : '');
+    const esc = s => String(s).replace(/[&<>]/g,
+      c => ({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+    const rows = Object.entries(tb).map(([k,v]) =>
+      `<tr><td>${esc(k)}</td><td>${esc(v.status??'-')}</td>`+
+      `<td>${v.rows??'-'}</td></tr>`).join('');
     document.getElementById('tbl').innerHTML =
-      '<tr><th>queue</th></tr>'+
-      `<tr><td>current: ${t.current??'-'} | queued: `+
+      '<tr><th>table</th><th>status</th><th>rows</th></tr>'+
+      (rows || '<tr><td colspan=3>no checkpoints yet</td></tr>')+
+      `<tr><td colspan=3>queue — current: ${t.current??'-'} | queued: `+
       `${(t.queue||[]).join(', ')||'-'}</td></tr>`;
     document.getElementById('err').textContent='';
   }catch(e){document.getElementById('err').textContent='poll failed: '+e;}
@@ -245,6 +252,8 @@ class _Handler(BaseHTTPRequestHandler):
         elif url.path == "/progress/table":
             name = parse_qs(url.query).get("t", [""])[0]
             self._progress_table(name)
+        elif url.path == "/progress/tables":
+            self._progress_tables()
         elif url.path == "/pause":
             flag = self._pause_flag
             self._json(200, {"paused": bool(flag and os.path.exists(flag))})
@@ -286,6 +295,37 @@ class _Handler(BaseHTTPRequestHandler):
             entry = {**entry, "status": names.get(
                 entry["status"], entry["status"])}
         self._json(200, entry)
+
+    def _progress_tables(self) -> None:
+        """All tables' checkpoint status in one call — feeds the per-table
+        rows of the web page (the reference web UI's table list,
+        lightning/web/progress.go)."""
+        t = self.server.target_dir  # type: ignore[attr-defined]
+        if not t:
+            return self._json(200, {})
+        try:
+            from tidb_lightning_spark.checkpoints import (
+                STATUS,
+                open_checkpoint_store,
+            )
+
+            cps = open_checkpoint_store(t, driver="auto").dump()
+        except (OSError, ValueError):
+            return self._json(200, {})
+        tables = cps.get("tables", cps)
+        names = {v: k for k, v in STATUS.items()}
+        out = {}
+        for key, entry in tables.items():
+            if not isinstance(entry, dict):
+                continue
+            st = entry.get("status")
+            out[key.replace("`", "")] = {
+                "status": names.get(st, st) if isinstance(st, int) else st,
+                "rows": (entry.get("staged") or {}).get("rows")
+                if entry.get("staged")
+                else entry.get("rows"),
+            }
+        self._json(200, out)
 
     # ---- POST/PUT/DELETE --------------------------------------------
     def do_POST(self) -> None:  # noqa: N802
