@@ -85,11 +85,20 @@ def main() -> None:
         # verdict applied to queries: an interleaved A/B against the r4
         # commit showed single-shot ingest numbers on this box swing
         # 20-40% (24.7..30.3 MiB/s for the identical code), so a one-shot
-        # headline chased noise two rounds running. The spread is
+        # headline chased noise two rounds running. Single-file and x10
+        # reps INTERLEAVE (x1,x10,x1,x10,...) so slow in-process drift
+        # (GC/JIT/box load) lands on both metrics evenly instead of
+        # depressing whichever scale happens to run last. The spread is
         # reported so a wide band flags an untrustworthy median.
+        runs_by_scale: dict[int, list] = {1: [], 10: []}
+        for _ in range(reps):
+            for scale in (1, 10):
+                runs_by_scale[scale].append(
+                    run_ingest_bench(spark, sf_dir, scale=scale)
+                )
+
         def _ingest_reps(scale: int) -> dict:
-            runs = [run_ingest_bench(spark, sf_dir, scale=scale)
-                    for _ in range(reps)]
+            runs = runs_by_scale[scale]
             mid = sorted(runs, key=lambda r: r["seconds"])[len(runs) // 2]
             return {
                 **mid,
