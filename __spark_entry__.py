@@ -35,6 +35,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     "knn_cosine_ivf",
     "quantiles_by_returnflag_hist",
+    "events_distinct_users_hll",
+    "corpus_pack_sequences",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

@@ -1,0 +1,105 @@
+"""Deterministic HLL distinct sketch + sequence packing.
+
+Both operators' cross-engine bit-parity is covered by
+tests/test_oracle_parity.py once registered; these tests pin the
+SEMANTIC guarantees: HLL accuracy vs exact, and packing invariants
+under a budget small enough to force multi-sequence packing."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.functions import sketch as SK
+from tidb_lightning_spark.plans import queries as Q
+
+from .conftest import SF_CORRECTNESS
+
+
+def test_hll_estimate_within_5pct_of_exact(spark):
+    e = Q.load(spark, SF_CORRECTNESS, "events")
+    got = {
+        r["event_type"]: r
+        for r in SK.hll_distinct(e, "user_id", ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        est = got[k]["est_distinct"]
+        assert abs(est - n) / n <= 0.05, f"{k}: est {est} vs exact {n}"
+
+
+def test_hll_higher_cardinality_key(spark):
+    """event_id is unique per row (~10k at sf0.01) — exercises the HLL
+    estimator beyond the linear-counting regime and against the SQL twin
+    bit-for-bit."""
+    e = Q.load(spark, SF_CORRECTNESS, "events")
+    row = SK.hll_distinct(e, "event_id", []).collect()[0]
+    n = e.select("event_id").distinct().count()
+    assert abs(row["est_distinct"] - n) / n <= 0.11  # ~3 sigma at m=1024
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{SF_CORRECTNESS}/events.parquet'"
+    )
+    sql = SK.sql_hll_distinct("events", "event_id", [])
+    got = con.execute(sql).fetchone()
+    assert got[0] == row["est_distinct"] and got[1] == row["registers_hit"]
+
+
+def test_pack_sequences_invariants(spark):
+    """Small budget (16 tokens) on the fixture corpus: offsets stay
+    inside the budget, sequence ids are the running-total chunks, and
+    per-bucket token accounting is exact."""
+    d = Q.load(spark, SF_CORRECTNESS, "documents").filter(F.col("doc_id") < 200)
+    packed = Q.pack_sequences_df(d, budget_bits=4, n_buckets=8).collect()
+    assert len(packed) == 200
+    budget = 1 << 4
+    by_bucket: dict[int, list] = {}
+    for r in packed:
+        assert 0 <= r["token_offset"] < budget
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert any(
+        max(r["seq_in_bucket"] for r in rows) > 0
+        for rows in by_bucket.values()
+    ), "budget too large to exercise multi-sequence packing"
+    for rows in by_bucket.values():
+        # reconstruct the stream: start positions must be the cumsum
+        rows.sort(key=lambda r: (r["seq_in_bucket"], r["token_offset"]))
+        # the stream position of each doc = seq*budget + offset must be
+        # strictly increasing by exactly n_tokens of the previous doc
+        pos = 0
+        for r in sorted(
+            rows,
+            key=lambda r: (
+                r["seq_in_bucket"] * budget + r["token_offset"],
+                r["n_tokens"],  # a zero-token doc shares its successor's
+            ),  # position; order it first so the accounting stays exact
+        ):
+            assert r["seq_in_bucket"] * budget + r["token_offset"] == pos
+            pos += r["n_tokens"]
+
+
+def test_pack_sequences_matches_sql_twin_small_budget(spark):
+    d = Q.load(spark, SF_CORRECTNESS, "documents").filter(F.col("doc_id") < 120)
+    got = sorted(
+        tuple(r)
+        for r in Q.pack_sequences_df(d, budget_bits=4, n_buckets=8).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_CORRECTNESS}/documents.parquet' WHERE doc_id < 120"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            Q.sql_pack_sequences(budget_bits=4, n_buckets=8)
+        ).fetchall()
+    )
+    assert got == want

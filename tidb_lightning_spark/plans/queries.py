@@ -2991,3 +2991,143 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch surface: deterministic HLL distinct counts + sequence packing
+# ---------------------------------------------------------------------------
+from tidb_lightning_spark.functions import sketch as SK  # noqa: E402
+
+
+def _hll_users_oracle() -> str:
+    inner = SK.sql_hll_distinct("events", "user_id", ["event_type"])
+    return f"""
+    WITH hll AS ({inner}),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT hll.event_type,
+           hll.est_distinct AS est_users,
+           hll.registers_hit,
+           ex.exact_users
+    FROM hll JOIN ex ON ex.event_type = hll.event_type
+    ORDER BY hll.event_type
+    """
+
+
+@register("events_distinct_users_hll", _hll_users_oracle())
+def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the deterministic HLL sketch
+    (functions.sketch), with the exact count alongside as calibration —
+    the minhash_calibration pattern. At 100 TB the exact column is the
+    part you drop: the sketch's shuffle is m=1024 longs per group
+    regardless of row count, while count(DISTINCT) shuffles every
+    distinct key. Oracle-verified INCLUDING the estimates: md5-derived
+    hashing, a comparison-ladder rho, and integer register sums are
+    bit-identical in DuckDB (no engine-private HLL internals)."""
+    e = load(spark, sf_dir, "events")
+    hll = SK.hll_distinct(e, "user_id", ["event_type"]).select(
+        "event_type",
+        F.col("est_distinct").alias("est_users"),
+        "registers_hit",
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return hll.join(exact, "event_type").orderBy("event_type")
+
+
+PACK_BUDGET_BITS = 11  # 2^11 = 2048-token training sequences
+
+
+def pack_sequences_df(
+    d: DataFrame, budget_bits: int = PACK_BUDGET_BITS, n_buckets: int = 64
+) -> DataFrame:
+    """See corpus_pack_sequences; parameterized for tests (a small budget
+    forces multi-sequence packing on tiny fixtures)."""
+    bucket = (
+        TX.hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle-v1"))
+        )
+        % n_buckets
+    )
+    okey = TX.hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":order-v1"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            okey.alias("okey"),
+            TX.bpe_token_count(F.col("text")).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.shiftright(F.col("prev"), budget_bits)
+            .cast("long")
+            .alias("seq_in_bucket"),
+            F.col("prev")
+            .bitwiseAND(F.lit((1 << budget_bits) - 1))
+            .cast("long")
+            .alias("token_offset"),
+            "n_tokens",
+        )
+    )
+
+
+def sql_pack_sequences(
+    budget_bits: int = PACK_BUDGET_BITS, n_buckets: int = 64,
+    table: str = "documents",
+) -> str:
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             {TX.sql_hash60(
+                 "concat(CAST(doc_id AS VARCHAR), ':shuffle-v1')")}
+               % {n_buckets} AS bucket,
+             {TX.sql_hash60(
+                 "concat(CAST(doc_id AS VARCHAR), ':order-v1')")} AS okey,
+             CAST({TX.sql_bpe_token_count('text')} AS BIGINT) AS n_tokens
+      FROM {table}
+    ), c AS (
+      SELECT doc_id, bucket, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY okey, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prev
+      FROM h
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(prev >> {budget_bits} AS BIGINT) AS seq_in_bucket,
+           CAST(prev & {(1 << budget_bits) - 1} AS BIGINT)
+             AS token_offset,
+           n_tokens
+    FROM c
+    """
+
+
+@register("corpus_pack_sequences", sql_pack_sequences())
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the deterministic
+    training-order stream (corpus_shuffle_buckets' salted-hash order)
+    and chunk it at a fixed 2048-token budget — each doc gets
+    (bucket, seq_in_bucket, token_offset), i.e. which packed training
+    sequence it starts in and at what offset; docs straddle boundaries
+    exactly as a pretraining data loader concatenates them.
+
+    Scale shape: one shuffle on the bucket key; each window cumsums only
+    its bucket (corpus/64 rows — raise the bucket count at 100 TB, the
+    classic shuffle-bucket trade). The budget is a power of two so the
+    chunk id/offset are shifts, not divisions, and the running sum is
+    exact integer arithmetic — bit-identical in the SQL twin."""
+    return pack_sequences_df(load(spark, sf_dir, "documents"))
