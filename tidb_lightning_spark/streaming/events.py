@@ -272,3 +272,75 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_distinct_users(stream: DataFrame) -> DataFrame:
+    """Continuous distinct-user counts per event type via the SAME
+    deterministic HLL as the batch sketch (functions.sketch): the state
+    carried across micro-batches is the 1024 register maxima (one byte
+    each), and register max is a commutative monoid — so after draining
+    any partitioning of the input into batches, the state and estimate
+    equal the batch operator's output EXACTLY, not approximately
+    (pinned by tests/test_streaming_sketch.py). Contrast
+    dropDuplicates-based counting, whose state grows with the number of
+    distinct keys; this state is 1 KiB per group forever.
+
+    The per-batch Python work recomputes the same md5-derived hash as
+    functions.text.hash60, so a corpus hashed by the batch engine and a
+    stream drained here agree bit-for-bit.
+    """
+    import hashlib
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from tidb_lightning_spark.functions.sketch import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_P,
+        HLL_W_BITS,
+    )
+
+    out_schema = "event_type string, est_distinct bigint, registers_hit bigint"
+    state_schema = "regs binary"
+
+    def update(key, pdf_iter, state: GroupState):
+        regs = bytearray(state.get[0]) if state.exists else bytearray(HLL_M)
+        for pdf in pdf_iter:
+            for uid in pdf["user_id"]:
+                if uid is None:
+                    continue
+                h = int(
+                    hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16
+                )
+                reg = h & (HLL_M - 1)
+                w = h >> HLL_P
+                rho = (HLL_W_BITS + 1) - w.bit_length()  # 51 for w == 0
+                if rho > regs[reg]:
+                    regs[reg] = rho
+        state.update((bytes(regs),))
+        hit = sum(1 for r in regs if r > 0)
+        si = sum(1 << (HLL_W_BITS + 1 - r) for r in regs if r > 0)
+        s = float(si) / float(1 << (HLL_W_BITS + 1))
+        zeros = float(HLL_M - hit)
+        raw = HLL_ALPHA * float(HLL_M) * float(HLL_M) / (s + zeros)
+        if raw <= 2.5 * HLL_M and zeros > 0:
+            est = float(HLL_M) * math.log(float(HLL_M) / zeros)
+        else:
+            est = raw
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "est_distinct": [int(math.floor(est + 0.5))],
+                "registers_hit": [hit],
+            }
+        )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
