@@ -37,6 +37,7 @@ _DRIVER_PRIORITY = [
     "quantiles_by_returnflag_hist",
     "events_distinct_users_hll",
     "corpus_pack_sequences",
+    "funnel_view_click_purchase",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

@@ -3131,3 +3131,106 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk id/offset are shifts, not divisions, and the running sum is
     exact integer arithmetic — bit-identical in the SQL twin."""
     return pack_sequences_df(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id,
+             s1.t_view,
+             min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                      AND e.ts <= s1.t_view + INTERVAL 1 HOUR
+                 THEN e.ts END) AS t_click
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      GROUP BY e.user_id, s1.t_view
+    ), s3 AS (
+      SELECT e.user_id, s2.t_view, s2.t_click,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                      AND e.ts <= s2.t_click + INTERVAL 24 HOUR
+                 THEN e.ts END) AS t_purchase
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      GROUP BY e.user_id, s2.t_view, s2.t_click
+    )
+    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+           count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click,
+           count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase,
+           CAST(count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS DOUBLE)
+             / count(CASE WHEN t_view IS NOT NULL THEN 1 END)
+             AS view_to_click,
+           CAST(count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS DOUBLE)
+             / count(CASE WHEN t_click IS NOT NULL THEN 1 END)
+             AS click_to_purchase
+    FROM s3
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: first view -> first click AFTER that
+    view (within 1 hour) -> first purchase AFTER that click (within
+    24 hours), per user; one summary row of stage counts and conversion
+    rates. The ordering constraint is
+    what a naive per-type min() gets wrong (a click before the first
+    view must not count).
+
+    Scale shape: three aggregations and two joins, ALL keyed on
+    user_id — the events table shuffles once and every later stage
+    reuses that partitioning (co-partitioned joins; plan keeps a single
+    events Exchange per stage chain). The per-user state is three
+    timestamps, never an event list — contrast collect_list funnels,
+    whose per-user payload grows with activity."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        )
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t_view") + F.expr("INTERVAL 1 HOUR")
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (
+                        F.col("ts")
+                        <= F.col("t_click") + F.expr("INTERVAL 24 HOUR")
+                    ),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    cnt = lambda c: F.count(F.when(F.col(c).isNotNull(), F.lit(1)))  # noqa: E731
+    return s3.agg(
+        cnt("t_view").alias("n_view"),
+        cnt("t_click").alias("n_click"),
+        cnt("t_purchase").alias("n_purchase"),
+        (cnt("t_click").cast("double") / cnt("t_view")).alias(
+            "view_to_click"
+        ),
+        (cnt("t_purchase").cast("double") / cnt("t_click")).alias(
+            "click_to_purchase"
+        ),
+    )
