@@ -166,3 +166,40 @@ def test_hot_paths_are_whole_stage_codegen(spark, name):
     assert m and int(m.group(1)) >= 1, (
         f"{name} fell out of whole-stage codegen (Python/UDF crept in?)"
     )
+
+
+def test_pack_sequences_single_exchange(spark):
+    """corpus_pack_sequences: one shuffle on the bucket key (the window),
+    nothing else — token counting and chunk math are map-side."""
+    plan = plan_of(spark, "corpus_pack_sequences")
+    assert n_exchanges(plan) <= 1, plan
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in schema_line and "source" not in schema_line, (
+        "pack should read only doc_id+text: " + schema_line
+    )
+
+
+def test_hll_shuffles_registers_not_keys(spark):
+    """events_distinct_users_hll: the sketch side aggregates on
+    (event_type, register) — its exchanges carry at most 1024 rows per
+    group, plus the exact-side countDistinct for calibration. Budget: 6
+    exchanges static (register agg 2, exact distinct 2+1, final join 1);
+    AQE broadcast-collapses most at runtime."""
+    plan = plan_of(spark, "events_distinct_users_hll")
+    assert n_exchanges(plan) <= 6, plan
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in schema_line and "value" not in schema_line, (
+        "hll should read only event_type+user_id: " + schema_line
+    )
+
+
+def test_funnel_all_stages_key_on_user(spark):
+    """funnel_view_click_purchase: every join/agg keys on user_id; the
+    final summary is a 1-row agg. No cartesian, no window over the
+    whole table."""
+    plan = plan_of(spark, "funnel_view_click_purchase")
+    assert "CartesianProduct" not in plan
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "props" not in schema_line, (
+        "funnel should read only user_id+event_type+ts: " + schema_line
+    )
