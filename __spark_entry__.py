@@ -38,6 +38,7 @@ _DRIVER_PRIORITY = [
     "events_distinct_users_hll",
     "corpus_pack_sequences",
     "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

@@ -3234,3 +3234,75 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase"
         ),
     )
+
+
+@register(
+    "cohort_weekly_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+    ), joined AS (
+      SELECT a.user_id, c.cohort_wk,
+             CAST(datediff('day', c.cohort_wk, a.wk) / 7 AS BIGINT)
+               AS week_offset
+      FROM act a JOIN cohort c ON c.user_id = a.user_id
+    ), sizes AS (
+      SELECT cohort_wk, count(*) AS cohort_size
+      FROM cohort GROUP BY cohort_wk
+    )
+    SELECT j.cohort_wk, j.week_offset,
+           count(DISTINCT j.user_id) AS n_active,
+           CAST(count(DISTINCT j.user_id) AS DOUBLE) / s.cohort_size
+             AS retention
+    FROM joined j JOIN sizes s ON s.cohort_wk = j.cohort_wk
+    GROUP BY j.cohort_wk, j.week_offset, s.cohort_size
+    ORDER BY j.cohort_wk, j.week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users cohorted by first-activity week;
+    for each (cohort, week offset), the fraction of the cohort active
+    that week.
+
+    Scale shape: activity is reduced to DISTINCT (user, week) FIRST —
+    the largest shuffle carries one row per user-week, not per event —
+    then cohorts (one row per user) join co-partitioned on user_id, and
+    the final rollup groups a table bounded by users x active-weeks.
+    Exact integer counts + one final division, bit-stable."""
+    e = load(spark, sf_dir, "events")
+    act = (
+        e.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = act.join(cohort, "user_id").select(
+        "user_id",
+        "cohort_wk",
+        F.floor(F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.join(sizes, "cohort_wk")
+        .groupBy("cohort_wk", "week_offset", "cohort_size")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "n_active",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
