@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     "corpus_pack_sequences",
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
+    "doc_top_terms_tficf",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

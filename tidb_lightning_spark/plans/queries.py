@@ -3306,3 +3306,78 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+@register(
+    "doc_top_terms_tficf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TX.SQL_TOKENS.format(col='lower(text)')}) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, count(*) AS doc_freq FROM tf GROUP BY tok
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfreq.doc_freq,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n_docs + 1 AS DOUBLE)
+                  / CAST(dfreq.doc_freq + 1 AS DOUBLE)) AS score
+      FROM tf JOIN dfreq ON dfreq.tok = tf.tok, n
+    )
+    SELECT doc_id, tok AS term, tf, doc_freq, round(score, 6) AS score,
+           CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def doc_top_terms_tficf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by TF x inverse
+    collection frequency. The weight is tf * (N+1)/(df+1) — the IDF
+    RATIO, not its log: one exact double division keeps both engines
+    bit-identical (vocab_top_df's trick), where ln() would smuggle in
+    cross-libm ulp variance under the ranking; the per-doc ranking is
+    monotone-equivalent for fixed tf either way.
+
+    Scale shape: text dies at the explode; (doc_id, token) counts are
+    map-side combinable; the doc-frequency join carries (token, df)
+    pairs (AQE broadcasts when the vocabulary is small); the final
+    window partitions by doc_id — each task ranks one doc's terms."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # driver-side scalar from parquet footers — no Spark job
+    n_docs = _footer_num_rows(f"{sf_dir}/documents.parquet")
+    scored = tf.join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        "tf",
+        "doc_freq",
+        (
+            F.col("tf").cast("double")
+            * (
+                F.lit(float(n_docs + 1))
+                / (F.col("doc_freq") + F.lit(1)).cast("double")
+            )
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            "doc_freq",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
