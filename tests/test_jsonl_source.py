@@ -1,0 +1,134 @@
+"""JSONL data files (beyond-reference: the LLM-corpus dump format).
+
+Rows flow through the SAME MySQL-cast chain as CSV — JSON's native
+number parsing must not diverge from the dialect semantics — and a
+missing key reads as SQL NULL (indistinguishable from explicit null
+under a schema'd reader). Covers: DDL-schema'd restore,
+gz compression, no-schema inference from the first object's keys."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from tidb_lightning_spark.config import Config
+from tidb_lightning_spark.pipeline import Restorer
+from tidb_lightning_spark.sources.parquet_source import read_table
+
+
+def write(path, content: bytes | str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    mode = "wb" if isinstance(content, bytes) else "w"
+    with open(path, mode) as f:
+        f.write(content)
+
+
+def _restore(spark, d, target, **kw):
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target,
+        checkpoint_enable=False, **kw,
+    )
+    report = Restorer(spark, cfg).run()
+    assert report.ok, report.tables
+    return report
+
+
+def test_jsonl_restore_with_ddl(spark, tmp_path):
+    d = str(tmp_path / "dump")
+    write(f"{d}/demo-schema-create.sql", "CREATE DATABASE demo;")
+    write(
+        f"{d}/demo.docs-schema.sql",
+        "CREATE TABLE docs (id INT PRIMARY KEY, score DECIMAL(6,2),"
+        " body TEXT, tag VARCHAR(10) DEFAULT 'none');",
+    )
+    rows = [
+        {"id": 1, "score": 3.5, "body": "hello world", "tag": "a"},
+        {"id": 2, "score": 400.25, "body": "unicode ok é"},  # tag absent
+        # NOTE: a missing key reads as SQL NULL (a schema'd JSON reader
+        # cannot distinguish absent from explicit null) — nullable
+        # columns keep NULL rather than taking their DEFAULT
+        {"id": 3, "score": None, "body": None, "tag": "c"},
+    ]
+    write(
+        f"{d}/demo.docs.jsonl",
+        "".join(json.dumps(r) + "\n" for r in rows),
+    )
+    target = str(tmp_path / "wh")
+    _restore(spark, d, target)
+    got = {
+        r["id"]: (str(r["score"]), r["body"], r["tag"])
+        for r in read_table(spark, f"{target}/demo/docs").collect()
+    }
+    assert got[1] == ("3.50", "hello world", "a")
+    assert got[2] == ("400.25", "unicode ok é", None)
+    assert got[3] == ("None", None, "c")
+
+
+def test_jsonl_gz_and_multiple_files(spark, tmp_path):
+    d = str(tmp_path / "dump")
+    write(f"{d}/demo-schema-create.sql", "CREATE DATABASE demo;")
+    write(
+        f"{d}/demo.t-schema.sql",
+        "CREATE TABLE t (id INT PRIMARY KEY, v INT);",
+    )
+    write(
+        f"{d}/demo.t.000.jsonl",
+        "".join(json.dumps({"id": i, "v": i * 10}) + "\n" for i in range(5)),
+    )
+    write(
+        f"{d}/demo.t.001.jsonl.gz",
+        gzip.compress(
+            "".join(
+                json.dumps({"id": i, "v": i * 10}) + "\n" for i in range(5, 9)
+            ).encode()
+        ),
+    )
+    target = str(tmp_path / "wh")
+    rep = _restore(spark, d, target)
+    out = read_table(spark, f"{target}/demo/t")
+    assert out.count() == 9
+    assert sorted(
+        (r["id"], r["v"]) for r in out.collect()
+    ) == [(i, i * 10) for i in range(9)]
+    assert rep.tables[0].rows == 9
+
+
+def test_jsonl_no_schema_infers_from_first_object(spark, tmp_path):
+    d = str(tmp_path / "dump")
+    write(
+        f"{d}/raw.corpus.jsonl",
+        "".join(
+            json.dumps({"doc_id": str(i), "text": f"doc {i}"}) + "\n"
+            for i in range(4)
+        ),
+    )
+    target = str(tmp_path / "wh")
+    _restore(spark, d, target, no_schema=True)
+    out = read_table(spark, f"{target}/raw/corpus")
+    # no int PK -> the _tidb_rowid handle rides along (hidden-handle rule)
+    assert {"doc_id", "text"}.issubset(set(out.columns))
+    assert out.count() == 4
+
+
+def test_jsonl_cast_clamps_like_csv(spark, tmp_path):
+    """The MySQL-semantics cast chain applies to JSON-native numbers:
+    TINYINT clamps at 127 instead of wrapping or erroring."""
+    d = str(tmp_path / "dump")
+    write(f"{d}/demo-schema-create.sql", "CREATE DATABASE demo;")
+    write(
+        f"{d}/demo.t-schema.sql",
+        "CREATE TABLE t (id INT PRIMARY KEY, small TINYINT);",
+    )
+    write(
+        f"{d}/demo.t.jsonl",
+        json.dumps({"id": 1, "small": 9999}) + "\n"
+        + json.dumps({"id": 2, "small": -9999}) + "\n",
+    )
+    target = str(tmp_path / "wh")
+    _restore(spark, d, target)
+    got = {
+        r["id"]: r["small"]
+        for r in read_table(spark, f"{target}/demo/t").collect()
+    }
+    assert got == {1: 127, 2: -128}

@@ -1269,14 +1269,24 @@ class Restorer:
         from tidb_lightning_spark.schema.ddl import ColumnInfo
         from tidb_lightning_spark.schema.types import MySQLType
 
-        header = (
-            csv_source.read_header(first.path, self.cfg.csv, self.spark)
-            if first.type == "csv" and self.cfg.csv.header
-            else None
-        )
+        if first.type == "jsonl":
+            # first object's keys, in document order (driver-side bounded
+            # peek through the same stream adapter as CSV headers)
+            import json as _json
+
+            with csv_source._decompress_open(first.path, self.spark) as f:
+                line = f.read(1 << 20).decode("utf-8", errors="replace")
+            line = line.split("\n", 1)[0].strip()
+            header = list(_json.loads(line).keys()) if line else None
+        else:
+            header = (
+                csv_source.read_header(first.path, self.cfg.csv, self.spark)
+                if first.type == "csv" and self.cfg.csv.header
+                else None
+            )
         if header is None:
             raise IngestError(
-                f"no-schema requires a CSV header or parquet for "
+                f"no-schema requires a CSV header, JSONL or parquet for "
                 f"`{tbl.db}`.`{tbl.name}`"
             )
         info = TableInfo(db=tbl.db, name=tbl.name)
@@ -1310,6 +1320,56 @@ class Restorer:
         csv_files = [f for f in data_files if f.type == "csv"]
         sql_files = [f for f in data_files if f.type == "sql"]
         parquet_files = [f for f in data_files if f.type == "parquet"]
+        jsonl_files = [f for f in data_files if f.type == "jsonl"]
+
+        if jsonl_files:
+            # JSONL (beyond-reference: the LLM-corpus dump format). Every
+            # DDL column is read AS STRING so rows flow through the same
+            # MySQL-cast chain as CSV — JSON's own number parsing must
+            # not diverge from the dialect semantics (clamping, zero
+            # dates, enum ordinals). A missing key surfaces as SQL NULL
+            # (a schema'd reader cannot distinguish absent from explicit
+            # null, so nullable columns keep NULL rather than taking
+            # DEFAULT); unknown fields are ignored by the explicit
+            # schema. Spark's json reader splits files and decompresses
+            # gz natively, same scan properties as the CSV source.
+            import pyspark.sql.types as T
+
+            schema = T.StructType(
+                [T.StructField(c.name, T.StringType()) for c in info.columns]
+            )
+            df = (
+                self.spark.read.schema(schema)
+                .option("mode", "PERMISSIVE")
+                .json([f.path for f in jsonl_files])
+                # the transform chain's positional contract (_c{i} ->
+                # schema column i); the json reader already matched by
+                # name, so this is a straight rename in DDL order
+                .select(
+                    *[
+                        F.col(c.name).alias(f"_c{i}")
+                        for i, c in enumerate(info.columns)
+                    ]
+                )
+            )
+            group_bytes = 0
+            for f in jsonl_files:
+                if os.path.exists(f.path):
+                    group_bytes += sqldump_source.decompressed_size(f.path)
+                else:
+                    group_bytes += f.file_size
+            parts.append(
+                transform_table(
+                    df,
+                    info,
+                    None,
+                    self.pinned_ts,
+                    strict=self.cfg.strict_sql_mode,
+                    rowid_base=rowid_base,
+                    keep_rowid=keep_rowid,
+                )
+            )
+            rowid_base += group_bytes // max(1, len(info.columns)) + 1
 
         if csv_files:
             for header, paths in csv_source.group_files_by_header(

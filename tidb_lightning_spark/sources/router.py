@@ -8,7 +8,8 @@ Re-expresses the reference's regex router (lightning/mydump/router.go:110-344):
     pattern's capture groups: ``$1``, ``${name}``, ``$$`` for a literal $;
   * the default Mydumper rules recognize
     ``{db}-schema-create.sql``, ``{db}.{tbl}-schema.sql``,
-    ``{db}.{tbl}-schema-view.sql``, ``{db}.{tbl}[.{key}].{sql|csv|parquet}``
+    ``{db}.{tbl}-schema-view.sql``, ``{db}.{tbl}[.{key}].{sql|csv|parquet|jsonl}`` (jsonl is a
+    beyond-reference addition: the LLM-corpus dump format)
     and ignore trigger/post schema files.
 
 Departure from the reference: compressed data files (.gz/.zst/...) are
@@ -29,6 +30,7 @@ FILE_TYPES = {
     "sql",
     "csv",
     "parquet",
+    "jsonl",
     "ignore",
 }
 
@@ -60,7 +62,7 @@ DEFAULT_FILE_RULES: list[dict] = [
         "type": "view-schema",
     },
     {
-        "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)\.(.*?)(?:\.([0-9]+))?\.(sql|csv|parquet)(?:\.(\w+))?$",
+        "pattern": r"(?i)^(?:[^/]*/)*([^/.]+)\.(.*?)(?:\.([0-9]+))?\.(sql|csv|parquet|jsonl)(?:\.(\w+))?$",
         "schema": "$1",
         "table": "$2",
         "type": "$4",
