@@ -78,6 +78,18 @@ def main(argv: list[str] | None = None) -> int:
              "(reference full-compaction analog; e.g. after many "
              "engine-granular commits)",
     )
+    ctl.add_argument(
+        "--zorder", metavar="DB.TBL",
+        help="re-cluster a table on a Z-order (Morton) curve over "
+             "--zorder-by columns: every output file covers a small "
+             "hyper-rectangle of the value space, so parquet min/max "
+             "prunes scans filtering on ANY clustered column "
+             "(beyond-reference lakehouse feature)",
+    )
+    ctl.add_argument(
+        "--zorder-by", metavar="COL[,COL...]",
+        help="columns for --zorder (2-4 numeric/date columns typical)",
+    )
 
     srv = sub.add_parser(
         "serve",
@@ -608,6 +620,49 @@ def _ctl(args) -> int:
         if meta:
             sink.write_meta(db, tbl, meta)
         print(f"compacted `{db}`.`{tbl}`: {before} -> {commit.n_files} files")
+        return 0
+    if args.zorder:
+        import json as _json
+
+        from tidb_lightning_spark.session import get_spark
+        from tidb_lightning_spark.sinks.files_sink import (
+            FilesSink,
+            write_zordered,
+        )
+
+        if not args.zorder_by:
+            print("error: --zorder requires --zorder-by COL[,COL...]",
+                  file=sys.stderr)
+            return 1
+        db, _, tbl = args.zorder.partition(".")
+        path = os.path.join(args.target, db, tbl)
+        if not os.path.isdir(path):
+            print(f"error: no table dir {path}", file=sys.stderr)
+            return 1
+        cols = [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+        meta_path = os.path.join(path, "_tls_meta.json")
+        meta = _json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+        spark = get_spark(app_name="tls-zorder")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = spark.read.parquet(path)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            print(f"error: columns not in table: {missing}", file=sys.stderr)
+            return 1
+        sink = FilesSink(args.target)
+        commit = write_zordered(sink, df, db, tbl, cols, source_bytes=size)
+        if meta:
+            meta["zorder_by"] = cols
+            sink.write_meta(db, tbl, meta)
+        print(
+            f"z-ordered `{db}`.`{tbl}` on ({', '.join(cols)}): "
+            f"{commit.n_files} files"
+        )
         return 0
     if args.pause or args.resume:
         flag = os.path.join(args.target, "_tls_pause")

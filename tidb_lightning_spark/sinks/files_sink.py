@@ -382,3 +382,83 @@ class FilesSink:
             f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
         )
         return name
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (beyond-reference lakehouse feature)
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 8  # 256 quantile buckets per dimension
+
+
+def zorder_value(df: DataFrame, columns: list[str], bits: int = ZORDER_BITS):
+    """A Column interleaving `bits` quantile-bucket bits per dimension —
+    the Morton (Z-order) curve over the columns' RANK space, so range
+    partitioning on it co-locates rows that are close in EVERY dimension
+    at once. Sorting on a leading column gives perfect min/max pruning on
+    that column and none on the others; Z-ordering trades a little of the
+    first column's locality for pruning on all of them (the Delta/Iceberg
+    OPTIMIZE ZORDER idea, built from plain Catalyst expressions).
+
+    Buckets come from per-column approxQuantile boundaries (one driver
+    call, GK sketch — no extra shuffle); the bucket index is a
+    fold over the boundary-array literal, JVM-side, O(2^bits) comparisons
+    per row inside codegen. NULLs bucket to 0 (first region).
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    z = F.lit(0).cast("long")
+    k = len(columns)
+    for ci, col in enumerate(columns):
+        bounds = df.approxQuantile(col, qs, 0.001)
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            F.filter(
+                arr, lambda b: b <= F.coalesce(
+                    F.col(col).cast("double"), F.lit(float("-inf"))
+                )
+            ),
+            F.lit(0),
+            lambda acc, _: acc + 1,
+        )
+        for bi in range(bits):
+            bit = F.shiftright(bucket, bi).bitwiseAND(F.lit(1)).cast("long")
+            z = z + F.shiftleft(bit, bi * k + ci)
+    return z
+
+
+def write_zordered(
+    sink: FilesSink,
+    df: DataFrame,
+    db: str,
+    table: str,
+    zorder_columns: list[str],
+    source_bytes: int,
+    bits: int = ZORDER_BITS,
+):
+    """Write `df` as a Z-order-clustered table: range-partition + sort on
+    the interleaved curve value, one file per ~96 MiB region. Every file
+    then covers a small hyper-rectangle of the z-columns' value space, so
+    parquet footer min/max prunes scans filtering on ANY of them — the
+    multi-dimensional analog of the PK-sorted layout's single-key
+    pruning. The curve column is dropped before writing; layout only."""
+    from pyspark.sql import functions as F
+
+    z = zorder_value(df, zorder_columns, bits=bits)
+    tagged = df.withColumn("_zv", z)
+    n = max(
+        1, (source_bytes + TARGET_FILE_BYTES - 1) // TARGET_FILE_BYTES
+    )
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    n = max(n, min(cores, max(1, source_bytes // (2 * 1024 * 1024))))
+    out = (
+        tagged.repartitionByRange(n, F.col("_zv"))
+        .sortWithinPartitions("_zv")
+        .drop("_zv")
+    )
+    # write through the staged-commit path with no extra sort
+    return sink.write_table(
+        out, db, table, sort_columns=None, source_bytes=source_bytes
+    )
