@@ -40,6 +40,7 @@ _DRIVER_PRIORITY = [
     "funnel_view_click_purchase",
     "cohort_weekly_retention",
     "doc_top_terms_tficf",
+    "dedup_incremental_vs_reference",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

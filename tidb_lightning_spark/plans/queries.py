@@ -3381,3 +3381,101 @@ def doc_top_terms_tficf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def _incremental_dedup_oracle() -> str:
+    pairs = D.sql_lsh_candidate_pairs("documents", "doc_id", "text")
+    return f"""
+    WITH pairs AS ({pairs}),
+    cross_half AS (
+      SELECT CASE WHEN a >= 250 THEN a ELSE b END AS new_id,
+             est_jaccard
+      FROM pairs
+      WHERE (a < 250) <> (b < 250)
+    ), verdicts AS (
+      SELECT new_id, max(est_jaccard) AS max_sim_vs_ref
+      FROM cross_half GROUP BY new_id
+    )
+    SELECT d.doc_id, coalesce(v.max_sim_vs_ref, 0.0) AS max_sim_vs_ref,
+           coalesce(v.max_sim_vs_ref, 0.0) >= 0.5 AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+    LEFT JOIN verdicts v ON v.new_id = d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("dedup_incremental_vs_reference", _incremental_dedup_oracle())
+def dedup_incremental_vs_reference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental corpus hygiene: flag NEW documents (doc_id >= 250 in
+    the fixture split) that near-duplicate the REFERENCE half — the
+    check an ingestion pipeline runs before admitting a fresh crawl into
+    an existing training corpus.
+
+    Scale shape: both halves compute signatures once; the candidate join
+    is new-bands x ref-bands on the (band_idx, band_hash) key — the
+    historical corpus is represented by its band table (a few longs per
+    doc, precomputable and reusable across crawls), never its text.
+    Signature columns join back only for candidate pairs. The estimate
+    is the banded-LSH Jaccard, same constants as the dedup family."""
+    d = load(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") < 250)
+    new = d.filter(F.col("doc_id") >= 250)
+    sig_ref = D.cache_acquire(D.minhash_wide_df(ref, "doc_id", "text"))
+    sig_new = D.cache_acquire(D.minhash_wide_df(new, "doc_id", "text"))
+    bands_ref = D.band_hashes_df(sig_ref, "doc_id").select(
+        F.col("doc_id").alias("_ref"), "band_idx", "band_hash"
+    )
+    bands_new = D.band_hashes_df(sig_new, "doc_id").select(
+        F.col("doc_id").alias("_new"), "band_idx", "band_hash"
+    )
+    cand = (
+        bands_new.join(bands_ref, ["band_idx", "band_hash"])
+        .select("_new", "_ref")
+        .distinct()
+    )
+    wa = sig_new.select(
+        F.col("doc_id").alias("_new"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(D.N_MINHASH)],
+    )
+    wb = sig_ref.select(
+        F.col("doc_id").alias("_ref"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(D.N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(D.N_MINHASH)
+    )
+    verdicts = (
+        cand.join(wa, "_new")
+        .join(wb, "_ref")
+        .select(
+            "_new",
+            (matches.cast("double") / F.lit(float(D.N_MINHASH))).alias(
+                "est"
+            ),
+        )
+        .groupBy("_new")
+        .agg(F.max("est").alias("max_sim_vs_ref"))
+    )
+    out = (
+        new.select("doc_id")
+        .join(verdicts, F.col("doc_id") == F.col("_new"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("max_sim_vs_ref"), F.lit(0.0)).alias(
+                "max_sim_vs_ref"
+            ),
+            (
+                F.coalesce(F.col("max_sim_vs_ref"), F.lit(0.0)) >= 0.5
+            ).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+    # tie the signature caches to the returned plan's lifetime (the
+    # _unpersist_on_gc ownership-transfer pattern), then drop our refs
+    out = D._unpersist_on_gc(out, sig_ref, sig_new)
+    D.cache_release(sig_ref)
+    D.cache_release(sig_new)
+    return out
