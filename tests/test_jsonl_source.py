@@ -132,3 +132,35 @@ def test_jsonl_cast_clamps_like_csv(spark, tmp_path):
         for r in read_table(spark, f"{target}/demo/t").collect()
     }
     assert got == {1: 127, 2: -128}
+
+
+def test_jsonl_continuous_restore_incremental(spark, tmp_path):
+    """`cli stream` drains newly-arrived JSONL files incrementally: the
+    second drain ingests only the file that appeared after the first."""
+    import json as _json
+
+    from tidb_lightning_spark import cli
+
+    d = str(tmp_path / "dump")
+    write(f"{d}/demo-schema-create.sql", "CREATE DATABASE demo;")
+    write(
+        f"{d}/demo.ev-schema.sql",
+        "CREATE TABLE ev (id INT PRIMARY KEY, v INT);",
+    )
+    write(
+        f"{d}/demo.ev.000.jsonl",
+        "".join(json.dumps({"id": i, "v": i}) + "\n" for i in range(3)),
+    )
+    target = str(tmp_path / "wh")
+    assert cli.main(["stream", "--source", d, "--target", target]) == 0
+    t = read_table(spark, f"{target}/demo/ev")
+    assert t.count() == 3
+    # a new file arrives; re-drain picks up ONLY the delta
+    write(
+        f"{d}/demo.ev.001.jsonl",
+        "".join(json.dumps({"id": i, "v": i}) + "\n" for i in range(3, 8)),
+    )
+    assert cli.main(["stream", "--source", d, "--target", target]) == 0
+    t = read_table(spark, f"{target}/demo/ev")
+    assert t.count() == 8
+    assert sorted(r["id"] for r in t.collect()) == list(range(8))

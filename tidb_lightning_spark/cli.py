@@ -289,7 +289,10 @@ def _stream(args) -> int:
     drained, skipped = [], []
     for tbl in result.sorted_tables():
         csv_files = [f for f in tbl.data_files if f.type == "csv"]
-        if not csv_files or tbl.view_schema_file:
+        jsonl_files = [f for f in tbl.data_files if f.type == "jsonl"]
+        fmt = "jsonl" if (jsonl_files and not csv_files) else "csv"
+        data_files = jsonl_files if fmt == "jsonl" else csv_files
+        if not data_files or tbl.view_schema_file:
             continue
         name = f"{tbl.db}.{tbl.name}"
         if tbl.schema_file is None:
@@ -299,12 +302,19 @@ def _stream(args) -> int:
             )
             skipped.append(name)
             continue
-        # `db.tbl.csv` or `db.tbl.<idx>.csv`, optionally gz — exact-dotted
-        # so `s.ev` never swallows `s.ev2`'s files
-        pats = [f"{name}.csv", f"{name}.csv.gz",
-                f"{name}.*.csv", f"{name}.*.csv.gz"]
+        if csv_files and jsonl_files:
+            logging.warning(
+                "stream: skipping %s — mixed csv+jsonl data files (one "
+                "stream source reads one format); use `run`", name,
+            )
+            skipped.append(name)
+            continue
+        # `db.tbl.<fmt>` or `db.tbl.<idx>.<fmt>`, optionally gz —
+        # exact-dotted so `s.ev` never swallows `s.ev2`'s files
+        pats = [f"{name}.{fmt}", f"{name}.{fmt}.gz",
+                f"{name}.*.{fmt}", f"{name}.*.{fmt}.gz"]
         unmatched = [
-            f.path for f in csv_files
+            f.path for f in data_files
             if not any(
                 fnmatch.fnmatch(os.path.basename(f.path), p) for p in pats
             )
@@ -320,7 +330,7 @@ def _stream(args) -> int:
         with open(tbl.schema_file) as f:
             info = parse_create_table(f.read())
         file_columns = None
-        if cfg.csv.header:
+        if fmt == "csv" and cfg.csv.header:
             header, _ = next(
                 iter(
                     csv_source.group_files_by_header(
@@ -330,7 +340,8 @@ def _stream(args) -> int:
             )
             file_columns = list(header) if header else None
         glob = os.path.join(
-            cfg.source_dir, f"{name}{{.csv,.csv.gz,.*.csv,.*.csv.gz}}"
+            cfg.source_dir,
+            f"{name}{{.{fmt},.{fmt}.gz,.*.{fmt},.*.{fmt}.gz}}",
         )
         stream_restore(
             spark,
@@ -341,6 +352,7 @@ def _stream(args) -> int:
             csv=cfg.csv,
             file_columns=file_columns,
             strict=cfg.strict_sql_mode,
+            fmt=fmt,
         )
         drained.append(name)
     print(json.dumps(

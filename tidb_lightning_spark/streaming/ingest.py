@@ -99,6 +99,31 @@ def read_csv_stream(
     return reader.csv(source_glob)
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    source_glob: str,
+    info: TableInfo,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream JSONL source (same contract as the batch jsonl branch:
+    all-string DDL schema -> MySQL cast chain; missing key == SQL NULL),
+    renamed to the transform chain's positional _c{i} convention."""
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [T.StructField(c.name, T.StringType(), True) for c in info.columns]
+    )
+    reader = spark.readStream.schema(schema).option("mode", "PERMISSIVE")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(source_glob).select(
+        *[
+            F.col(c.name).alias(f"_c{i}")
+            for i, c in enumerate(info.columns)
+        ]
+    )
+
+
 def stream_restore(
     spark: SparkSession,
     source_glob: str,
@@ -111,22 +136,30 @@ def stream_restore(
     strict: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    fmt: str = "csv",
 ):
     """Incrementally restore new data files matching `source_glob` into
     `table_dir`. Each call drains everything currently available
     (trigger availableNow) and returns; re-running with the same
     `checkpoint_dir` ingests only files that arrived since — the
     continuous-restore loop. Set available_now=False for an always-on
-    query (caller manages the handle)."""
+    query (caller manages the handle). fmt: "csv" or "jsonl"."""
     from tidb_lightning_spark.operators.transform import (
         ERR_COL,
         transform_table,
     )
 
-    stream = read_csv_stream(
-        spark, source_glob, info, csv=csv, file_columns=file_columns,
-        max_files_per_trigger=max_files_per_trigger,
-    )
+    if fmt == "jsonl":
+        stream = read_jsonl_stream(
+            spark, source_glob, info,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        file_columns = None  # positional rename already applied
+    else:
+        stream = read_csv_stream(
+            spark, source_glob, info, csv=csv, file_columns=file_columns,
+            max_files_per_trigger=max_files_per_trigger,
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # exact disjoint range per batch; the count pass is the same one
