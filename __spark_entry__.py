@@ -41,6 +41,7 @@ _DRIVER_PRIORITY = [
     "cohort_weekly_retention",
     "doc_top_terms_tficf",
     "dedup_incremental_vs_reference",
+    "near_dup_simhash_pairs",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

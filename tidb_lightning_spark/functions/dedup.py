@@ -589,3 +589,58 @@ def sql_jaccard_tokens(a: str, b: str) -> str:
     inter = f"len(list_intersect({ta}, {tb}))"
     union = f"(len({ta}) + len({tb}) - {inter})"
     return f"(CAST({inter} AS DOUBLE) / CAST(greatest({union}, 1) AS DOUBLE))"
+
+
+SIMHASH60_BITS = 60  # full width of hash60; 4 x 15-bit pigeonhole segments
+
+
+def simhash60_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 60-bit term-frequency-weighted fingerprint.
+
+    The 16-bit simhash_df is a compact per-doc signature for grouping;
+    at 60 bits the Hamming ball is selective enough to make PAIR mining
+    meaningful (16 bits over a 500-doc corpus already puts ~everything
+    within distance 3 of something). Same shape: explode tokens, one
+    hash per token, per-bit signed sums (map-side combinable, 60
+    longs/doc shuffled), sign -> packed bigint."""
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", hash60(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{i}")
+        for i in range(SIMHASH60_BITS)
+    ]
+    per_bit = tok.groupBy(id_col).agg(*aggs)
+    packed = None
+    for i in range(SIMHASH60_BITS):
+        bit = F.when(
+            F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        packed = bit if packed is None else packed + bit
+    return per_bit.select(
+        F.col(id_col), packed.cast("bigint").alias("simhash")
+    )
+
+
+def sql_simhash60(table: str, id_col: str, text_col: str) -> str:
+    toks = (
+        f"SELECT {id_col}, unnest(list_filter("
+        f"string_split_regex({text_col}, '{TOKEN_WS}'), x -> x != '')) AS tok "
+        f"FROM {table}"
+    )
+    h = sql_hash60("tok")
+    sums = ", ".join(
+        f"sum(((({h}) >> {i}) & 1) * 2 - 1) AS s{i}"
+        for i in range(SIMHASH60_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH60_BITS)
+    )
+    return (
+        f"SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash FROM "
+        f"(SELECT {id_col}, {sums} FROM ({toks}) GROUP BY {id_col})"
+    )

@@ -3479,3 +3479,85 @@ def dedup_incremental_vs_reference(
     D.cache_release(sig_ref)
     D.cache_release(sig_new)
     return out
+
+
+def _simhash_pairs_oracle() -> str:
+    sh = D.sql_simhash60("documents", "doc_id", "text")
+    segs = " UNION ALL ".join(
+        f"SELECT doc_id, {s} AS seg_idx,"
+        f" (simhash >> {s * 15}) & {(1 << 15) - 1} AS seg_val FROM sh"
+        for s in range(4)
+    )
+    return f"""
+    WITH sh AS ({sh}),
+    seg AS ({segs}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM seg a JOIN seg b
+        ON a.seg_idx = b.seg_idx AND a.seg_val = b.seg_val
+           AND a.doc_id < b.doc_id
+    )
+    SELECT cand.a, cand.b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand
+      JOIN sh sa ON sa.doc_id = cand.a
+      JOIN sh sb ON sb.doc_id = cand.b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    ORDER BY a, b
+    """
+
+
+@register("near_dup_simhash_pairs", _simhash_pairs_oracle())
+def near_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at scale: the pigeonhole segment join. Any
+    pair within hamming distance 3 of the 60-bit fingerprint differs in
+    at most 3 of its 4 15-bit segments, so it MUST agree on at least
+    one — the candidate join keys on (segment index, segment value) and
+    only candidates pay the exact bit_count re-rank. No all-pairs
+    comparison anywhere: the shuffle carries (doc_id, 2 small ints)
+    segment rows, and the fingerprint table joins back by id. The same
+    banding idea as MinHash-LSH, specialized to Hamming space. (The
+    16-bit simhash_documents fingerprint is for per-doc grouping; at 60
+    bits the distance-3 ball is selective enough for pair mining.)"""
+    d = load(spark, sf_dir, "documents")
+    sh = D.cache_acquire(D.simhash60_df(d, "doc_id", "text"))
+    segs = None
+    for s in range(4):
+        part = sh.select(
+            "doc_id",
+            F.lit(s).alias("seg_idx"),
+            F.shiftright(F.col("simhash"), s * 15)
+            .bitwiseAND(F.lit((1 << 15) - 1))
+            .alias("seg_val"),
+        )
+        segs = part if segs is None else segs.unionByName(part)
+    a = segs.select(
+        F.col("doc_id").alias("a"), "seg_idx", "seg_val"
+    )
+    b = segs.select(
+        F.col("doc_id").alias("b"), "seg_idx", "seg_val"
+    )
+    cand = (
+        a.join(b, ["seg_idx", "seg_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("_ha"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("_hb"))
+    out = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("_ha").bitwiseXOR(F.col("_hb"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
+    out = D._unpersist_on_gc(out, sh)
+    D.cache_release(sh)
+    return out
