@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     "doc_top_terms_tficf",
     "dedup_incremental_vs_reference",
     "near_dup_simhash_pairs",
+    "corpus_temperature_sample",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

@@ -659,14 +659,17 @@ def _ctl(args) -> int:
             for r, _, fs in os.walk(path)
             for f in fs
         )
+        fmt = "orc" if any(
+            f.endswith(".orc") for f in os.listdir(path)
+        ) else "parquet"
         spark = get_spark(app_name="tls-zorder")
         spark.sparkContext.setLogLevel("ERROR")
-        df = spark.read.parquet(path)
+        df = spark.read.format(fmt).load(path)
         missing = [c for c in cols if c not in df.columns]
         if missing:
             print(f"error: columns not in table: {missing}", file=sys.stderr)
             return 1
-        sink = FilesSink(args.target)
+        sink = FilesSink(args.target, fmt=fmt)
         commit = write_zordered(sink, df, db, tbl, cols, source_bytes=size)
         if meta:
             meta["zorder_by"] = cols

@@ -3561,3 +3561,81 @@ def near_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D._unpersist_on_gc(out, sh)
     D.cache_release(sh)
     return out
+
+
+TEMP_T = 0.7  # mixing temperature (UL2/Pile-style source rebalancing)
+
+
+@register(
+    "corpus_temperature_sample",
+    f"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), mx AS (SELECT max(n_docs) AS n_max FROM per),
+    rates AS (
+      SELECT source, n_docs,
+             pow(CAST(n_docs AS DOUBLE) / CAST(n_max AS DOUBLE),
+                 CAST({TEMP_T!r} AS DOUBLE) - 1.0) AS rate
+      FROM per, mx
+    ), kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN rates r ON r.source = d.source
+      WHERE CAST({TX.sql_hash60(
+          "concat(CAST(doc_id AS VARCHAR), ':tsample-v1')")} AS DOUBLE)
+            < r.rate * 1152921504606846976.0
+      GROUP BY d.source
+    )
+    SELECT rates.source, CAST(rates.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+           round(rates.rate, 6) AS rate
+    FROM rates LEFT JOIN kept ON kept.source = rates.source
+    ORDER BY rates.source
+    """,
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-T source rebalancing (the Pile/UL2 mixing rule): each
+    source's keep-rate is (n_s / n_max)^(T-1), so the post-sample share
+    is proportional to n_s^T — large sources are damped, small ones kept
+    whole, with T=1 a no-op and T=0 uniform-by-source. The keep decision
+    is salted-hash thresholding per doc (hash < rate * 2^60) — fully
+    deterministic, resume/replay-stable, no RNG state, the same
+    mechanism as domain_quota_sample.
+
+    Scale shape: one tiny per-source count agg, rates broadcast back,
+    one filtered scan; per-doc work is a hash compare. Returns the
+    per-source audit (n_docs, n_kept, rate); the kept doc subset is the
+    same WHERE clause applied at pipeline time."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_max = per.agg(F.max("n_docs")).collect()[0][0]
+    rates = per.select(
+        "source",
+        "n_docs",
+        F.pow(
+            F.col("n_docs").cast("double") / F.lit(float(n_max)),
+            F.lit(TEMP_T) - F.lit(1.0),
+        ).alias("rate"),
+    )
+    h = TX.hash60(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":tsample-v1"))
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .filter(
+            h.cast("double") < F.col("rate") * F.lit(float(1 << 60))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias(
+                "n_kept"
+            ),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
