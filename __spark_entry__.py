@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "dedup_incremental_vs_reference",
     "near_dup_simhash_pairs",
     "corpus_temperature_sample",
+    "split_leakage_neardup",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

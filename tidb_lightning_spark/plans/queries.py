@@ -3639,3 +3639,76 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _split_leakage_oracle() -> str:
+    pairs = D.sql_lsh_candidate_pairs("documents", "doc_id", "text")
+    split = (
+        "CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    bucket = TX.sql_hash60(
+        "concat(CAST(doc_id AS VARCHAR), ':split-v1')"
+    )
+    return f"""
+    WITH pairs AS ({pairs}),
+    sp AS (
+      SELECT doc_id, {split} AS split
+      FROM (SELECT doc_id, {bucket} % 100 AS bucket FROM documents)
+    ), leaks AS (
+      SELECT sa.split AS split_a, sb.split AS split_b,
+             count(*) AS n_pairs,
+             round(max(p.est_jaccard), 6) AS worst_est_jaccard
+      FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.a
+        JOIN sp sb ON sb.doc_id = p.b
+      WHERE p.est_jaccard >= 0.5 AND sa.split <> sb.split
+      GROUP BY sa.split, sb.split
+    )
+    SELECT * FROM leaks ORDER BY split_a, split_b
+    """
+
+
+@register("split_leakage_neardup", _split_leakage_oracle())
+def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware split-leakage audit: counts LSH near-duplicate
+    pairs (est Jaccard >= 0.5) whose members landed in DIFFERENT
+    train/val/test splits — exact-fingerprint decontamination
+    (split_contamination) misses paraphrased/templated copies, and a
+    near-dup of a test doc sitting in train is silent eval leakage.
+
+    Scale shape: the candidate pairs come from the banded LSH join
+    (signatures shuffle, text doesn't); the split label is the map-only
+    salted hash; the audit joins (a, b, est) pairs to two tiny label
+    columns. The fix for flagged pairs is canonical: move BOTH members
+    to the canonical copy's split or drop the dup (dedup_keep_best)."""
+    d = load(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(d, "doc_id", "text").filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    bucket = (
+        TX.hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":split-v1"))
+        )
+        % 100
+    )
+    sp = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("est_jaccard"), 6).alias("worst_est_jaccard"),
+        )
+        .orderBy("split_a", "split_b")
+    )
