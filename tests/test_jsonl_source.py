@@ -137,8 +137,6 @@ def test_jsonl_cast_clamps_like_csv(spark, tmp_path):
 def test_jsonl_continuous_restore_incremental(spark, tmp_path):
     """`cli stream` drains newly-arrived JSONL files incrementally: the
     second drain ingests only the file that appeared after the first."""
-    import json as _json
-
     from tidb_lightning_spark import cli
 
     d = str(tmp_path / "dump")

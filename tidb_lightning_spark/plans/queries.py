@@ -3130,7 +3130,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic shuffle-bucket trade). The budget is a power of two so the
     chunk id/offset are shifts, not divisions, and the running sum is
     exact integer arithmetic — bit-identical in the SQL twin."""
-    return pack_sequences_df(load(spark, sf_dir, "documents"))
+    return pack_sequences_df(widen(spark, sf_dir, "documents"))
 
 
 @register(
@@ -3347,7 +3347,7 @@ def doc_top_terms_tficf(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combinable; the doc-frequency join carries (token, df)
     pairs (AQE broadcasts when the vocabulary is small); the final
     window partitions by doc_id — each task ranks one doc's terms."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
     )
@@ -3419,11 +3419,14 @@ def dedup_incremental_vs_reference(
     doc, precomputable and reusable across crawls), never its text.
     Signature columns join back only for candidate pairs. The estimate
     is the banded-LSH Jaccard, same constants as the dedup family."""
-    d = load(spark, sf_dir, "documents")
-    ref = d.filter(F.col("doc_id") < 250)
+    d = widen(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") >= 250)
-    sig_ref = D.cache_acquire(D.minhash_wide_df(ref, "doc_id", "text"))
-    sig_new = D.cache_acquire(D.minhash_wide_df(new, "doc_id", "text"))
+    # signatures are per-doc: hash the WHOLE corpus once and slice the
+    # cached result, instead of running the shingle+minhash pipeline per
+    # half (measured 2x on the signature stage)
+    sig = D.cache_acquire(D.minhash_wide_df(d, "doc_id", "text"))
+    sig_ref = sig.filter(F.col("doc_id") < 250)
+    sig_new = sig.filter(F.col("doc_id") >= 250)
     bands_ref = D.band_hashes_df(sig_ref, "doc_id").select(
         F.col("doc_id").alias("_ref"), "band_idx", "band_hash"
     )
@@ -3473,11 +3476,10 @@ def dedup_incremental_vs_reference(
         )
         .orderBy("doc_id")
     )
-    # tie the signature caches to the returned plan's lifetime (the
-    # _unpersist_on_gc ownership-transfer pattern), then drop our refs
-    out = D._unpersist_on_gc(out, sig_ref, sig_new)
-    D.cache_release(sig_ref)
-    D.cache_release(sig_new)
+    # tie the signature cache to the returned plan's lifetime (the
+    # _unpersist_on_gc ownership-transfer pattern), then drop our ref
+    out = D._unpersist_on_gc(out, sig)
+    D.cache_release(sig)
     return out
 
 
@@ -3519,7 +3521,7 @@ def near_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding idea as MinHash-LSH, specialized to Hamming space. (The
     16-bit simhash_documents fingerprint is for per-doc grouping; at 60
     bits the distance-3 ball is selective enough for pair mining.)"""
-    d = load(spark, sf_dir, "documents")
+    d = widen(spark, sf_dir, "documents")
     sh = D.cache_acquire(D.simhash60_df(d, "doc_id", "text"))
     segs = None
     for s in range(4):
@@ -3682,10 +3684,14 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted hash; the audit joins (a, b, est) pairs to two tiny label
     columns. The fix for flagged pairs is canonical: move BOTH members
     to the canonical copy's split or drop the dup (dedup_keep_best)."""
-    d = load(spark, sf_dir, "documents")
-    pairs = D.lsh_candidate_pairs(d, "doc_id", "text").filter(
-        F.col("est_jaccard") >= 0.5
-    )
+    d = widen(spark, sf_dir, "documents")
+    # own the signature cache explicitly: deriving .filter() from the
+    # returned pairs would drop the gc-tied handle and recompute the
+    # whole signature pipeline per reference (the hold_cache caveat)
+    sigs = D.cache_acquire(D.minhash_wide_df(d, "doc_id", "text"))
+    pairs = D.lsh_candidate_pairs(
+        d, "doc_id", "text", signatures=sigs
+    ).filter(F.col("est_jaccard") >= 0.5)
     bucket = (
         TX.hash60(
             F.concat(F.col("doc_id").cast("string"), F.lit(":split-v1"))
@@ -3701,7 +3707,7 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sp.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
     sb = sp.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
-    return (
+    out = (
         pairs.join(sa, "a")
         .join(sb, "b")
         .filter(F.col("split_a") != F.col("split_b"))
@@ -3712,3 +3718,6 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+    out = D._unpersist_on_gc(out, sigs)
+    D.cache_release(sigs)
+    return out
