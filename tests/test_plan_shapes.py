@@ -170,9 +170,11 @@ def test_hot_paths_are_whole_stage_codegen(spark, name):
 
 def test_pack_sequences_single_exchange(spark):
     """corpus_pack_sequences: one shuffle on the bucket key (the window),
-    nothing else — token counting and chunk math are map-side."""
+    nothing else — token counting and chunk math are map-side. Budget 2:
+    the second exchange is widen()'s small-input repartition, which
+    no-ops at scale (the scan then yields >= cores partitions)."""
     plan = plan_of(spark, "corpus_pack_sequences")
-    assert n_exchanges(plan) <= 1, plan
+    assert n_exchanges(plan) <= 2, plan
     schema_line = plan.split("ReadSchema")[1].split("\n")[0]
     assert "text" in schema_line and "source" not in schema_line, (
         "pack should read only doc_id+text: " + schema_line
