@@ -44,6 +44,8 @@ _DRIVER_PRIORITY = [
     "near_dup_simhash_pairs",
     "corpus_temperature_sample",
     "split_leakage_neardup",
+    "event_transition_matrix",
+    "events_hourly_anomaly",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

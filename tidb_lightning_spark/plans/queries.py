@@ -3721,3 +3721,129 @@ def split_leakage_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D._unpersist_on_gc(out, sigs)
     D.cache_release(sigs)
     return out
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), t AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), tot AS (
+      SELECT event_type, sum(n) AS row_total FROM t GROUP BY event_type
+    )
+    SELECT t.event_type AS from_type, t.next_type AS to_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(t.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p
+    FROM t JOIN tot ON tot.event_type = t.event_type
+    ORDER BY from_type, to_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the backbone of
+    journey/flow analysis. One shuffle keys events by user for the lead
+    window; the transition counts are map-side-combinable and the
+    normalizing row totals are a 5x5-sized aggregate. Exact integer
+    counts + one double division — bit-stable."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts",
+                                             "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("event_type").agg(F.sum("n").alias("row_total"))
+    return (
+        t.join(tot, "event_type")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("n").cast("double") / F.col("row_total").cast("double"))
+            .alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "events_hourly_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n
+      FROM events GROUP BY event_type, hour
+    ), stats AS (
+      SELECT event_type, hour, n,
+             sum(n) OVER w AS s1,
+             sum(n * n) OVER w AS s2,
+             count(*) OVER w AS k
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / k)
+             / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / k) / k + 1.0), 6) AS zscore
+    FROM stats
+    WHERE k >= 12
+    ORDER BY event_type, hour
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly score: each (event type, hour) bucket's count
+    against the trailing 24-hour window — z = (n - mean) / sqrt(var + 1)
+    (the +1 floors the denominator so quiet hours don't divide by ~0).
+    Rows with under 12 hours of history are withheld.
+
+    Sums of counts and squared counts are exact integers inside the
+    window frame, so mean/variance are order-independent and the score
+    is bit-stable across engines; the hourly rollup is map-side
+    combinable and the window partitions by event type — tiny state, no
+    whole-table sort."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    mean = F.col("s1").cast("double") / F.col("k")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double") / F.col("k")
+    ) / F.col("k")
+    return (
+        stats.filter(F.col("k") >= 12)
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (F.col("n").cast("double") - mean) / F.sqrt(var + F.lit(1.0)),
+                6,
+            ).alias("zscore"),
+        )
+        .orderBy("event_type", "hour")
+    )
