@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "split_leakage_neardup",
     "event_transition_matrix",
     "events_hourly_anomaly",
+    "doclen_quantiles_by_source",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

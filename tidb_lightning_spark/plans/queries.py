@@ -3847,3 +3847,47 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "doclen_quantiles_by_source",
+    """
+    WITH h AS (
+      SELECT source, CAST(floor(CAST(n_chars AS DOUBLE) / 16.0) AS BIGINT)
+               AS b, count(*) AS c
+      FROM documents GROUP BY source, b
+    ), cum AS (
+      SELECT source, b, c,
+             sum(c) OVER (PARTITION BY source ORDER BY b
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM h
+    )
+    SELECT source,
+           min(CASE WHEN cum >= ceil(0.5 * n)
+               THEN (CAST(b AS DOUBLE) + 0.5) * 16.0 END) AS median_chars,
+           min(CASE WHEN cum >= ceil(0.95 * n)
+               THEN (CAST(b AS DOUBLE) + 0.5) * 16.0 END) AS p95_chars,
+           CAST(max(n) AS BIGINT) AS n_docs
+    FROM cum GROUP BY source
+    ORDER BY source
+    """,
+)
+def doclen_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length profile (median/p95 chars) via the
+    fixed-width histogram estimator — the dataset-card statistic that at
+    100 TB must NOT buffer every length in an exact percentile()
+    aggregate. Same machinery as quantiles_by_returnflag_hist
+    (_hist_quantiles), 16-char buckets; error <= one bucket width."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        _hist_quantiles(
+            d, "source", "n_chars", 16.0, invert=True,
+            targets={"median_chars": 0.5, "p95_chars": 0.95},
+        )
+        .select(
+            "source", "median_chars", "p95_chars",
+            F.col("n").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
