@@ -162,3 +162,38 @@ def test_jsonl_continuous_restore_incremental(spark, tmp_path):
     t = read_table(spark, f"{target}/demo/ev")
     assert t.count() == 8
     assert sorted(r["id"] for r in t.collect()) == list(range(8))
+
+
+def test_cli_report_dataset_card(spark, tmp_path, capsys):
+    """`cli report` publishes the dataset card for an ingested document
+    table: totals, quality/dup rates, language mix, length quantiles,
+    per-source stats — and persists it next to the data."""
+    from tidb_lightning_spark import cli
+
+    d = str(tmp_path / "dump")
+    rows = [
+        {"doc_id": i, "text": f"the quick brown fox {i} runs far", "source": f"s{i % 2}"}
+        for i in range(20)
+    ]
+    rows.append({"doc_id": 20, "text": rows[0]["text"], "source": "s0"})
+    write(
+        f"{d}/corpus.docs.jsonl",
+        "".join(json.dumps(r) + "\n" for r in rows),
+    )
+    target = str(tmp_path / "wh")
+    assert cli.main(["run", "--source", d, "--target", target,
+                     "--no-schema"]) == 0
+    capsys.readouterr()
+    assert cli.main(["report", "--target", target,
+                     "--table", "corpus.docs"]) == 0
+    out = capsys.readouterr().out
+    card = json.loads(out[out.index("{"):])
+    assert card["n_docs"] == 21
+    assert card["exact_dup_rate"] > 0  # the one repeated text
+    assert card["languages"].get("en", 0) > 0
+    assert set(card["per_source"]) == {"s0", "s1"}
+    assert card["median_chars"] is not None
+    saved = json.load(
+        open(f"{target}/corpus/docs/_tls_datacard.json")
+    )
+    assert saved == card

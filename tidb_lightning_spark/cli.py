@@ -144,6 +144,21 @@ def main(argv: list[str] | None = None) -> int:
                          "Gopher repetition gate")
     cu.add_argument("--log-level", default="INFO")
 
+    rp = sub.add_parser(
+        "report",
+        help="dataset card for an ingested document table: totals, "
+             "quality-gate pass rate, language distribution, exact-dup "
+             "rate, per-source stats, length quantiles (JSON to stdout "
+             "and <table>/_tls_datacard.json)",
+    )
+    rp.add_argument("--target", required=True, help="warehouse directory")
+    rp.add_argument("--table", required=True, metavar="DB.TBL")
+    rp.add_argument("--text-col", default="text")
+    rp.add_argument("--source-col", default="source")
+    rp.add_argument("--no-save", action="store_true",
+                    help="print only; don't write _tls_datacard.json")
+    rp.add_argument("--log-level", default="INFO")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level.upper() if hasattr(args, "log_level") else "INFO",
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
@@ -157,6 +172,8 @@ def main(argv: list[str] | None = None) -> int:
             return _curate(args)
         if args.cmd == "sql":
             return _sql(args)
+        if args.cmd == "report":
+            return _report(args)
         if args.cmd == "serve":
             from tidb_lightning_spark.server import serve
 
@@ -691,6 +708,105 @@ def _ctl(args) -> int:
         return 0
     print("no ctl action given", file=sys.stderr)
     return 2
+
+
+
+
+def _report(args) -> int:
+    """One-shot dataset card for an ingested document table: totals,
+    quality-gate pass rate, language distribution, exact-duplicate rate,
+    per-source stats and length quantiles — the summary a curation
+    pipeline publishes before a corpus ships to training. Every
+    aggregate is the registry operators' exact-arithmetic form; the card
+    is written to stdout and (unless --no-save) into the table dir."""
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_spark.functions import quality as QL
+    from tidb_lightning_spark.functions import text as TX
+    from tidb_lightning_spark.plans.queries import _hist_quantiles
+    from tidb_lightning_spark.session import get_spark
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    db, _, tbl = args.table.partition(".")
+    path = os.path.join(args.target, db, tbl)
+    if not os.path.isdir(path):
+        print(f"error: no table dir {path}", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="tls-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = read_table(spark, path)
+    text_c, src_c = args.text_col, args.source_col
+    if text_c not in df.columns:
+        print(f"error: no column {text_c!r} in {sorted(df.columns)}",
+              file=sys.stderr)
+        return 1
+    has_src = src_c in df.columns
+    t = F.col(text_c)
+
+    per_doc = df.select(
+        *( [F.col(src_c)] if has_src else [] ),
+        F.length(t).alias("_chars"),
+        TX.bpe_token_count(t).cast("long").alias("_tokens"),
+        QL.gopher_keep(t).cast("int").alias("_keep"),
+        TX.lang_id(t).alias("_lang"),
+        F.md5(t).alias("_fp"),
+    )
+    agg = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.sum("_tokens").cast("long").alias("total_tokens"),
+        F.sum("_keep").cast("long").alias("n_quality_keep"),
+        F.countDistinct("_fp").alias("n_unique_texts"),
+    ).collect()[0]
+    langs = {
+        r["_lang"]: r["n"]
+        for r in per_doc.groupBy("_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    card = {
+        "table": f"{db}.{tbl}",
+        "n_docs": agg["n_docs"],
+        "total_chars": agg["total_chars"],
+        "total_tokens": agg["total_tokens"],
+        "quality_keep_rate": (
+            round(agg["n_quality_keep"] / agg["n_docs"], 6)
+            if agg["n_docs"] else None
+        ),
+        "exact_dup_rate": (
+            round(1.0 - agg["n_unique_texts"] / agg["n_docs"], 6)
+            if agg["n_docs"] else None
+        ),
+        "languages": dict(sorted(langs.items())),
+    }
+    # length quantiles without a group key: constant-key histogram
+    q = _hist_quantiles(
+        df.select(F.lit("all").alias("_g"), F.length(t).alias("_len")),
+        "_g", "_len", 16.0, invert=True,
+        targets={"median_chars": 0.5, "p95_chars": 0.95},
+    ).collect()[0]
+    card["median_chars"] = q["median_chars"]
+    card["p95_chars"] = q["p95_chars"]
+    if has_src:
+        card["per_source"] = {
+            r[src_c]: {
+                "n_docs": r["n_docs"],
+                "total_tokens": r["total_tokens"],
+                "quality_keep_rate": round(r["n_keep"] / r["n_docs"], 6),
+            }
+            for r in per_doc.groupBy(src_c)
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_tokens").cast("long").alias("total_tokens"),
+                F.sum("_keep").cast("long").alias("n_keep"),
+            )
+            .collect()
+        }
+    print(json.dumps(card, indent=2, sort_keys=True, default=str))
+    if not args.no_save:
+        with open(os.path.join(path, "_tls_datacard.json"), "w") as f:
+            json.dump(card, f, indent=2, sort_keys=True, default=str)
+    return 0
 
 
 if __name__ == "__main__":
