@@ -1857,7 +1857,8 @@ def _hist_quantiles(
 
     bucket = floor(value * scale) (or value / scale when invert);
     estimate = the midpoint of the first bucket whose running count
-    reaches ceil(p * n). Error <= one bucket width BY CONSTRUCTION, and
+    reaches ceil(p * n) — i.e. within half a bucket of that rank's
+    order statistic BY CONSTRUCTION — and
     every step (integer bucket counts, running sums, ceil of p*n) is
     deterministic in both engines — unlike percentile_approx, whose GK
     sketch DuckDB cannot replay. Memory: O(distinct buckets) per group;
@@ -1898,10 +1899,14 @@ def quantiles_by_returnflag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_extendedprice) instead of exact percentile()'s
     buffer-every-group-value aggregate. Per-group state is the bucket
     histogram — O(value range / width), independent of row count — so
-    the 100x scale-up that OOMs the exact form stays flat here; accuracy
-    is within one bucket width of exact (pinned in
-    tests/test_quality.py). Fully deterministic arithmetic, so the
-    DuckDB oracle hash-verifies the estimates bit-for-bit."""
+    the 100x scale-up that OOMs the exact form stays flat here. Accuracy
+    guarantee: within half a bucket of the rank-ceil(p*n) ORDER
+    STATISTIC (property-tested); vs the interpolated percentile the gap
+    also stays inside one bucket whenever values are denser than the
+    bucket width (pinned on lineitem in tests/test_quality.py) but is
+    unbounded across sparse gaps, which no histogram can bound. Fully
+    deterministic arithmetic, so the DuckDB oracle hash-verifies the
+    estimates bit-for-bit."""
     l = load(spark, sf_dir, "lineitem")
     q = _hist_quantiles(
         l, "l_returnflag", "l_quantity", 2.0, invert=False,
