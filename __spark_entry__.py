@@ -47,6 +47,8 @@ _DRIVER_PRIORITY = [
     "event_transition_matrix",
     "events_hourly_anomaly",
     "doclen_quantiles_by_source",
+    "customer_rfm_segments",
+    "embedding_norm_profile",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

@@ -3896,3 +3896,137 @@ def doclen_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS money
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+             ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+             ntile(5) OVER (ORDER BY money, o_custkey) AS m
+      FROM base
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           count(*) AS n_customers
+    FROM scored GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quintiled on recency (last order
+    date), frequency (order count) and monetary (decimal-exact spend),
+    reported as segment-cell sizes. Tie-breaking every ntile ordering by
+    the customer key makes the quintile assignment a deterministic total
+    order — identical across engines and runs, where a bare ORDER BY
+    metric would tie-split arbitrarily.
+
+    Scale shape: one orders shuffle for the per-customer rollup; each
+    ntile is a single-pass rank over the (already small) per-customer
+    table; the output is at most 125 cells. At 100 TB replace the
+    global ntile sort with the histogram-quantile boundaries
+    (quantiles_by_returnflag_hist's estimator) — same output contract."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(dec("o_totalprice")).cast("decimal(38,2)").alias("money"),
+    )
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r"),
+        F.ntile(5).over(Window.orderBy("freq", "o_custkey")).alias("f"),
+        F.ntile(5).over(Window.orderBy("money", "o_custkey")).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("f").cast("int").alias("f"),
+            F.col("m").cast("int").alias("m"),
+            "n_customers",
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+@register(
+    "embedding_norm_profile",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ), h AS (
+      SELECT CAST(floor(nrm * 16.0) AS BIGINT) AS b, count(*) AS c
+      FROM n GROUP BY b
+    ), cum AS (
+      SELECT b, c,
+             sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS total
+      FROM h
+    )
+    SELECT min(CASE WHEN cum >= ceil(0.5 * total)
+               THEN (CAST(b AS DOUBLE) + 0.5) / 16.0 END) AS median_norm,
+           min(CASE WHEN cum >= ceil(0.01 * total)
+               THEN (CAST(b AS DOUBLE) + 0.5) / 16.0 END) AS p01_norm,
+           min(CASE WHEN cum >= ceil(0.99 * total)
+               THEN (CAST(b AS DOUBLE) + 0.5) / 16.0 END) AS p99_norm,
+           CAST(max(total) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM cum
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm sanity profile (median/p01/p99 via the histogram
+    estimator, 1/16-wide buckets): near-zero or exploding norms are the
+    standard symptom of a broken embedding export, and cosine pipelines
+    silently degrade on them. Norms use the same left-to-right dot fold
+    as every similarity oracle; one scan, O(buckets) state."""
+    from tidb_lightning_spark.functions.similarity import dot
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.select(
+        F.sqrt(
+            dot(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.transform("embedding", lambda x: x.cast("double")),
+            )
+        ).alias("nrm")
+    )
+    h = n.groupBy(
+        F.floor(F.col("nrm") * F.lit(16.0)).cast("long").alias("b")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    cum = h.select(
+        "b",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wt).alias("total"),
+    )
+    mid = (F.col("b").cast("double") + 0.5) / F.lit(16.0)
+
+    def pick(p):
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("total")), mid)
+        )
+
+    return cum.agg(
+        pick(0.5).alias("median_norm"),
+        pick(0.01).alias("p01_norm"),
+        pick(0.99).alias("p99_norm"),
+        F.max("total").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
