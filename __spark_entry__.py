@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "doclen_quantiles_by_source",
     "customer_rfm_segments",
     "embedding_norm_profile",
+    "vocab_token_ids",
     "text_scrub",
     "corpus_split_assign",
     "top_bigrams",

@@ -4030,3 +4030,58 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").cast("long").alias("n_vectors"),
         F.count(F.lit(1)).cast("long").alias("n_buckets"),
     )
+
+
+@register(
+    "vocab_token_ids",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(
+        {TX.SQL_TOKENS.format(col='lower(text)')})) AS tok
+      FROM documents
+    ), dfreq AS (
+      SELECT tok, count(*) AS doc_freq FROM tok GROUP BY tok
+    )
+    SELECT tok AS token, CAST(doc_freq AS BIGINT) AS doc_freq,
+           CAST(row_number() OVER (ORDER BY doc_freq DESC, tok) - 1 + 4
+                AS BIGINT) AS token_id
+    FROM dfreq
+    WHERE doc_freq >= 3
+    ORDER BY token_id
+    """,
+)
+def vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic vocabulary construction: tokens above a min
+    document frequency (>= 3) get dense ids in (doc_freq desc, token)
+    order, starting at 4 — ids 0..3 stay reserved for the
+    pad/bos/eos/unk specials every tokenizer needs. The ordering ties
+    break on the token string, so the id assignment is a total order:
+    identical across engines, runs and cluster layouts — the property a
+    vocabulary artifact must have to be regenerable.
+
+    Scale shape: per-doc distinct tokens explode once (map-side dedup),
+    (token, count) pairs combine map-side; the final rank runs over the
+    min-df-PRUNED vocabulary. A truly web-scale vocabulary would swap
+    the single rank sort for range-partitioned ranking (zipfian head is
+    tiny; the tail is the bulk) — the id CONTRACT is unchanged."""
+    d = widen(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(TX.tokens(F.lower(F.col("text"))))
+        ).alias("tok"),
+    )
+    dfreq = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), "tok")
+    return (
+        dfreq.select(
+            F.col("tok").alias("token"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            (F.row_number().over(w) - 1 + 4).cast("long").alias("token_id"),
+        )
+        .orderBy("token_id")
+    )
