@@ -197,3 +197,24 @@ def test_cli_report_dataset_card(spark, tmp_path, capsys):
         open(f"{target}/corpus/docs/_tls_datacard.json")
     )
     assert saved == card
+
+
+def test_ctl_stats_prints_meta(spark, tmp_path, capsys):
+    from tidb_lightning_spark import cli
+
+    d = str(tmp_path / "dump")
+    write(f"{d}/demo-schema-create.sql", "CREATE DATABASE demo;")
+    write(
+        f"{d}/demo.t-schema.sql",
+        "CREATE TABLE t (id INT PRIMARY KEY, v INT);",
+    )
+    write(f"{d}/demo.t.jsonl", json.dumps({"id": 1, "v": 2}) + "\n")
+    target = str(tmp_path / "wh")
+    assert cli.main(["run", "--source", d, "--target", target]) == 0
+    capsys.readouterr()
+    assert cli.main(["ctl", "--target", target, "--stats", "demo.t"]) == 0
+    out = capsys.readouterr().out
+    meta = json.loads(out[out.index("{"):])
+    assert meta["rows"] == 1 and meta["primary_key"] == ["id"]
+    # missing table -> explicit error, not a stack trace
+    assert cli.main(["ctl", "--target", target, "--stats", "no.such"]) == 1

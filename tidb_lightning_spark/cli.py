@@ -90,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
         "--zorder-by", metavar="COL[,COL...]",
         help="columns for --zorder (2-4 numeric/date columns typical)",
     )
+    ctl.add_argument(
+        "--stats", metavar="DB.TBL",
+        help="print a table's import metadata and ANALYZE column stats "
+             "(_tls_meta.json: rows, checksum, pk, per-column "
+             "nulls/ndv/min/max)",
+    )
 
     srv = sub.add_parser(
         "serve",
@@ -649,6 +655,18 @@ def _ctl(args) -> int:
         if meta:
             sink.write_meta(db, tbl, meta)
         print(f"compacted `{db}`.`{tbl}`: {before} -> {commit.n_files} files")
+        return 0
+    if args.stats:
+        import json as _json
+
+        db, _, tbl = args.stats.partition(".")
+        meta_path = os.path.join(args.target, db, tbl, "_tls_meta.json")
+        if not os.path.exists(meta_path):
+            print(f"error: no metadata at {meta_path} (table not "
+                  "imported by the files backend?)", file=sys.stderr)
+            return 1
+        print(json.dumps(_json.load(open(meta_path)), indent=2,
+                         sort_keys=True, default=str))
         return 0
     if args.zorder:
         import json as _json
