@@ -705,7 +705,13 @@ def _ctl(args) -> int:
             print(f"error: columns not in table: {missing}", file=sys.stderr)
             return 1
         sink = FilesSink(args.target, fmt=fmt)
-        commit = write_zordered(sink, df, db, tbl, cols, source_bytes=size)
+        try:
+            commit = write_zordered(
+                sink, df, db, tbl, cols, source_bytes=size
+            )
+        except ValueError as e:  # e.g. z-order bit-budget violations
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         if meta:
             meta["zorder_by"] = cols
             sink.write_meta(db, tbl, meta)

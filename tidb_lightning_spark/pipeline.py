@@ -1271,13 +1271,52 @@ class Restorer:
 
         if first.type == "jsonl":
             # first object's keys, in document order (driver-side bounded
-            # peek through the same stream adapter as CSV headers)
+            # peek through the same stream adapter as CSV headers). LLM
+            # corpus dumps routinely carry >1 MiB first documents, so the
+            # peek loops until a full first line (capped at 64 MiB), and
+            # a malformed first line surfaces as IngestError-with-
+            # remediation like every other driver-side peek — not a raw
+            # JSONDecodeError.
             import json as _json
 
+            peek_cap = 64 << 20
+            buf = b""
             with csv_source._decompress_open(first.path, self.spark) as f:
-                line = f.read(1 << 20).decode("utf-8", errors="replace")
-            line = line.split("\n", 1)[0].strip()
-            header = list(_json.loads(line).keys()) if line else None
+                while b"\n" not in buf and len(buf) < peek_cap:
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        break
+                    buf += chunk
+            if b"\n" not in buf and len(buf) >= peek_cap:
+                raise IngestError(
+                    f"JSONL schema peek: first line of {first.path} "
+                    f"exceeds {peek_cap >> 20} MiB without a newline; "
+                    f"provide a schema file for `{tbl.db}`.`{tbl.name}` "
+                    f"or check the file is line-delimited JSON"
+                )
+            line = (
+                buf.decode("utf-8", errors="replace")
+                .split("\n", 1)[0]
+                .strip()
+            )
+            if line:
+                try:
+                    obj = _json.loads(line)
+                except ValueError as e:
+                    raise IngestError(
+                        f"JSONL schema peek: first line of {first.path} "
+                        f"is not valid JSON ({e}); provide a schema file "
+                        f"for `{tbl.db}`.`{tbl.name}` or fix the file"
+                    ) from e
+                if not isinstance(obj, dict):
+                    raise IngestError(
+                        f"JSONL schema peek: first line of {first.path} "
+                        f"is JSON but not an object; rows must be "
+                        f"one JSON object per line"
+                    )
+                header = list(obj.keys())
+            else:
+                header = None
         else:
             header = (
                 csv_source.read_header(first.path, self.cfg.csv, self.spark)

@@ -107,13 +107,27 @@ def widen(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-def _footer_num_rows(path: str) -> int:
+def _footer_num_rows(path: str, spark: SparkSession | None = None) -> int:
     """Total row count from parquet footers — file OR directory layout
-    (read_table supports both), driver-side metadata only, no Spark job."""
+    (read_table supports both), driver-side metadata only, no Spark job
+    for local paths. A scheme'd corpus (s3a://, hdfs://) has no os.path,
+    so it falls back to a Spark count — still footer-driven (parquet
+    count(*) reads row-group metadata, not data pages), just executed by
+    the cluster's filesystem connector instead of local pyarrow."""
     import glob as _glob
+    import re as _re
 
     import pyarrow.parquet as _pq
 
+    if path.startswith("file:"):  # normalize like widen/loader._walk
+        path = _re.sub("^file:/+", "/", path)
+    if "://" in path:
+        if spark is None:
+            raise ValueError(
+                f"scheme'd path {path} needs a SparkSession for the "
+                f"footer count"
+            )
+        return spark.read.parquet(path).count()
     if os.path.isdir(path):
         return sum(
             _pq.ParquetFile(p).metadata.num_rows
@@ -635,7 +649,7 @@ def vocab_top_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus size from the parquet footers (driver-side metadata read, no
     # Spark job; file-or-directory layout) — the SQL twin gets it from a
     # CTE over the same footers
-    n_docs = _footer_num_rows(f"{sf_dir}/documents.parquet")
+    n_docs = _footer_num_rows(f"{sf_dir}/documents.parquet", spark)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("tok")
     )
@@ -3359,7 +3373,7 @@ def doc_top_terms_tficf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
     # driver-side scalar from parquet footers — no Spark job
-    n_docs = _footer_num_rows(f"{sf_dir}/documents.parquet")
+    n_docs = _footer_num_rows(f"{sf_dir}/documents.parquet", spark)
     scored = tf.join(dfreq, "tok").select(
         "doc_id",
         "tok",
@@ -3587,9 +3601,10 @@ TEMP_T = 0.7  # mixing temperature (UL2/Pile-style source rebalancing)
     ), kept AS (
       SELECT d.source, count(*) AS n_kept
       FROM documents d JOIN rates r ON r.source = d.source
-      WHERE CAST({TX.sql_hash60(
-          "concat(CAST(doc_id AS VARCHAR), ':tsample-v1')")} AS DOUBLE)
-            < r.rate * 1152921504606846976.0
+      WHERE {TX.sql_hash60(
+          "concat(CAST(doc_id AS VARCHAR), ':tsample-v1')")}
+            < CAST(floor(least(r.rate, 1.0) * 1073741824.0) AS BIGINT)
+              * 1073741824
       GROUP BY d.source
     )
     SELECT rates.source, CAST(rates.n_docs AS BIGINT) AS n_docs,
@@ -3604,9 +3619,16 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's keep-rate is (n_s / n_max)^(T-1), so the post-sample share
     is proportional to n_s^T — large sources are damped, small ones kept
     whole, with T=1 a no-op and T=0 uniform-by-source. The keep decision
-    is salted-hash thresholding per doc (hash < rate * 2^60) — fully
-    deterministic, resume/replay-stable, no RNG state, the same
-    mechanism as domain_quota_sample.
+    is salted-hash thresholding per doc — fully deterministic,
+    resume/replay-stable, no RNG state, the same mechanism as
+    domain_quota_sample. The threshold operand is the rate QUANTIZED to
+    2^-30 and capped at 1 (hash < floor(least(rate,1)*2^30)*2^30, a
+    pure-integer compare that cannot overflow — rate > 1 means
+    keep-everything since hash60 < 2^60): pow()
+    is a libm transcendental whose last ulp may differ between the JVM
+    and DuckDB, and thresholding the raw double would make the verified
+    integer n_kept depend on cross-libm parity (the IVF_QUANT rule,
+    functions/similarity.py:510).
 
     Scale shape: one tiny per-source count agg, rates broadcast back,
     one filtered scan; per-doc work is a hash compare. Returns the
@@ -3629,7 +3651,11 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         d.join(F.broadcast(rates.select("source", "rate")), "source")
         .filter(
-            h.cast("double") < F.col("rate") * F.lit(float(1 << 60))
+            h
+            < F.floor(
+                F.least(F.col("rate"), F.lit(1.0)) * F.lit(float(1 << 30))
+            ).cast("long")
+            * F.lit(1 << 30)
         )
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))

@@ -407,10 +407,24 @@ def zorder_value(df: DataFrame, columns: list[str], bits: int = ZORDER_BITS):
     """
     from pyspark.sql import functions as F
 
+    k = len(columns)
+    if k == 0:
+        raise ValueError("z-order requires at least one column")
+    # the interleaved value must stay out of a signed long's bit 63:
+    # 8 cols x 8 bits would put the top bucket bits in the sign position
+    # (inverting the curve for the upper half) and >63 total would drop
+    # bits entirely. Reduce bits per dimension instead of overflowing.
+    if k * bits > 63:
+        bits = 63 // k
+        if bits < 1:
+            raise ValueError(
+                f"z-order over {k} columns cannot fit >=1 bit per "
+                f"dimension in a 63-bit curve value; use <=63 columns "
+                f"(2-4 is typical)"
+            )
     n_buckets = 1 << bits
     qs = [i / n_buckets for i in range(1, n_buckets)]
     z = F.lit(0).cast("long")
-    k = len(columns)
     for ci, col in enumerate(columns):
         bounds = df.approxQuantile(col, qs, 0.001)
         arr = F.array(*[F.lit(float(b)) for b in bounds])

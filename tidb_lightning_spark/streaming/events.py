@@ -306,10 +306,23 @@ def streaming_distinct_users(stream: DataFrame) -> DataFrame:
     state_schema = "regs binary"
 
     def update(key, pdf_iter, state: GroupState):
-        regs = bytearray(state.get[0]) if state.exists else bytearray(HLL_M)
+        # HLL_M registers + ONE extra slot for the NULL key: the batch
+        # operator (and its SQL twin) hash NULL to a NULL register — its
+        # own group with rho = W_BITS+1 — so stream==batch exactness must
+        # fold nulls the same way, not skip them. State written by a
+        # pre-null-slot checkpoint is widened in place.
+        regs = (
+            bytearray(state.get[0]) if state.exists
+            else bytearray(HLL_M + 1)
+        )
+        if len(regs) == HLL_M:
+            regs.append(0)
         for pdf in pdf_iter:
             for uid in pdf["user_id"]:
-                if uid is None:
+                # a nullable int64 column arrives in pandas as float64
+                # with NaN — `is None` misses it and int(nan) raises
+                if pd.isna(uid):
+                    regs[HLL_M] = HLL_W_BITS + 1
                     continue
                 h = int(
                     hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16
