@@ -205,3 +205,30 @@ def test_funnel_all_stages_key_on_user(spark):
     assert "props" not in schema_line, (
         "funnel should read only user_id+event_type+ts: " + schema_line
     )
+
+
+def test_vocab_rank_is_bucketed_not_global(spark):
+    """vocab_token_ids (r7): the row_number window must be partitioned
+    by doc_freq — the full vocabulary never flows through a
+    single-partition window. The only SinglePartition exchange allowed
+    is the one feeding the df-HISTOGRAM prefix sum (O(distinct df
+    values) rows)."""
+    plan = plan_of(spark, "vocab_token_ids")
+    assert re.search(r"row_number\(\) windowspecdefinition\(doc_freq", plan), (
+        "row_number window not partitioned by doc_freq:\n" + plan
+    )
+    assert plan.count("SinglePartition") == 1, (
+        "expected exactly one SinglePartition (the df histogram), got "
+        f"{plan.count('SinglePartition')}"
+    )
+
+
+def test_rfm_hist_no_global_ntile(spark):
+    """customer_rfm_segments_hist: no ntile anywhere; the three
+    single-partition exchanges carry only the metric HISTOGRAMS
+    (bucket, count), never the per-customer table; the boundary row
+    broadcasts back."""
+    plan = plan_of(spark, "customer_rfm_segments_hist")
+    assert "ntile" not in plan
+    assert plan.count("SinglePartition") == 3, plan.count("SinglePartition")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

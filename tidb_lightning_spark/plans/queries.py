@@ -3955,11 +3955,11 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — identical across engines and runs, where a bare ORDER BY
     metric would tie-split arbitrarily.
 
-    Scale shape: one orders shuffle for the per-customer rollup; each
-    ntile is a single-pass rank over the (already small) per-customer
-    table; the output is at most 125 cells. At 100 TB replace the
-    global ntile sort with the histogram-quantile boundaries
-    (quantiles_by_returnflag_hist's estimator) — same output contract."""
+    ORACLE ANCHOR ONLY — the three ntile windows are single-partition
+    global sorts over the per-customer table; at 100 TB run
+    customer_rfm_segments_hist (histogram-boundary quintiles, O(buckets)
+    state, no global sort) — same output contract. This exact form
+    exists to pin the twin's accuracy and for driver verification."""
     o = load(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -3983,6 +3983,145 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").cast("int").alias("m"),
             "n_customers",
         )
+        .orderBy("r", "f", "m")
+    )
+
+
+def _rfm_hist_oracle() -> str:
+    """DuckDB twin of customer_rfm_segments_hist — identical integer
+    bucket/boundary arithmetic, so segment counts hash-match."""
+
+    def hist(metric: str, prefix: str) -> str:
+        return f"""
+    {prefix}h AS (
+      SELECT {metric} AS b, count(*) AS c FROM base GROUP BY {metric}
+    ), {prefix}c AS (
+      SELECT b,
+             sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS n
+      FROM {prefix}h
+    ), {prefix}q AS (
+      SELECT
+        min(CASE WHEN cum >= ceil(0.2 * n) THEN b END) AS {prefix}20,
+        min(CASE WHEN cum >= ceil(0.4 * n) THEN b END) AS {prefix}40,
+        min(CASE WHEN cum >= ceil(0.6 * n) THEN b END) AS {prefix}60,
+        min(CASE WHEN cum >= ceil(0.8 * n) THEN b END) AS {prefix}80
+      FROM {prefix}c
+    )"""
+
+    def seg(metric: str, prefix: str) -> str:
+        return (
+            f"1 + CAST({metric} > {prefix}q.{prefix}20 AS INT)"
+            f" + CAST({metric} > {prefix}q.{prefix}40 AS INT)"
+            f" + CAST({metric} > {prefix}q.{prefix}60 AS INT)"
+            f" + CAST({metric} > {prefix}q.{prefix}80 AS INT)"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(CAST(max(o_orderdate) AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS rb,
+             CAST(count(*) AS BIGINT) AS fb,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) >> 15 AS BIGINT) AS mb
+      FROM orders GROUP BY o_custkey
+    ),{hist("rb", "r")},{hist("fb", "f")},{hist("mb", "m")},
+    seg AS (
+      SELECT CAST({seg("rb", "r")} AS INT) AS r,
+             CAST({seg("fb", "f")} AS INT) AS f,
+             CAST({seg("mb", "m")} AS INT) AS m
+      FROM base, rq, fq, mq
+    )
+    SELECT r, f, m, count(*) AS n_customers
+    FROM seg GROUP BY r, f, m ORDER BY r, f, m
+    """
+
+
+@register("customer_rfm_segments_hist", _rfm_hist_oracle())
+def customer_rfm_segments_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of customer_rfm_segments: quintile BOUNDARIES come from
+    fixed-width integer histograms (recency = days-since-epoch, frequency
+    = the raw order count, monetary = cents >> 15, i.e. $327.68 buckets —
+    a shift, not a division, so the bucket id is exact in both engines),
+    and each customer's segment is 1 + the number of boundaries its
+    bucket exceeds. No global sort anywhere: the histograms carry
+    (bucket, count) after map-side combine — O(distinct buckets) state,
+    the same estimator contract as quantiles_by_returnflag_hist — and the
+    boundary row (12 longs) broadcasts back onto the per-customer table.
+
+    vs the exact ntile form: customers sharing a bucket share a segment
+    (a histogram cannot split ties inside one bucket), so cell counts
+    differ from ntile's equal-size split by at most one bucket's
+    population per boundary; the segmentation contract (5x5x5 cells,
+    monotone in each metric) is preserved. This is the form to run at
+    100 TB; customer_rfm_segments is its exact oracle anchor."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.max("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("rb"),
+        F.count(F.lit(1)).cast("long").alias("fb"),
+        F.shiftright(
+            (
+                F.sum(dec("o_totalprice")).cast("decimal(38,2)")
+                * F.lit(100)
+            ).cast("long"),
+            15,
+        )
+        .cast("long")
+        .alias("mb"),
+    )
+
+    def bounds(col: str, prefix: str) -> DataFrame:
+        h = base.groupBy(F.col(col).alias("b")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # single-partition window over the HISTOGRAM (bounded bucket
+        # count), not the data — the accepted O(buckets) state
+        wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        wt = Window.partitionBy()
+        cum = h.select(
+            "b",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wt).alias("n"),
+        )
+        return cum.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.lit(p) * F.col("n")),
+                        F.col("b"),
+                    )
+                ).alias(f"{prefix}{int(p * 100)}")
+                for p in (0.2, 0.4, 0.6, 0.8)
+            ]
+        )
+
+    bxs = (
+        bounds("rb", "r").crossJoin(bounds("fb", "f")).crossJoin(
+            bounds("mb", "m")
+        )
+    )
+
+    def seg(col: str, prefix: str):
+        e = F.lit(1)
+        for p in (20, 40, 60, 80):
+            e = e + (F.col(col) > F.col(f"{prefix}{p}")).cast("int")
+        return e.cast("int")
+
+    return (
+        base.crossJoin(F.broadcast(bxs))
+        .select(
+            seg("rb", "r").alias("r"),
+            seg("fb", "f").alias("f"),
+            seg("mb", "m").alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r", "f", "m")
     )
 
@@ -4086,10 +4225,16 @@ def vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary artifact must have to be regenerable.
 
     Scale shape: per-doc distinct tokens explode once (map-side dedup),
-    (token, count) pairs combine map-side; the final rank runs over the
-    min-df-PRUNED vocabulary. A truly web-scale vocabulary would swap
-    the single rank sort for range-partitioned ranking (zipfian head is
-    tiny; the tail is the bulk) — the id CONTRACT is unchanged."""
+    (token, count) pairs combine map-side. The rank is BUCKETED, not a
+    global sort: token_id = 4 + (number of tokens in strictly-higher
+    doc_freq buckets, a prefix sum over the tiny df-HISTOGRAM, joined
+    back by broadcast) + row_number within the token's own df bucket
+    (window partitioned by doc_freq). The only single-partition work is
+    the histogram prefix sum — O(distinct df values), zipf-bounded —
+    while the vocabulary itself never passes through one partition. The
+    total order (doc_freq desc, token) and the id contract are
+    unchanged: the oracle still ranks with one global row_number, and
+    the hash match is the proof of equivalence."""
     d = widen(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -4102,12 +4247,23 @@ def vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .filter(F.col("doc_freq") >= 3)
     )
-    w = Window.orderBy(F.col("doc_freq").desc(), "tok")
+    hist = dfreq.groupBy("doc_freq").agg(F.count(F.lit(1)).alias("n_toks"))
+    wh = Window.orderBy(F.col("doc_freq").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = hist.select(
+        "doc_freq",
+        F.coalesce(F.sum("n_toks").over(wh), F.lit(0)).alias("n_higher"),
+    )
+    wb = Window.partitionBy("doc_freq").orderBy("tok")
     return (
-        dfreq.select(
+        dfreq.join(F.broadcast(pre), "doc_freq")
+        .select(
             F.col("tok").alias("token"),
             F.col("doc_freq").cast("long").alias("doc_freq"),
-            (F.row_number().over(w) - 1 + 4).cast("long").alias("token_id"),
+            (F.col("n_higher") + F.row_number().over(wb) - 1 + 4)
+            .cast("long")
+            .alias("token_id"),
         )
         .orderBy("token_id")
     )

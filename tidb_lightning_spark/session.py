@@ -50,6 +50,17 @@ def get_spark(
         # this costs ~1s of pure driver time per table. Error context is
         # a debugging nicety, not worth it on the hot path.
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # Whole-stage codegen fuses the MySQL cast chain (per-column
+        # try_cast + regexp fallback + clamp) into ONE generated method;
+        # for a wide table that method exceeds the JVM JIT's
+        # HugeMethodLimit (8000 bytecodes), so HotSpot runs it
+        # INTERPRETED — measured 3x slower than per-operator codegen on
+        # the lineitem ingest chain (4.5s -> 1.4s per pass at sf0.1 x10).
+        # Matching Spark's fallback threshold to the JVM's real limit
+        # makes stages that cannot be JIT'd use per-operator projections
+        # (which split into JIT-able methods) instead. Narrow-expression
+        # stages (all the TPC-H plans) stay fused as before.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
         # catalog tables (bucketed sink) should never litter the CWD
         .config(
