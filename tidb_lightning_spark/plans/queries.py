@@ -3057,6 +3057,33 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll.join(exact, "event_type").orderBy("event_type")
 
 
+@register(
+    "events_distinct_users_hll_merged",
+    SK.sql_hll_distinct("events", "user_id", ["event_type"])
+    + " ORDER BY event_type",
+)
+def events_distinct_users_hll_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The HLL MERGE surface, oracle-proven: sketch each (event_type,
+    day) into a register vector (hll_register_vectors), union the days
+    with hll_merge (element-wise max — the HLL monoid), estimate per
+    event_type. The oracle sketches the whole table DIRECTLY in DuckDB;
+    the hash match proves merge(per-day sketches) == one-shot sketch
+    bit-for-bit — the warehouse pattern where yesterday's 1 KiB vectors
+    union with today's instead of rescanning 100 TB of history.
+
+    Scale shape: the raw scan reduces to (group, register, max) with
+    map-side combine; everything after the first agg is O(groups x
+    1025) registers."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    vecs = SK.hll_register_vectors(e, "user_id", ["event_type", "day"])
+    merged = SK.hll_merge(vecs, ["event_type"])
+    return SK.hll_estimate(merged, ["event_type"]).orderBy("event_type")
+
+
 PACK_BUDGET_BITS = 11  # 2^11 = 2048-token training sequences
 
 
@@ -3152,107 +3179,129 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences_df(widen(spark, sf_dir, "documents"))
 
 
-@register(
-    "funnel_view_click_purchase",
-    """
-    WITH s1 AS (
-      SELECT user_id,
-             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
-      FROM events GROUP BY user_id
-    ), s2 AS (
-      SELECT e.user_id,
-             s1.t_view,
-             min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
-                      AND e.ts <= s1.t_view + INTERVAL 1 HOUR
-                 THEN e.ts END) AS t_click
-      FROM events e JOIN s1 ON s1.user_id = e.user_id
-      GROUP BY e.user_id, s1.t_view
-    ), s3 AS (
-      SELECT e.user_id, s2.t_view, s2.t_click,
-             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
-                      AND e.ts <= s2.t_click + INTERVAL 24 HOUR
-                 THEN e.ts END) AS t_purchase
-      FROM events e JOIN s2 ON s2.user_id = e.user_id
-      GROUP BY e.user_id, s2.t_view, s2.t_click
-    )
-    SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
-           count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_click,
-           count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_purchase,
-           CAST(count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS DOUBLE)
-             / count(CASE WHEN t_view IS NOT NULL THEN 1 END)
-             AS view_to_click,
-           CAST(count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS DOUBLE)
-             / count(CASE WHEN t_click IS NOT NULL THEN 1 END)
-             AS click_to_purchase
-    FROM s3
-    """,
-)
-def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel: first view -> first click AFTER that
-    view (within 1 hour) -> first purchase AFTER that click (within
-    24 hours), per user; one summary row of stage counts and conversion
-    rates. The ordering constraint is
-    what a naive per-type min() gets wrong (a click before the first
-    view must not count).
+def funnel_stages_df(
+    e: DataFrame, stages: list[tuple[str, int | None]]
+) -> DataFrame:
+    """Ordered conversion funnel over an arbitrary stage list: each
+    stage is (event_type, within_hours) — the first stage's window is
+    ignored (its anchor is the user's first such event); every later
+    stage takes the FIRST matching event strictly after the previous
+    stage's timestamp and within its window. Returns one summary row:
+    n_<type> per stage + <prev>_to_<next> conversion rates.
 
-    Scale shape: three aggregations and two joins, ALL keyed on
-    user_id — the events table shuffles once and every later stage
-    reuses that partitioning (co-partitioned joins; plan keeps a single
-    events Exchange per stage chain). The per-user state is three
-    timestamps, never an event list — contrast collect_list funnels,
-    whose per-user payload grows with activity."""
-    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
-            "t_view"
+    Scale shape, independent of stage count: one aggregation + one join
+    per stage, ALL keyed on user_id — the events table shuffles once per
+    stage chain and every join is co-partitioned on that key. Per-user
+    state is one timestamp per stage, never an event list — contrast
+    collect_list funnels, whose per-user payload grows with activity.
+    The ordering constraint is what a naive per-type min() gets wrong
+    (a click before the first view must not count)."""
+    t0 = stages[0][0]
+    cur = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == t0, F.col("ts"))).alias(
+            f"t_{t0}"
         )
     )
-    s2 = (
-        e.join(s1, "user_id")
-        .groupBy("user_id", "t_view")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click")
-                    & (F.col("ts") > F.col("t_view"))
-                    & (
-                        F.col("ts")
-                        <= F.col("t_view") + F.expr("INTERVAL 1 HOUR")
-                    ),
-                    F.col("ts"),
-                )
-            ).alias("t_click")
+    tcols = [f"t_{t0}"]
+    for etype, hours in stages[1:]:
+        prev = tcols[-1]
+        cond = (
+            (F.col("event_type") == etype)
+            & (F.col("ts") > F.col(prev))
+            & (
+                F.col("ts")
+                <= F.col(prev) + F.expr(f"INTERVAL {int(hours)} HOUR")
+            )
         )
-    )
-    s3 = (
-        e.join(s2, "user_id")
-        .groupBy("user_id", "t_view", "t_click")
-        .agg(
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t_click"))
-                    & (
-                        F.col("ts")
-                        <= F.col("t_click") + F.expr("INTERVAL 24 HOUR")
-                    ),
-                    F.col("ts"),
-                )
-            ).alias("t_purchase")
+        cur = (
+            e.join(cur, "user_id")
+            .groupBy("user_id", *tcols)
+            .agg(F.min(F.when(cond, F.col("ts"))).alias(f"t_{etype}"))
         )
-    )
+        tcols.append(f"t_{etype}")
     cnt = lambda c: F.count(F.when(F.col(c).isNotNull(), F.lit(1)))  # noqa: E731
-    return s3.agg(
-        cnt("t_view").alias("n_view"),
-        cnt("t_click").alias("n_click"),
-        cnt("t_purchase").alias("n_purchase"),
-        (cnt("t_click").cast("double") / cnt("t_view")).alias(
-            "view_to_click"
-        ),
-        (cnt("t_purchase").cast("double") / cnt("t_click")).alias(
-            "click_to_purchase"
-        ),
+    aggs = [cnt(f"t_{t}").alias(f"n_{t}") for t, _ in stages]
+    for (a, _), (b, _) in zip(stages, stages[1:]):
+        # try_divide: a dead stage (count 0) yields a NULL rate, not an
+        # ANSI divide-by-zero — mirrored by nullif() in the SQL twin
+        aggs.append(
+            F.try_divide(cnt(f"t_{b}").cast("double"), cnt(f"t_{a}")).alias(
+                f"{a}_to_{b}"
+            )
+        )
+    return cur.agg(*aggs)
+
+
+def sql_funnel(
+    stages: list[tuple[str, int | None]], table: str = "events"
+) -> str:
+    """SQL twin of funnel_stages_df — generated from the same stage
+    list, so every registered funnel's oracle stays in lockstep."""
+    t0 = stages[0][0]
+    ctes = [
+        f"""s0 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = '{t0}' THEN ts END) AS t_{t0}
+      FROM {table} GROUP BY user_id
+    )"""
+    ]
+    tcols = [f"t_{t0}"]
+    for i, (etype, hours) in enumerate(stages[1:], 1):
+        prev = tcols[-1]
+        carried = ", ".join(f"s{i - 1}.{c}" for c in tcols)
+        ctes.append(
+            f"""s{i} AS (
+      SELECT e.user_id, {carried},
+             min(CASE WHEN e.event_type = '{etype}'
+                      AND e.ts > s{i - 1}.{prev}
+                      AND e.ts <= s{i - 1}.{prev} + INTERVAL {int(hours)} HOUR
+                 THEN e.ts END) AS t_{etype}
+      FROM {table} e JOIN s{i - 1} ON s{i - 1}.user_id = e.user_id
+      GROUP BY e.user_id, {carried}
+    )"""
+        )
+        tcols.append(f"t_{etype}")
+    sel = [
+        f"count(CASE WHEN t_{t} IS NOT NULL THEN 1 END) AS n_{t}"
+        for t, _ in stages
+    ]
+    for (a, _), (b, _) in zip(stages, stages[1:]):
+        sel.append(
+            f"CAST(count(CASE WHEN t_{b} IS NOT NULL THEN 1 END) AS DOUBLE)"
+            f"\n             / nullif(count(CASE WHEN t_{a} IS NOT NULL"
+            f" THEN 1 END), 0) AS {a}_to_{b}"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + "\n    SELECT "
+        + ",\n           ".join(sel)
+        + f"\n    FROM s{len(stages) - 1}"
     )
+
+
+FUNNEL_3STAGE = [("view", None), ("click", 1), ("purchase", 24)]
+FUNNEL_4STAGE = [
+    ("signup", None), ("view", 24), ("click", 1), ("purchase", 24),
+]
+
+
+@register("funnel_view_click_purchase", sql_funnel(FUNNEL_3STAGE))
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first view -> first click after it (1 h) -> first purchase after
+    that (24 h); see funnel_stages_df for semantics and scale shape."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel_stages_df(e, FUNNEL_3STAGE)
+
+
+@register("funnel_signup_4stage", sql_funnel(FUNNEL_4STAGE))
+def funnel_signup_4stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-stage funnel (signup -> view in 24 h -> click in 1 h ->
+    purchase in 24 h) through the same stage-list builder — the proof
+    the funnel machinery composes to arbitrary depth with one keyed
+    agg+join per added stage."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel_stages_df(e, FUNNEL_4STAGE)
 
 
 @register(
