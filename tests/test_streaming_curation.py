@@ -168,3 +168,124 @@ def test_cli_curate_incremental(spark, doc_dir, tmp_path, capsys):
     assert rc == 0
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["rows_total"] == out1["rows_total"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch NEAR-dup admission (r7): band-table state survives restart
+# ---------------------------------------------------------------------------
+def _read_batches(spark, table_dir):
+    dirs = [
+        p for p in os.listdir(table_dir) if p.startswith("_batch_id=")
+    ] if os.path.isdir(table_dir) else []
+    if not dirs:
+        return None
+    return spark.read.parquet(*[f"{table_dir}/{p}" for p in dirs])
+
+
+def test_neardup_admission_survives_restart(spark, tmp_path):
+    """A PARAPHRASED duplicate (new fingerprint, high MinHash-Jaccard)
+    of a doc admitted before a restart must be rejected by the band-join
+    against the persisted state; a genuinely fresh doc must pass. The
+    verdicts must equal the batch dedup_incremental machinery run over
+    (admitted corpus, new batch)."""
+    from tidb_lightning_spark.functions import dedup as D
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    d = str(tmp_path / "docs_nd")
+    wh, ckpt, state = (
+        str(tmp_path / "wh"), str(tmp_path / "ckpt"), str(tmp_path / "st")
+    )
+    docs = read_table(spark, f"{SF_SMOKE}/documents.parquet").select(
+        *[f.name for f in C.DOC_SCHEMA.fields]
+    )
+    docs.orderBy("doc_id").limit(20).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/f=a")
+
+    C.curate_to_warehouse_neardup(spark, d, wh, ckpt, state)
+    first = _read_batches(spark, wh)
+    admitted1 = first.select("doc_id", "text").collect()
+    assert admitted1, "first drain admitted nothing"
+    base = max(admitted1, key=lambda r: len(r["text"]))
+    assert len(base["text"].split()) > 20, "fixture text too short"
+
+    # paraphrase: append one word -> new fingerprint, Jaccard stays high
+    para_text = base["text"] + " addendum"
+    fresh_text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts rehearse an entirely unrelated procedure in orbit "
+        "and the committee debates whether marmalade belongs on toast "
+        "every single morning without fail for reasons nobody remembers "
+        "anymore but tradition demands it continue indefinitely somehow"
+    )
+    spark.createDataFrame(
+        [
+            (900001, para_text, "en", "web", len(para_text)),
+            (900002, fresh_text, "en", "web", len(fresh_text)),
+        ],
+        C.DOC_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/f=b")
+
+    # restart: a NEW invocation on the same checkpoint + state dirs
+    C.curate_to_warehouse_neardup(spark, d, wh, ckpt, state)
+    all_ids = {r["doc_id"] for r in _read_batches(spark, wh).collect()}
+    assert 900002 in all_ids, "fresh doc was wrongly rejected"
+    assert 900001 not in all_ids, (
+        "paraphrased near-dup re-admitted after restart"
+    )
+
+    # batch equivalence: same verdicts from the batch band-join machinery
+    ref = first.select("doc_id", "text")
+    new = spark.read.parquet(f"{d}/f=b").select("doc_id", "text")
+    sig_ref = D.minhash_wide_df(ref, "doc_id", "text")
+    sig_new = D.minhash_wide_df(new, "doc_id", "text")
+    cand = (
+        D.band_hashes_df(sig_new, "doc_id")
+        .select(F.col("doc_id").alias("_new"), "band_idx", "band_hash")
+        .join(
+            D.band_hashes_df(sig_ref, "doc_id").select(
+                F.col("doc_id").alias("_ref"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .select("_new", "_ref")
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(D.N_MINHASH)
+    )
+    est = (
+        cand.join(
+            sig_new.select(
+                F.col("doc_id").alias("_new"),
+                *[
+                    F.col(f"mh{j}").alias(f"a{j}")
+                    for j in range(D.N_MINHASH)
+                ],
+            ),
+            "_new",
+        )
+        .join(
+            sig_ref.select(
+                F.col("doc_id").alias("_ref"),
+                *[
+                    F.col(f"mh{j}").alias(f"b{j}")
+                    for j in range(D.N_MINHASH)
+                ],
+            ),
+            "_ref",
+        )
+        .groupBy("_new")
+        .agg(
+            F.max(
+                matches.cast("double") / F.lit(float(D.N_MINHASH))
+            ).alias("max_est")
+        )
+    )
+    batch_dups = {
+        r["_new"] for r in est.filter(F.col("max_est") >= 0.5).collect()
+    }
+    assert batch_dups == {900001}, (
+        f"batch machinery disagrees with streaming drop set: {batch_dups}"
+    )

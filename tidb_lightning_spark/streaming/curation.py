@@ -111,3 +111,132 @@ def curate_to_warehouse(
     stream = read_document_stream(spark, src_dir)
     curated = curate_stream(stream, min_quality=min_quality)
     stream_to_warehouse(curated, table_dir, checkpoint_dir)
+
+
+def curate_to_warehouse_neardup(
+    spark: SparkSession,
+    src_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    min_quality: float = 0.0,
+    threshold: float = 0.5,
+) -> None:
+    """Continuous curation with cross-batch NEAR-dup admission: exact
+    dedup (fingerprint state in the streaming checkpoint) is followed,
+    per micro-batch, by the banded-MinHash admission check the batch
+    surface runs as dedup_incremental_vs_reference — the admitted
+    corpus is represented by its persisted BAND TABLE + signatures
+    (a few longs per doc under `state_dir`), never its text, so a
+    paraphrased duplicate of anything admitted in ANY earlier batch —
+    including before a restart — is rejected at the band join.
+
+    Exactly-once discipline: output docs, band rows, and signature rows
+    each land in `_batch_id=N` overwrite directories (the
+    stream_to_warehouse pattern), and the historical side of the band
+    join filters `_batch_id < N` — a replayed batch neither sees its own
+    half-written state nor duplicates it. Within a batch, near-dup pairs
+    keep the lower doc_id (the batch keep-min-id rule).
+
+    Scale shape per batch: signatures are computed once for the batch;
+    the candidate join is batch-bands x historical-bands on
+    (band_idx, band_hash); signature columns join back only for
+    candidates. The historical band table grows with the ADMITTED corpus
+    (rejected docs never enter it) and is ordinary partitioned parquet —
+    compactable offline, shared with batch jobs."""
+    import os
+
+    from tidb_lightning_spark.functions import dedup as D
+    from tidb_lightning_spark.streaming.events import stream_to_warehouse
+
+    bands_dir = os.path.join(state_dir, "bands")
+    sigs_dir = os.path.join(state_dir, "sigs")
+    mh_cols = [f"mh{j}" for j in range(D.N_MINHASH)]
+
+    def _matches(a_pref: str, b_pref: str):
+        m = sum(
+            F.when(
+                F.col(f"{a_pref}{j}") == F.col(f"{b_pref}{j}"), 1
+            ).otherwise(0)
+            for j in range(D.N_MINHASH)
+        )
+        return m.cast("double") / F.lit(float(D.N_MINHASH))
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sig = D.minhash_wide_df(batch_df, "doc_id", "text").persist()
+        bands_new = D.band_hashes_df(sig, "doc_id")
+
+        dropped = None
+        if os.path.isdir(bands_dir):
+            hist_bands = spark.read.parquet(bands_dir).filter(
+                F.col("_batch_id") < batch_id
+            )
+            hist_sigs = spark.read.parquet(sigs_dir).filter(
+                F.col("_batch_id") < batch_id
+            )
+            cand = (
+                bands_new.select(
+                    F.col("doc_id").alias("_new"), "band_idx", "band_hash"
+                )
+                .join(
+                    hist_bands.select(
+                        F.col("doc_id").alias("_ref"),
+                        "band_idx",
+                        "band_hash",
+                    ),
+                    ["band_idx", "band_hash"],
+                )
+                .select("_new", "_ref")
+                .distinct()
+            )
+            wa = sig.select(
+                F.col("doc_id").alias("_new"),
+                *[F.col(c).alias(f"a{j}") for j, c in enumerate(mh_cols)],
+            )
+            wb = hist_sigs.select(
+                F.col("doc_id").alias("_ref"),
+                *[F.col(c).alias(f"b{j}") for j, c in enumerate(mh_cols)],
+            )
+            dropped = (
+                cand.join(wa, "_new")
+                .join(wb, "_ref")
+                .filter(_matches("a", "b") >= F.lit(threshold))
+                .select(F.col("_new").alias("doc_id"))
+                .distinct()
+            )
+
+        # within-batch near-dups: candidate pairs keep the lower doc_id
+        # (signatures= reuses this batch's persisted signature scan)
+        pairs = D.lsh_candidate_pairs(
+            batch_df, "doc_id", "text", signatures=sig
+        )
+        intra = (
+            pairs.filter(F.col("est_jaccard") >= F.lit(threshold))
+            .select(F.col("b").alias("doc_id"))
+            .distinct()
+        )
+        dropped = intra if dropped is None else dropped.unionByName(
+            intra
+        ).distinct()
+
+        admitted = batch_df.join(dropped, "doc_id", "left_anti").persist()
+        admitted.write.mode("overwrite").parquet(
+            f"{table_dir}/_batch_id={batch_id}"
+        )
+        adm_ids = admitted.select("doc_id")
+        bands_new.join(adm_ids, "doc_id").write.mode("overwrite").parquet(
+            f"{bands_dir}/_batch_id={batch_id}"
+        )
+        sig.join(adm_ids, "doc_id").select(
+            "doc_id", *mh_cols
+        ).write.mode("overwrite").parquet(
+            f"{sigs_dir}/_batch_id={batch_id}"
+        )
+        admitted.unpersist()
+        sig.unpersist()
+
+    stream = read_document_stream(spark, src_dir)
+    curated = curate_stream(stream, min_quality=min_quality)
+    stream_to_warehouse(
+        curated, table_dir, checkpoint_dir, write_batch=admit_batch
+    )

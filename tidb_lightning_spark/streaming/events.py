@@ -218,6 +218,7 @@ def stream_to_warehouse(
     table_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    write_batch=None,
 ):
     """Exactly-once streaming ingest into the warehouse layout via
     foreachBatch: every micro-batch lands in its own
@@ -231,7 +232,7 @@ def stream_to_warehouse(
     swaps part-file names and a cached FileIndex would go stale.
     """
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+    def _default_write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.write.mode("overwrite").parquet(
                 f"{table_dir}/_batch_id={batch_id}"
@@ -239,7 +240,7 @@ def stream_to_warehouse(
         )
 
     writer = (
-        df.writeStream.foreachBatch(write_batch)
+        df.writeStream.foreachBatch(write_batch or _default_write_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
