@@ -35,6 +35,86 @@ def time_df(df) -> float:
     return time.time() - t0
 
 
+def _zorder_bench(spark, sf_dir: str) -> dict:
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_spark.sinks.files_sink import (
+        FilesSink,
+        write_zordered,
+    )
+
+    src = f"{sf_dir}/lineitem.parquet"
+    li = spark.read.parquet(src)
+    size = os.path.getsize(src) if os.path.isfile(src) else sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src) for f in fs
+    )
+    wh = tempfile.mkdtemp(prefix="tls_bench_z")
+    sink = FilesSink(wh)
+    sink.write_table(
+        li, "bench", "li_plain",
+        sort_columns=["l_orderkey", "l_linenumber"], source_bytes=size,
+    )
+    write_zordered(
+        sink, li, "bench", "li_z", ["l_partkey", "l_suppkey"],
+        source_bytes=size,
+    )
+
+    # ~5% box in each dimension (sf0.1: partkey 0..19999, suppkey 0..999)
+    pk_lo, pk_hi = 5000, 5999
+    sk_lo, sk_hi = 200, 249
+
+    def files_intersecting(table: str) -> tuple[int, int]:
+        paths = glob.glob(f"{wh}/bench/{table}/*.parquet")
+        hit = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            names = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            mn = {"l_partkey": None, "l_suppkey": None}
+            mx = {"l_partkey": None, "l_suppkey": None}
+            for rg in range(md.num_row_groups):
+                for c in mn:
+                    st = md.row_group(rg).column(names[c]).statistics
+                    mn[c] = st.min if mn[c] is None else min(mn[c], st.min)
+                    mx[c] = st.max if mx[c] is None else max(mx[c], st.max)
+            if mn["l_partkey"] <= pk_hi and mx["l_partkey"] >= pk_lo and \
+               mn["l_suppkey"] <= sk_hi and mx["l_suppkey"] >= sk_lo:
+                hit += 1
+        return hit, len(paths)
+
+    def scan_sec(table: str) -> float:
+        df = (
+            spark.read.parquet(f"{wh}/bench/{table}")
+            .filter(
+                (F.col("l_partkey").between(pk_lo, pk_hi))
+                & (F.col("l_suppkey").between(sk_lo, sk_hi))
+            )
+        )
+        df.count()  # warm
+        t0 = time.time()
+        df.count()
+        return time.time() - t0
+
+    z_hit, z_total = files_intersecting("li_z")
+    p_hit, p_total = files_intersecting("li_plain")
+    out = {
+        "zorder_files_scanned": z_hit,
+        "zorder_files_total": z_total,
+        "plain_files_scanned": p_hit,
+        "plain_files_total": p_total,
+        "zorder_scan_sec": round(scan_sec("li_z"), 4),
+        "plain_scan_sec": round(scan_sec("li_plain"), 4),
+    }
+    shutil.rmtree(wh, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -127,6 +207,17 @@ def main() -> None:
         pass
     except Exception as exc:
         print(f"bench: ingest failed: {exc}", file=sys.stderr)
+
+    # Z-order clustering benefit (K2/L4): the same lineitem written
+    # PK-sorted vs Z-ordered on (l_partkey, l_suppkey), then a selective
+    # 2-dim box scan on both. Reported: parquet files whose footer
+    # min/max intersect the box (what a scan must open) and the scan
+    # wall. PK order gives no locality on either column -> every file
+    # intersects; the Morton layout confines the box to a few files.
+    try:
+        extras.update(_zorder_bench(spark, sf_dir))
+    except Exception as exc:
+        print(f"bench: zorder failed: {exc}", file=sys.stderr)
 
     # Per-query MEDIAN of `reps` in-process repetitions (r4 verdict item
     # 8: single-shot numbers on this box swing ~20% under load, so

@@ -186,3 +186,20 @@ def test_preflight_names_missing_s3a_connector(spark, tmp_path):
     preflight_remote_scheme(spark, str(tmp_path))
     preflight_remote_scheme(spark, f"file://{tmp_path}")
     preflight_remote_scheme(spark, "viewfs://any/mount")
+
+
+def test_preflight_resolves_hadoop_version_and_endpoint_keys(spark):
+    """r7: the remedy is copy-pasteable — <hadoop-version> resolves to
+    the running JVM's Hadoop, and S3-compatible endpoint confs are
+    named for local stores (MinIO/moto)."""
+    from tidb_lightning_spark.pipeline import (
+        IngestError,
+        preflight_remote_scheme,
+    )
+
+    hv = str(spark._jvm.org.apache.hadoop.util.VersionInfo.getVersion())
+    with pytest.raises(IngestError) as ei:
+        preflight_remote_scheme(spark, "s3a://bucket/dump")
+    msg = str(ei.value)
+    assert f"hadoop-aws:{hv}" in msg, msg
+    assert "fs.s3a.endpoint" in msg and "path.style.access" in msg, msg

@@ -51,7 +51,9 @@ _REMOTE_SCHEME_HINTS = {
         "SDK); pass via spark.jars.packages or drop hadoop-aws + "
         "aws-java-sdk-bundle jars on the classpath",
         "fs.s3a.access.key / fs.s3a.secret.key (or an IAM instance "
-        "profile / AWS_* env credentials)",
+        "profile / AWS_* env credentials); for S3-COMPATIBLE stores "
+        "(MinIO, moto, Ceph RGW) also fs.s3a.endpoint=http://host:port "
+        "and fs.s3a.path.style.access=true",
     ),
     "s3": (
         "org.apache.hadoop:hadoop-aws:<hadoop-version>, plus "
@@ -94,6 +96,15 @@ def preflight_remote_scheme(spark, uri: str | None) -> None:
         jars, creds = _REMOTE_SCHEME_HINTS.get(
             scheme, (f"a Hadoop FileSystem connector for '{scheme}://'", "-")
         )
+        # resolve <hadoop-version> to THIS JVM's Hadoop so the remedy is
+        # copy-pasteable (connector jars must match the Hadoop minor)
+        try:
+            hv = str(
+                spark._jvm.org.apache.hadoop.util.VersionInfo.getVersion()
+            )
+            jars = jars.replace("<hadoop-version>", hv)
+        except Exception:
+            pass
         raise IngestError(
             f"no Hadoop FileSystem for scheme '{scheme}://' ({uri!r}): "
             f"this Spark classpath cannot reach the store. Add {jars}; "
