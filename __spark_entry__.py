@@ -39,6 +39,9 @@ _DRIVER_PRIORITY = [
     "customer_rfm_segments_hist",
     "funnel_signup_4stage",
     "events_distinct_users_hll_merged",
+    "split_contamination_13gram",
+    "corpus_zipf_profile",
+    "bpe_merge_pair_stats",
     # re-verify: implementation or oracle changed in r7
     "vocab_token_ids",
     "corpus_temperature_sample",

@@ -4316,3 +4316,263 @@ def vocab_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7: n-gram decontamination, corpus Zipf profile, BPE pair statistics
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 13  # the GPT-3 decontamination window (Brown et al. 2020, App. C)
+
+
+def _ngram13_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    bucket = TX.sql_hash60("concat(CAST(doc_id AS VARCHAR), ':split-v1')")
+    n = NGRAM_N
+    return f"""
+    WITH labeled AS (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             t
+      FROM (SELECT doc_id, {bucket} % 100 AS b, {toks} AS t
+            FROM documents)
+    ), grams AS (
+      SELECT DISTINCT doc_id, split, g
+      FROM labeled, UNNEST(
+        CASE WHEN len(t) >= {n}
+             THEN list_transform(range(1, len(t) - {n - 2}),
+                    i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))
+             ELSE CAST([] AS VARCHAR[]) END) AS u(g)
+    ), train_g AS (
+      SELECT DISTINCT g FROM grams WHERE split = 'train'
+    ), test_g AS (
+      SELECT doc_id, g FROM grams WHERE split = 'test'
+    ), per AS (
+      SELECT tg.doc_id,
+             count(*) AS n_grams,
+             count(train_g.g) AS n_contaminated
+      FROM test_g tg LEFT JOIN train_g ON train_g.g = tg.g
+      GROUP BY tg.doc_id
+    )
+    SELECT l.doc_id,
+           CAST(coalesce(per.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(per.n_contaminated, 0) AS BIGINT)
+             AS n_contaminated,
+           coalesce(per.n_contaminated, 0) > 0 AS is_contaminated
+    FROM labeled l LEFT JOIN per ON per.doc_id = l.doc_id
+    WHERE l.split = 'test'
+    ORDER BY l.doc_id
+    """
+
+
+@register("split_contamination_13gram", _ngram13_oracle())
+def split_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style n-gram eval decontamination (Brown et al. 2020,
+    Appendix C): a held-out (test-split) document is contaminated if ANY
+    of its 13-token windows also occurs anywhere in the train split —
+    the standard before-reporting-evals sweep, catching partial overlap
+    that exact-fingerprint decontamination (split_contamination) misses
+    and near-dup LSH underweights (a long doc quoting 13 tokens of a
+    train doc has tiny Jaccard but is still leaked).
+
+    Scale shape: grams explode linearly in corpus token count and
+    immediately reduce to DISTINCT (doc, gram) map-side; the join keys
+    on the gram string against the DISTINCT train-gram set (at real
+    scale, hash the gram to a 60-bit long and join on that — same
+    contract). No all-pairs doc comparison anywhere."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        TX.hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":split-v1"))
+        )
+        % 100
+    )
+    t = TX.tokens(F.lower(F.col("text")))
+    labeled = d.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        t.alias("t"),
+    )
+    grams_arr = F.when(
+        F.size("t") >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - F.lit(NGRAM_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, NGRAM_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        labeled.select("doc_id", "split", F.explode(grams_arr).alias("g"))
+        .distinct()
+    )
+    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    test_g = grams.filter(F.col("split") == "test").select("doc_id", "g")
+    per = (
+        test_g.join(
+            train_g.select(F.col("g").alias("_tg")),
+            F.col("g") == F.col("_tg"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_tg").alias("n_contaminated"),
+        )
+    )
+    return (
+        labeled.filter(F.col("split") == "test")
+        .select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            (F.coalesce(F.col("n_contaminated"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _zipf_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    return f"""
+    WITH tf AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest({toks}) AS tok FROM documents)
+      GROUP BY tok
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tf
+    ), top10 AS (
+      SELECT CAST(sum(c) AS BIGINT) AS s FROM
+        (SELECT c FROM tf ORDER BY c DESC, tok LIMIT 10)
+    ), top100 AS (
+      SELECT CAST(sum(c) AS BIGINT) AS s FROM
+        (SELECT c FROM tf ORDER BY c DESC, tok LIMIT 100)
+    )
+    SELECT tot.n_tokens, tot.n_types,
+           CAST(top10.s AS DOUBLE) / tot.n_tokens AS top10_share,
+           CAST(top100.s AS DOUBLE) / tot.n_tokens AS top100_share,
+           CAST(tot.n_hapax AS DOUBLE) / tot.n_types AS hapax_frac
+    FROM tot, top10, top100
+    """
+
+
+@register("corpus_zipf_profile", _zipf_oracle())
+def corpus_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-distribution health check: total/type counts,
+    the token share captured by the top-10 and top-100 types, and the
+    hapax (frequency-1) fraction of the vocabulary. A natural corpus is
+    zipfian (top-100 share high, hapax frac ~0.4-0.6); template spam
+    collapses the tail, OCR noise explodes it — the single-row profile a
+    curation run checks before tokenizer training.
+
+    Scale shape: one (token, count) agg with map-side combine; the
+    top-k sums are TakeOrdered (distributed heap top-k, NO global sort
+    or single-partition window); everything joins back as 1-row
+    broadcasts. Exact integer sums, one final division per ratio."""
+    d = widen(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+
+    def top_sum(k: int, name: str) -> DataFrame:
+        return (
+            tf.orderBy(F.col("c").desc(), "tok")
+            .limit(k)
+            .agg(F.sum("c").cast("long").alias(name))
+        )
+
+    return (
+        tot.crossJoin(F.broadcast(top_sum(10, "_s10")))
+        .crossJoin(F.broadcast(top_sum(100, "_s100")))
+        .select(
+            "n_tokens",
+            "n_types",
+            (F.col("_s10").cast("double") / F.col("n_tokens")).alias(
+                "top10_share"
+            ),
+            (F.col("_s100").cast("double") / F.col("n_tokens")).alias(
+                "top100_share"
+            ),
+            (F.col("n_hapax").cast("double") / F.col("n_types")).alias(
+                "hapax_frac"
+            ),
+        )
+    )
+
+
+def _bpe_pairs_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    return f"""
+    WITH words AS (
+      SELECT unnest({toks}) AS w FROM documents
+    ), pairs AS (
+      SELECT p, count(*) AS n
+      FROM words, UNNEST(
+        CASE WHEN length(w) >= 2
+             THEN list_transform(range(1, length(w)),
+                                 i -> substr(w, i, 2))
+             ELSE CAST([] AS VARCHAR[]) END) AS u(p)
+      GROUP BY p
+    )
+    SELECT p AS pair, CAST(n AS BIGINT) AS n_occurrences
+    FROM pairs ORDER BY n DESC, p LIMIT 50
+    """
+
+
+@register("bpe_merge_pair_stats", _bpe_pairs_oracle())
+def bpe_merge_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge statistics: the 50 most frequent
+    adjacent character pairs inside words — exactly the candidate set
+    BPE tokenizer training (Sennrich et al. 2016) evaluates for its
+    first merge, and the corpus signal that sizes a vocabulary budget.
+    Distinct from top_bigrams (word pairs): this operates at the
+    subword level.
+
+    Scale shape: pairs explode linearly in corpus character count and
+    collapse to (pair, count) with map-side combine — the pair alphabet
+    is tiny (alphabet^2), so the shuffle is bounded regardless of corpus
+    size; top-50 is TakeOrdered."""
+    d = widen(spark, sf_dir, "documents")
+    w = F.col("w")
+    pairs_arr = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: F.substr(w, i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+        .select(F.explode(pairs_arr).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("p").alias("pair"),
+            F.col("n").cast("long").alias("n_occurrences"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(50)
+    )
