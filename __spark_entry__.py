@@ -42,6 +42,7 @@ _DRIVER_PRIORITY = [
     "split_contamination_13gram",
     "corpus_zipf_profile",
     "bpe_merge_pair_stats",
+    "bpe_train_merges",
     # re-verify: implementation or oracle changed in r7
     "vocab_token_ids",
     "corpus_temperature_sample",

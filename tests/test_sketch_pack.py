@@ -143,3 +143,64 @@ def test_hll_vectors_fold_null_keys_like_direct(spark):
     assert (est["est_distinct"], est["registers_hit"]) == (
         direct["est_distinct"], direct["registers_hit"],
     )
+
+
+def test_bpe_merge_ltr_semantics_on_runs(spark):
+    """The double-separator replace trick must reproduce canonical
+    greedy left-to-right BPE on self-pair runs: 'aaa' -> [aa, a],
+    'aaaa' -> [aa, aa], 'abab' with merge (a,b) -> [ab, ab]."""
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_spark.plans.queries import BPE_SEP
+
+    s2 = BPE_SEP + BPE_SEP
+
+    def segs_after_merge(word: str, l: str, r: str) -> list[str]:
+        df = spark.createDataFrame([(word,)], "w string")
+        seg0 = F.concat(
+            F.lit(s2),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w")),
+                    lambda i: F.substr(F.col("w"), i, F.lit(1)),
+                ),
+                s2,
+            ),
+            F.lit(s2),
+        )
+        pattern = BPE_SEP + l + s2 + r + BPE_SEP
+        repl = BPE_SEP + l + r + BPE_SEP
+        out = df.select(
+            F.filter(
+                F.split(
+                    F.replace(seg0, F.lit(pattern), F.lit(repl)), s2
+                ),
+                lambda x: x != "",
+            ).alias("t")
+        ).collect()[0]["t"]
+        return list(out)
+
+    assert segs_after_merge("aaa", "a", "a") == ["aa", "a"]
+    assert segs_after_merge("aaaa", "a", "a") == ["aa", "aa"]
+    assert segs_after_merge("aaaaa", "a", "a") == ["aa", "aa", "a"]
+    assert segs_after_merge("abab", "a", "b") == ["ab", "ab"]
+    assert segs_after_merge("aab", "a", "b") == ["a", "ab"]
+    assert segs_after_merge("abx", "a", "b") == ["ab", "x"]
+    # prefix/suffix must NOT false-match: merging (a,b) leaves (a,bx)
+    assert segs_after_merge("ab", "a", "b") == ["ab"]
+
+
+def test_bpe_train_merges_are_monotone_and_composed(spark):
+    """Merge counts never increase with step (greedy argmax over a
+    shrinking pair population can only see <= the previous max), and a
+    later merge may build on an earlier merged symbol."""
+    from tidb_lightning_spark.plans import queries as Q
+
+    from .conftest import SF_CORRECTNESS
+
+    rows = Q.bpe_train_merges(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == Q.BPE_MERGES
+    ns = [r["n_occurrences"] for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:])), ns
+    for r in rows:
+        assert r["merged"] == r["left"] + r["right"]

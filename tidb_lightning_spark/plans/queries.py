@@ -4576,3 +4576,172 @@ def bpe_merge_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(50)
     )
+
+
+BPE_SEP = "\x1f"  # unit separator: never in whitespace-split tokens (scrubbed)
+BPE_MERGES = 6
+
+
+def _bpe_train_oracle(n_merges: int = BPE_MERGES) -> str:
+    s, s2 = BPE_SEP, BPE_SEP + BPE_SEP
+    toks = TX.SQL_TOKENS.format(
+        col=f"translate(lower(text), '{s}', '')"
+    )
+    # MATERIALIZED everywhere: the step chain is deep (w5 <- w4 <- ...)
+    # and the merge pattern references the per-step argmax row — without
+    # materialization DuckDB may inline/re-evaluate the whole prefix per
+    # row, turning k linear steps into exponential recompute.
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT '{s2}' || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)), '{s2}')
+             || '{s2}' AS seg
+      FROM (SELECT unnest({toks}) AS w FROM documents)
+    )"""
+    ]
+    selects = []
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{k} AS (
+      SELECT t[i] AS l, t[i + 1] AS r, count(*) AS n
+      FROM (SELECT list_filter(string_split(seg, '{s2}'), x -> x != '')
+              AS t FROM w{k - 1}),
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY l, r
+    ), m{k} AS MATERIALIZED (
+      SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1
+    )"""
+        )
+        if k < n_merges:
+            ctes.append(
+                f"""w{k} AS MATERIALIZED (
+      SELECT replace(seg, '{s}' || m.l || '{s2}' || m.r || '{s}',
+                     '{s}' || m.l || m.r || '{s}') AS seg
+      FROM w{k - 1}, m{k} m
+    )"""
+            )
+        selects.append(
+            f"SELECT {k} AS step, l AS left, r AS right, "
+            f"l || r AS merged, CAST(n AS BIGINT) AS n_occurrences "
+            f"FROM m{k}"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + "\n    SELECT CAST(step AS BIGINT) AS step, \"left\", \"right\","
+        + " merged, n_occurrences FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY step"
+    )
+
+
+@register("bpe_train_merges", _bpe_train_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training — the first BPE_MERGES merges
+    (Sennrich et al. 2016) learned over the corpus, returned as the
+    merge table (step, left, right, merged, n_occurrences): the actual
+    artifact a tokenizer ships. Each step counts adjacent segment pairs
+    corpus-wide, takes the argmax under the deterministic
+    (count desc, left, right) order, and applies the merge EXACTLY as
+    canonical left-to-right BPE does.
+
+    The merge-application trick: words are segment strings with DOUBLE
+    separators ('{SEP}{SEP}' at every boundary) and each merge is one
+    plain string replace of '{SEP}l{SEP}{SEP}r{SEP}' with
+    '{SEP}lr{SEP}' — the pattern consumes one separator from each
+    boundary and the replacement restores them, so consecutive and
+    overlapping-run occurrences merge with canonical greedy LTR
+    semantics in a single linear scan, identical in Spark and DuckDB
+    (the full k-step training replays in the SQL oracle, scalar-subquery
+    argmax per step — the same replay-the-training standard as the IVF
+    k-means oracle).
+
+    Scale shape: each step is one (left, right) count agg with map-side
+    combine (pair alphabet bounds the shuffle) + one map-only replace;
+    k steps = k linear scans of the cached segment column — BPE's
+    inherent shape; production trainers run it on a sample, same
+    contract. Driver state is one (l, r, n) row per step."""
+    s2 = BPE_SEP + BPE_SEP
+    d = load(spark, sf_dir, "documents")
+    w = F.col("w")
+    seg0 = F.concat(
+        F.lit(s2),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.substr(w, i, F.lit(1)),
+            ),
+            s2,
+        ),
+        F.lit(s2),
+    )
+    corpus = (
+        d.select(
+            F.explode(
+                TX.tokens(
+                    F.lower(F.translate(F.col("text"), BPE_SEP, ""))
+                )
+            ).alias("w")
+        )
+        .select(seg0.alias("seg"))
+        .persist()
+    )
+    merges = []
+    prev = None
+    cur = corpus
+    for step in range(1, BPE_MERGES + 1):
+        t = F.filter(F.split(F.col("seg"), s2), lambda x: x != "")
+        pairs = (
+            cur.select(t.alias("t"))
+            .select(
+                F.explode(
+                    F.when(
+                        F.size("t") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("t") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("t"), i).alias("l"),
+                                F.element_at(F.col("t"), i + 1).alias(
+                                    "r"
+                                ),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<l:string,r:string>>"
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.l", "p.r")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if prev is not None:
+            prev.unpersist()
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
+        merges.append((step, l, r, l + r, n))
+        if step < BPE_MERGES:
+            pattern = BPE_SEP + l + s2 + r + BPE_SEP
+            repl = BPE_SEP + l + r + BPE_SEP
+            prev, cur = cur, cur.select(
+                F.replace(
+                    F.col("seg"), F.lit(pattern), F.lit(repl)
+                ).alias("seg")
+            ).persist()
+    if prev is not None:
+        prev.unpersist()
+    corpus.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step bigint, left string, right string, merged string, "
+        "n_occurrences bigint",
+    ).orderBy("step")
