@@ -43,6 +43,7 @@ _DRIVER_PRIORITY = [
     "corpus_zipf_profile",
     "bpe_merge_pair_stats",
     "bpe_train_merges",
+    "top_tokens_cms",
     # re-verify: implementation or oracle changed in r7
     "vocab_token_ids",
     "corpus_temperature_sample",

@@ -289,3 +289,48 @@ def test_neardup_admission_survives_restart(spark, tmp_path):
     assert batch_dups == {900001}, (
         f"batch machinery disagrees with streaming drop set: {batch_dups}"
     )
+
+
+def test_cli_curate_neardup_flag(spark, tmp_path, capsys):
+    """`cli curate --neardup` wires the band-table admission path; a
+    paraphrase arriving in a later drain is rejected."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from tidb_lightning_spark import cli
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    d = str(tmp_path / "docs_cli_nd")
+    target = str(tmp_path / "nd_wh")
+    docs = read_table(spark, f"{SF_SMOKE}/documents.parquet").select(
+        *[f.name for f in C.DOC_SCHEMA.fields]
+    )
+    docs.orderBy("doc_id").limit(10).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/f=a")
+    rc = cli.main(
+        ["curate", "--source", d, "--target", target, "--neardup"]
+    )
+    assert rc == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["ok"] and out1["rows_total"] > 0
+    assert os.path.isdir(os.path.join(target, "_curate_state", "bands"))
+
+    base = max(
+        spark.read.parquet(f"{target}/documents_curated").collect(),
+        key=lambda r: len(r["text"]),
+    )
+    spark.createDataFrame(
+        [Row(doc_id=777777, text=base["text"] + " coda", lang="en",
+             source="web", n_chars=len(base["text"]) + 5)],
+        C.DOC_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/f=b")
+    rc = cli.main(
+        ["curate", "--source", d, "--target", target, "--neardup"]
+    )
+    assert rc == 0
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows_total"] == out1["rows_total"], (
+        "paraphrase admitted through the CLI neardup path"
+    )

@@ -148,6 +148,14 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-quality", type=float, default=0.0,
                     help="additional quality_score floor on top of the "
                          "Gopher repetition gate")
+    cu.add_argument("--neardup", action="store_true",
+                    help="also reject cross-batch NEAR-duplicates via the "
+                         "banded-MinHash band table persisted under "
+                         "<target>/_curate_state (paraphrases of anything "
+                         "admitted earlier, incl. before restarts)")
+    cu.add_argument("--neardup-threshold", type=float, default=0.5,
+                    help="estimated-Jaccard rejection threshold (with "
+                         "--neardup)")
     cu.add_argument("--log-level", default="INFO")
 
     rp = sub.add_parser(
@@ -391,18 +399,32 @@ def _curate(args) -> int:
     `<target>/_curate_ckpt`, so re-running admits each fingerprint at
     most once across all invocations."""
     from tidb_lightning_spark.session import get_spark
-    from tidb_lightning_spark.streaming.curation import curate_to_warehouse
+    from tidb_lightning_spark.streaming.curation import (
+        curate_to_warehouse,
+        curate_to_warehouse_neardup,
+    )
 
     spark = get_spark(app_name="tls-curate")
     spark.sparkContext.setLogLevel("WARN")
     table_dir = os.path.join(args.target, "documents_curated")
-    curate_to_warehouse(
-        spark,
-        args.source,
-        table_dir,
-        os.path.join(args.target, "_curate_ckpt"),
-        min_quality=args.min_quality,
-    )
+    if getattr(args, "neardup", False):
+        curate_to_warehouse_neardup(
+            spark,
+            args.source,
+            table_dir,
+            os.path.join(args.target, "_curate_ckpt"),
+            os.path.join(args.target, "_curate_state"),
+            min_quality=args.min_quality,
+            threshold=args.neardup_threshold,
+        )
+    else:
+        curate_to_warehouse(
+            spark,
+            args.source,
+            table_dir,
+            os.path.join(args.target, "_curate_ckpt"),
+            min_quality=args.min_quality,
+        )
     batches = sorted(
         p for p in os.listdir(table_dir) if p.startswith("_batch_id=")
     ) if os.path.isdir(table_dir) else []

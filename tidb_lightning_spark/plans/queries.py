@@ -4745,3 +4745,113 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step bigint, left string, right string, merged string, "
         "n_occurrences bigint",
     ).orderBy("step")
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024  # counters per row; d*w = 4096 longs total
+
+
+def _cms_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    bucket = lambda j: (  # noqa: E731
+        TX.sql_hash60(f"concat(tok, ':cms-v{j}')") + f" % {CMS_WIDTH}"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest({toks}) AS tok FROM documents
+    ), rows_ AS (
+      SELECT j, CASE {' '.join(
+          f"WHEN j = {j} THEN {bucket(j)}" for j in range(CMS_DEPTH)
+      )} END AS b
+      FROM tok, UNNEST(range(0, {CMS_DEPTH})) AS u(j)
+    ), counters AS (
+      SELECT j, b, count(*) AS c FROM rows_ GROUP BY j, b
+    ), exact AS (
+      SELECT tok, count(*) AS n FROM tok GROUP BY tok
+    ), top AS (
+      SELECT tok, n FROM exact ORDER BY n DESC, tok LIMIT 20
+    ), est AS (
+      SELECT top.tok, min(counters.c) AS cms_n
+      FROM top, UNNEST(range(0, {CMS_DEPTH})) AS u(j)
+        JOIN counters ON counters.j = u.j
+         AND counters.b = CASE {' '.join(
+             f"WHEN u.j = {j} THEN {bucket(j).replace('tok', 'top.tok')}"
+             for j in range(CMS_DEPTH)
+         )} END
+      GROUP BY top.tok
+    )
+    SELECT top.tok AS token, CAST(top.n AS BIGINT) AS exact_n,
+           CAST(est.cms_n AS BIGINT) AS cms_n,
+           CAST(est.cms_n - top.n AS BIGINT) AS inflation
+    FROM top JOIN est ON est.tok = top.tok
+    ORDER BY exact_n DESC, token
+    """
+
+
+@register("top_tokens_cms", _cms_oracle())
+def top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch calibration (Cormode & Muthukrishnan
+    2005): a d=4 x w=1024 counter grid on the shared md5 hash60 (salted
+    per row), with the exact top-20 token counts alongside and the CMS
+    estimate (min over the 4 counters) + its collision inflation — the
+    minhash_calibration pattern for frequency sketches. CMS merges by
+    element-wise ADDITION (the sum monoid, vs HLL's max), so per-day
+    counter grids union by a (j, b) sum — the mergeable-sketch story
+    for heavy-hitter tracking at 100 TB: the grid is 4096 longs
+    regardless of vocabulary size, where an exact count shuffles every
+    distinct token.
+
+    Oracle-verified INCLUDING the estimates: salted md5 buckets and
+    integer counters are bit-identical in DuckDB."""
+    d = widen(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+
+    def bucket(col, j):
+        return (
+            TX.hash60(F.concat(col, F.lit(f":cms-v{j}"))) % CMS_WIDTH
+        )
+
+    rows = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(F.col("tok"), j).alias("b"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p")
+    ).select("p.j", "p.b")
+    counters = rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+    exact = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    top = exact.orderBy(F.col("n").desc(), "tok").limit(20)
+    cand = top.select(
+        "tok",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(F.col("tok"), j).alias("b"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "n", "p.j", "p.b")
+    est = (
+        cand.join(F.broadcast(counters), ["j", "b"])
+        .groupBy("tok", "n")
+        .agg(F.min("c").alias("cms_n"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("n").cast("long").alias("exact_n"),
+        F.col("cms_n").cast("long").alias("cms_n"),
+        (F.col("cms_n") - F.col("n")).cast("long").alias("inflation"),
+    ).orderBy(F.col("exact_n").desc(), "token")
