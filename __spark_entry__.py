@@ -44,6 +44,8 @@ _DRIVER_PRIORITY = [
     "bpe_merge_pair_stats",
     "bpe_train_merges",
     "top_tokens_cms",
+    "events_sessionize",
+    "embedding_int8_recall",
     # re-verify: implementation or oracle changed in r7
     "vocab_token_ids",
     "corpus_temperature_sample",

@@ -4855,3 +4855,232 @@ def top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_n").cast("long").alias("cms_n"),
         (F.col("cms_n") - F.col("n")).cast("long").alias("inflation"),
     ).orderBy(F.col("exact_n").desc(), "token")
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq
+    ), per AS (
+      SELECT user_id, sid, count(*) AS n_events,
+             date_diff('second', min(ts), max(ts)) AS dur_s
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(n_events) AS DOUBLE) / count(*) AS events_per_session,
+           CAST(sum(dur_s) AS DOUBLE) / count(*) AS mean_session_seconds,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM per
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-minute inactivity gap): per-user event
+    streams split into sessions by the classic lag-gap flag + running
+    sum, then rolled into one summary row (session count, events and
+    seconds per session) — the batch twin of the streaming session
+    windows in streaming/events.py.
+
+    Scale shape: both windows partition by user_id — the same single
+    keyed shuffle, no global sort; per-session durations are integer
+    second boundary counts (identical truncation in both engines), the
+    two means are single double divisions over exact integer sums."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts")
+                > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = seq.select(
+        "user_id", "ts", F.sum("new_s").over(ws).alias("sid")
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max("ts").cast("timestamp").cast("long")
+            - F.min("ts").cast("timestamp").cast("long")
+        ).alias("dur_s"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        (
+            F.sum("n_events").cast("double") / F.count(F.lit(1))
+        ).alias("events_per_session"),
+        (F.sum("dur_s").cast("double") / F.count(F.lit(1))).alias(
+            "mean_session_seconds"
+        ),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+
+
+@register(
+    "embedding_int8_recall",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+               AS scale
+      FROM v
+    ), q8 AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> floor(x / scale * 127 + 0.5)) AS q
+      FROM s
+    ), qs AS (
+      SELECT * FROM q8 WHERE vec_id < 5
+    ), pairs AS (
+      SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(qs.v, e.v)
+               / (greatest(sqrt(list_dot_product(qs.v, qs.v)), 1e-30)
+                  * greatest(sqrt(list_dot_product(e.v, e.v)), 1e-30))
+               AS cos_x,
+             list_dot_product(qs.q, e.q)
+               / (greatest(sqrt(list_dot_product(qs.q, qs.q)), 1e-30)
+                  * greatest(sqrt(list_dot_product(e.q, e.q)), 1e-30))
+               AS cos_q
+      FROM qs CROSS JOIN q8 e WHERE e.vec_id <> qs.vec_id
+    ), rx AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_x DESC, neighbor_id) AS r
+      FROM pairs
+    ), rq AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_q DESC, neighbor_id) AS r
+      FROM pairs
+    ), ov AS (
+      SELECT rx.query_id, count(*) AS n_overlap
+      FROM rx JOIN rq ON rq.query_id = rx.query_id
+                     AND rq.neighbor_id = rx.neighbor_id
+      WHERE rx.r <= 10 AND rq.r <= 10
+      GROUP BY rx.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 10.0
+             AS recall_at_10
+    FROM qs q LEFT JOIN ov ON ov.query_id = q.vec_id
+    ORDER BY query_id
+    """,
+)
+def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization with a top-k fidelity check: each
+    vector quantizes to max-abs-scaled int8 (floor(x/scale*127 + 0.5) —
+    explicit half-up, no engine round() semantics), and per query the
+    top-10 by exact cosine is compared against the top-10 by QUANTIZED
+    cosine (integer dots — scale cancels out of the cosine, and integer
+    values ≤ 64x127² sum exactly in doubles, so both engines agree
+    bit-for-bit). recall_at_10 is the number a 100 TB embedding store
+    checks before committing to 4x-smaller int8 storage.
+
+    ORACLE ANCHOR on the ranking side (queries x corpus, like
+    knn_cosine_bruteforce); the quantization map itself is map-only and
+    IS the scale path — at 100 TB the int8 vectors feed the IVF/LSH
+    candidate stages and only candidates pay a float re-rank."""
+
+    def dotc(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scale = F.greatest(
+        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    q8 = e.select(
+        "vec_id",
+        "v",
+        F.transform(
+            "v",
+            lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast(
+                "double"
+            ),
+        ).alias("q"),
+    )
+    nrm = lambda c: F.greatest(F.sqrt(dotc(c, c)), F.lit(1e-30))  # noqa: E731
+    qs = q8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("q").alias("qq"),
+    )
+    pairs = (
+        q8.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                dotc(F.col("qv"), F.col("v"))
+                / (nrm(F.col("qv")) * nrm(F.col("v")))
+            ).alias("cos_x"),
+            (
+                dotc(F.col("qq"), F.col("q"))
+                / (nrm(F.col("qq")) * nrm(F.col("q")))
+            ).alias("cos_q"),
+        )
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.col("cos_x").desc(), "neighbor_id"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_q").desc(), "neighbor_id"
+    )
+    ranked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wq).alias("rq"),
+    )
+    ov = (
+        ranked.filter((F.col("rx") <= 10) & (F.col("rq") <= 10))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        qs.select("query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias(
+                "n_overlap"
+            ),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+                / F.lit(10.0)
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
