@@ -63,9 +63,28 @@ def _zorder_bench(spark, sf_dir: str) -> dict:
         source_bytes=size,
     )
 
-    # ~5% box in each dimension (sf0.1: partkey 0..19999, suppkey 0..999)
-    pk_lo, pk_hi = 5000, 5999
-    sk_lo, sk_hi = 200, 249
+    # ~5% box in each dimension, placed at the 25% point of the ACTUAL
+    # key ranges (from footer stats) so the box is meaningful at any SF
+    def col_range(table: str, col: str) -> tuple[int, int]:
+        mn = mx = None
+        for p in glob.glob(f"{wh}/bench/{table}/*.parquet"):
+            md = pq.ParquetFile(p).metadata
+            names = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        return int(mn), int(mx)
+
+    pmn, pmx = col_range("li_plain", "l_partkey")
+    smn, smx = col_range("li_plain", "l_suppkey")
+    pk_lo = pmn + (pmx - pmn) * 25 // 100
+    pk_hi = pk_lo + max((pmx - pmn) * 5 // 100, 1)
+    sk_lo = smn + (smx - smn) * 25 // 100
+    sk_hi = sk_lo + max((smx - smn) * 5 // 100, 1)
 
     def files_intersecting(table: str) -> tuple[int, int]:
         paths = glob.glob(f"{wh}/bench/{table}/*.parquet")

@@ -166,14 +166,31 @@ def curate_to_warehouse_neardup(
         sig = D.minhash_wide_df(batch_df, "doc_id", "text").persist()
         bands_new = D.band_hashes_df(sig, "doc_id")
 
+        def _hist_dirs(base: str) -> list[str]:
+            # enumerate committed earlier batches by NAME instead of
+            # partition-discovering the whole dir: a crash between the
+            # docs write and the state writes can leave this batch's own
+            # `_batch_id=N` dir absent or half-written, and whole-dir
+            # schema inference would also fail on an empty state dir
+            if not os.path.isdir(base):
+                return []
+            out = []
+            for p in os.listdir(base):
+                if not p.startswith("_batch_id="):
+                    continue
+                try:
+                    bid = int(p.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid < batch_id:
+                    out.append(os.path.join(base, p))
+            return sorted(out)
+
         dropped = None
-        if os.path.isdir(bands_dir):
-            hist_bands = spark.read.parquet(bands_dir).filter(
-                F.col("_batch_id") < batch_id
-            )
-            hist_sigs = spark.read.parquet(sigs_dir).filter(
-                F.col("_batch_id") < batch_id
-            )
+        hist_band_dirs = _hist_dirs(bands_dir)
+        if hist_band_dirs:
+            hist_bands = spark.read.parquet(*hist_band_dirs)
+            hist_sigs = spark.read.parquet(*_hist_dirs(sigs_dir))
             cand = (
                 bands_new.select(
                     F.col("doc_id").alias("_new"), "band_idx", "band_hash"
