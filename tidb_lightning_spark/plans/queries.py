@@ -4861,7 +4861,7 @@ def top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
     WITH seq AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
@@ -4869,7 +4869,7 @@ def top_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM seq
     ), per AS (
@@ -4900,6 +4900,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "user_id",
+        "event_id",
         "ts",
         F.when(
             F.lag("ts").over(w).isNull()
@@ -4912,9 +4913,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_s"),
     )
+    # the running sum must use the SAME total order as the lag flag:
+    # ordering by ts alone would let tied timestamps permute between
+    # engines/runs and flip which session a tied row lands in
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sess = seq.select(
