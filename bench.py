@@ -222,6 +222,37 @@ def main() -> None:
         spread["ingest_lineitem_csv_x10"] = ingx["spread_mib"]
         extras["ingest_x10_mib_per_sec"] = round(ingx["mib_per_sec"], 2)
         extras["ingest_x10_rows_per_sec"] = round(ingx["rows_per_sec"], 1)
+
+        # the reference's PRIMARY format: mydumper SQL dumps (INSERT
+        # statements -> the Arrow mapInPandas scanner). Its 28 MiB/s
+        # headline is this path, so it gets its own measured numbers —
+        # x1 (one file, intra-file adaptive chunking) and x10 (the
+        # multi-file layout mydumper -F emits), interleaved like the
+        # CSV reps.
+        if os.path.isdir("/root/testdata/sf0.01"):
+            run_ingest_bench(spark, "/root/testdata/sf0.01", fmt="sql")
+        sql_by_scale: dict[int, list] = {1: [], 10: []}
+        for _ in range(reps):
+            for scale in (1, 10):
+                sql_by_scale[scale].append(
+                    run_ingest_bench(spark, sf_dir, fmt="sql", scale=scale)
+                )
+        for scale, tag in ((1, "ingest_lineitem_sqldump"),
+                           (10, "ingest_lineitem_sqldump_x10")):
+            runs = sql_by_scale[scale]
+            timings[tag] = round(
+                _stats.median(r["seconds"] for r in runs), 4
+            )
+            spread[tag] = [
+                round(min(r["mib_per_sec"] for r in runs), 2),
+                round(max(r["mib_per_sec"] for r in runs), 2),
+            ]
+        extras["ingest_sql_mib_per_sec"] = round(
+            _stats.median(r["mib_per_sec"] for r in sql_by_scale[1]), 2
+        )
+        extras["ingest_sql_x10_mib_per_sec"] = round(
+            _stats.median(r["mib_per_sec"] for r in sql_by_scale[10]), 2
+        )
     except ImportError:
         pass
     except Exception as exc:

@@ -125,3 +125,41 @@ def test_chunk_split_preserves_statements(rows):
         assert total_rows == 6 * len(rows)
     finally:
         os.unlink(path)
+
+
+def test_fast_row_path_matches_scanner_differentially():
+    """r7 regex fast path: on a statement mix covering every literal
+    class (clean + escaped strings, doubled quotes, signs, scientific,
+    hex/bit literals that force the bail), the parse must be identical
+    with the fast path enabled and disabled."""
+    from tidb_lightning_spark.sources import sqldump_source as S
+
+    text = (
+        "INSERT INTO `t` VALUES (1, 'plain', NULL, 2.5),"
+        "(-3, '+esc\\n\\t\\0\\Z\\\\x', TRUE, 1e+16),"
+        "(+7, 'double''quote', FALSE, .5),"
+        "(0x41424a, X'4243', b'1010', 0b11),"
+        "(9, 'tail)par,en(', NULL, -1.5E-7);\n"
+        "SET NAMES utf8;\n"
+        "INSERT INTO `t` (`a`,`b`) VALUES (), ('x', 'y')\n"  # no semi
+    )
+    with_fast = [
+        (st.table, st.columns, st.rows)
+        for st in S.parse_insert_statements(text)
+    ]
+    orig = S._fast_rows
+    S._fast_rows = lambda *a: None
+    try:
+        scanner_only = [
+            (st.table, st.columns, st.rows)
+            for st in S.parse_insert_statements(text)
+        ]
+    finally:
+        S._fast_rows = orig
+    assert with_fast == scanner_only
+    # sanity: escapes and hex actually decoded
+    rows = with_fast[0][2]
+    assert rows[1][1] == "+esc\n\t\0\x1a\\x"
+    assert rows[2][1] == "double'quote"
+    assert rows[3][0] == "ABJ" and rows[3][1] == "BC"
+    assert rows[3][2] == "10" and rows[3][3] == "3"

@@ -30,13 +30,17 @@ CREATE TABLE lineitem (
 """
 
 
-def _prepare_source(sf_dir: str, scale: int = 1) -> str:
-    """Mydumper-style CSV dump dir generated from the SF's lineitem parquet
-    (not timed). scale>1 hardlinks the base CSV into N numbered data files
-    (`bench.lineitem.{i}.csv`) — the standard multi-file table layout — to
-    measure fixed-cost amortization on a bigger import without new data."""
+def _prepare_source(sf_dir: str, scale: int = 1, fmt: str = "csv") -> str:
+    """Mydumper-style dump dir generated from the SF's lineitem parquet
+    (not timed). scale>1 hardlinks the base data file into N numbered
+    files (`bench.lineitem.{i}.{fmt}`) — the standard multi-file table
+    layout — to measure fixed-cost amortization on a bigger import
+    without new data. fmt='sql' emits mydumper INSERT dumps (the
+    reference's primary format; its 28 MiB/s headline is this path)."""
     tag = sf_dir.rstrip("/").replace("/", "_")
-    src = f"/tmp/tls_bench_src{tag}" + (f"_x{scale}" if scale > 1 else "")
+    src = f"/tmp/tls_bench_src{tag}_{fmt}" + (
+        f"_x{scale}" if scale > 1 else ""
+    )
     marker = os.path.join(src, "_ready")
     if os.path.exists(marker):
         return src
@@ -48,13 +52,33 @@ def _prepare_source(sf_dir: str, scale: int = 1) -> str:
         f.write("CREATE DATABASE IF NOT EXISTS bench;")
     with open(os.path.join(src, "bench.lineitem-schema.sql"), "w") as f:
         f.write(LINEITEM_DDL)
-    base = _prepare_source(sf_dir) if scale > 1 else src
+    base = _prepare_source(sf_dir, fmt=fmt) if scale > 1 else src
     if scale > 1:
+        name = "bench.lineitem.sql" if fmt == "sql" else "bench.lineitem.csv"
+        stem, ext = name.rsplit(".", 1)
         for i in range(scale):
             os.link(
-                os.path.join(base, "bench.lineitem.csv"),
-                os.path.join(src, f"bench.lineitem.{i:03d}.csv"),
+                os.path.join(base, name),
+                os.path.join(src, f"{stem}.{i:03d}.{ext}"),
             )
+    elif fmt == "sql":
+        con = duckdb.connect()
+        cur = con.execute(
+            f"SELECT * FROM '{sf_dir}/lineitem.parquet' ORDER BY "
+            f"l_orderkey, l_linenumber"
+        )
+        with open(os.path.join(src, "bench.lineitem.sql"), "w") as f:
+            f.write("/*!40101 SET NAMES binary*/;\n")
+            while True:
+                rows = cur.fetchmany(1000)
+                if not rows:
+                    break
+                vals = ",\n".join(
+                    "(" + ",".join(_sql_lit(v) for v in r) + ")"
+                    for r in rows
+                )
+                f.write(f"INSERT INTO `lineitem` VALUES\n{vals};\n")
+        con.close()
     else:
         con = duckdb.connect()
         con.execute(
@@ -67,13 +91,29 @@ def _prepare_source(sf_dir: str, scale: int = 1) -> str:
     return src
 
 
-def run_ingest_bench(spark, sf_dir: str, scale: int = 1) -> dict:
+def _sql_lit(v) -> str:
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def run_ingest_bench(
+    spark, sf_dir: str, scale: int = 1, fmt: str = "csv"
+) -> dict:
     import time
 
     from tidb_lightning_spark.config import Config
     from tidb_lightning_spark.pipeline import Restorer
 
-    src = _prepare_source(sf_dir, scale=scale)
+    src = _prepare_source(sf_dir, scale=scale, fmt=fmt)
     target = "/tmp/tls_bench_wh"
     shutil.rmtree(target, ignore_errors=True)
     cfg = Config.from_toml(
@@ -93,10 +133,12 @@ def run_ingest_bench(spark, sf_dir: str, scale: int = 1) -> dict:
     import dataclasses
 
     cfg.csv = dataclasses.replace(cfg.csv, strict_format=True)
+    ext = ".sql" if fmt == "sql" else ".csv"
     csv_bytes = sum(
         os.path.getsize(os.path.join(src, f))
         for f in os.listdir(src)
-        if f.endswith(".csv")
+        if f.endswith(ext) and not f.endswith("-schema.sql")
+        and f != "bench-schema-create.sql"
     )
 
     t0 = time.time()

@@ -261,6 +261,12 @@ class Restorer:
         # session.go:203, restore.go:2490-2496)
         self.pinned_ts = time.strftime("%Y-%m-%d %H:%M:%S")
         self.pauser = Pauser(cfg.target_dir)
+        # per-table caches released in restore_table's finally: only the
+        # SQL-dump branch registers here (see _read_and_transform — the
+        # Python statement parse is expensive enough that the range
+        # sampler re-executing it flips the cache-vs-rescan economics
+        # that keep the CSV path uncached)
+        self._table_caches: list[DataFrame] = []
 
     # ------------------------------------------------------------------
     def run(self) -> RunReport:
@@ -724,6 +730,12 @@ class Restorer:
                 metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_FAILURE
             )
         finally:
+            for cached in self._table_caches:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
+            self._table_caches.clear()
             rep.seconds = time.time() - t0
             metrics.IMPORT_SECONDS.observe(rep.seconds)
         return rep
@@ -1180,8 +1192,15 @@ class Restorer:
                 metrics.TABLE_STATE_COMPLETED, metrics.TABLE_RESULT_FAILURE
             )
         finally:
+            for cached in self._table_caches:
+                try:
+                    cached.unpersist()
+                except Exception:
+                    pass
+            self._table_caches.clear()
             rep.seconds = time.time() - t0
             metrics.IMPORT_SECONDS.observe(rep.seconds)
+        return rep
         return rep
 
     # ------------------------------------------------------------------
@@ -1567,17 +1586,29 @@ class Restorer:
                 df = df.withColumn(
                     "_file_base", mapping[F.col("_src_file")]
                 ).drop("_src_file")
-                parts.append(
-                    transform_table(
-                        df,
-                        info,
-                        file_cols,
-                        self.pinned_ts,
-                        strict=self.cfg.strict_sql_mode,
-                        binary_encoding="ISO-8859-1",
-                        keep_rowid=keep_rowid,
-                    )
+                part = transform_table(
+                    df,
+                    info,
+                    file_cols,
+                    self.pinned_ts,
+                    strict=self.cfg.strict_sql_mode,
+                    binary_encoding="ISO-8859-1",
+                    keep_rowid=keep_rowid,
                 )
+                # Persist the parsed+cast rows: unlike the CSV path
+                # (where the range sampler's re-scan is cheaper than a
+                # cache round-trip — files_sink.write_table docstring),
+                # the SQL-dump scan is a Python statement parse that
+                # costs 10-30x the downstream plan, and the sampler
+                # would run it TWICE. MEMORY_AND_DISK: an engine is at
+                # most ~100 GiB of rows spread across executors; spill
+                # is the SST-intermediate analog, not a new cost class.
+                # Released in restore_table's finally.
+                from pyspark import StorageLevel
+
+                part = part.persist(StorageLevel.MEMORY_AND_DISK)
+                self._table_caches.append(part)
+                parts.append(part)
 
         if parquet_files:
             df = read_table(self.spark, [f.path for f in parquet_files])

@@ -235,6 +235,112 @@ class Statement:
     rows: list[list[str | None]]
 
 
+import re as _re
+
+# Fast path for the VALUES tuple stream: one compiled-regex token scan
+# instead of the char-at-a-time _Scanner (measured ~6x on mydumper
+# dumps — the scanner costs ~9us/value in pure-Python dispatch). The
+# token set covers what mydumper actually emits (NULL, numbers incl.
+# signed/scientific, TRUE/FALSE, single-quoted strings with backslash +
+# doubled-quote escapes); ANY other shape (hex/bit literals, ANSI
+# double quotes, bare words) bails to the scanner for the WHOLE
+# statement, so semantics — including error messages — stay those of
+# the fuzz-tested slow path.
+_FAST_TOK = _re.compile(
+    r"""[ \t\r\n]*(?:
+      (?P<null>NULL)
+    | (?P<true>TRUE)
+    | (?P<false>FALSE)
+    | (?P<str>'(?:[^'\\]|\\.|'')*')
+    | (?P<num>[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?)
+    | (?P<punct>[(),;])
+    )""",
+    _re.X | _re.I,
+)
+# same escape map as _Scanner.quoted_string, applied in one LTR pass
+_UNESC = {"0": "\0", "n": "\n", "t": "\t", "r": "\r", "b": "\b",
+          "Z": "\x1a"}
+_UNESC_RE = _re.compile(r"\\(.)|''", _re.S)
+_DELIMS = " \t\r\n,);"
+
+
+def _unesc_repl(m) -> str:
+    c = m.group(1)
+    return _UNESC.get(c, c) if c is not None else "'"
+
+
+def _fast_rows(text: str, pos: int):
+    """Parse `(v, ...)[, (...)...][;]` starting at `pos`. Returns
+    (rows, new_pos) or None to fall back to the scanner."""
+    rows: list[list[str | None]] = []
+    n = len(text)
+    match = _FAST_TOK.match
+    while True:
+        m = match(text, pos)
+        if m is None or m.group("punct") != "(":
+            return None
+        pos = m.end()
+        row: list[str | None] = []
+        m = match(text, pos)
+        if m is None:
+            return None
+        if m.group("punct") == ")":  # empty tuple
+            pos = m.end()
+        else:
+            while True:
+                kind = m.lastgroup
+                if kind == "punct":
+                    return None
+                end = m.end()
+                # the token must END at a delimiter, or the scanner
+                # would have lexed a longer word ('1.5NULL' is ONE
+                # value there) — bail rather than diverge
+                if end < n and text[end] not in _DELIMS:
+                    return None
+                if kind == "null":
+                    row.append(None)
+                elif kind == "true":
+                    row.append("1")
+                elif kind == "false":
+                    row.append("0")
+                elif kind == "num":
+                    v = m.group("num")
+                    row.append(v[1:] if v[0] == "+" else v)
+                else:
+                    body = m.group("str")[1:-1]
+                    if "\\" in body or "''" in body:
+                        body = _UNESC_RE.sub(_unesc_repl, body)
+                    row.append(body)
+                pos = end
+                m = match(text, pos)
+                if m is None:
+                    return None
+                p = m.group("punct")
+                if p == ",":
+                    pos = m.end()
+                    m = match(text, pos)
+                    if m is None:
+                        return None
+                    continue
+                if p == ")":
+                    pos = m.end()
+                    break
+                return None
+        rows.append(row)
+        m = match(text, pos)
+        if m is None:
+            # EOF or a following non-INSERT token: statement ends here
+            # (the scanner tolerates a missing trailing ';' the same way)
+            return rows, pos
+        p = m.group("punct")
+        if p == ",":
+            pos = m.end()
+            continue
+        if p == ";":
+            return rows, m.end()
+        return rows, pos
+
+
 def parse_insert_statements(text: str) -> Iterator[Statement]:
     """Yield INSERT/REPLACE statements (parser.go:346-412 dry-run grammar)."""
     sc = _Scanner(text)
@@ -265,6 +371,12 @@ def parse_insert_statements(text: str) -> Iterator[Statement]:
                 raise SQLDumpError("INSERT ... SET form not supported")
             if kw not in ("VALUES", "VALUE"):
                 raise SQLDumpError(f"expected VALUES, got {kw!r}")
+            sc.skip_ws_comments()
+            fast = _fast_rows(sc.text, sc.pos)
+            if fast is not None:
+                frows, sc.pos = fast
+                yield Statement(table, columns, frows)
+                continue
             rows: list[list[str | None]] = []
             while True:
                 sc.expect("(")
@@ -367,8 +479,25 @@ def peek_columns(path: str, encoding: str = "utf-8") -> list[str] | None:
 
 # chunk target for splitting large dump files (reference max-region-size,
 # region.go:131-234: 256 MiB regions; we split finer because the Python
-# statement parser is the bottleneck, not IO)
+# statement parser is the bottleneck, not IO). Departure note: the
+# reference does NOT split .sql files mid-file at all (SplitLargeFile is
+# strict-CSV-only) — one file = one region there; splitting here is what
+# lets a monolithic multi-GiB dump use the whole cluster.
 SQL_CHUNK_BYTES = 64 * 1024 * 1024
+# adaptive per-file target: aim for ~SQL_CHUNKS_PER_FILE chunks so a
+# mid-size file still fans out, floored so driver-side boundary scans
+# stay negligible (one ~4 KiB seek+read per boundary) and capped at
+# SQL_CHUNK_BYTES. Derived from FILE size only — deterministic across
+# cluster sizes and resumes (row-id bases come from chunk byte offsets).
+SQL_CHUNK_MIN_BYTES = 8 * 1024 * 1024
+SQL_CHUNKS_PER_FILE = 32
+
+
+def adaptive_chunk_bytes(file_size: int) -> int:
+    return min(
+        SQL_CHUNK_BYTES,
+        max(SQL_CHUNK_MIN_BYTES, file_size // SQL_CHUNKS_PER_FILE),
+    )
 
 _COMPRESSED_SUFFIXES = (".gz", ".xz", ".bz2", ".zst", ".zstd", ".lz4")
 
@@ -477,13 +606,17 @@ def read_sql_files(
     All statements in a group must agree on column-list arity with
     `n_columns` (the caller derives it from peek_columns / table schema).
     """
-    if chunk_bytes is None:
-        chunk_bytes = SQL_CHUNK_BYTES
     divisor = n_columns + 2
     ranges: list[tuple[str, int, int, int]] = []
     for p in paths:
         ap = os.path.abspath(p)
-        for start, end in split_sql_file(ap, chunk_bytes):
+        cb = chunk_bytes
+        if cb is None:
+            try:
+                cb = adaptive_chunk_bytes(os.path.getsize(ap))
+            except OSError:
+                cb = SQL_CHUNK_BYTES
+        for start, end in split_sql_file(ap, cb):
             ranges.append((ap, start, end, start // divisor))
 
     out_schema = T.StructType(
@@ -523,6 +656,12 @@ def read_sql_files(
                 content = data.decode(encoding, errors="replace")
                 seq = int(cbase)
                 buf: list[list] = []
+                all_names = cols_names + ["_row_seq", "_src_file"]
+                # yield in bounded slices instead of one chunk-sized
+                # frame: the Arrow stream ships each slice to the JVM
+                # while Python keeps parsing, so the cast/persist work
+                # OVERLAPS the parse instead of serializing after it —
+                # and peak memory is a slice, not the whole chunk
                 for stmt in parse_insert_statements(content):
                     for row in stmt.rows:
                         if len(row) != n_columns:
@@ -532,9 +671,10 @@ def read_sql_files(
                             )
                         buf.append(row + [seq, path])
                         seq += 1
+                    if len(buf) >= 16384:
+                        yield pd.DataFrame(buf, columns=all_names)
+                        buf = []
                 if buf:
-                    yield pd.DataFrame(
-                        buf, columns=cols_names + ["_row_seq", "_src_file"]
-                    )
+                    yield pd.DataFrame(buf, columns=all_names)
 
     return rdf.mapInPandas(parse_batches, schema=out_schema)
