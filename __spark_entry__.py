@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "top_tokens_cms",
     "events_sessionize",
     "embedding_int8_recall",
+    "corpus_mixture_schedule",
     # re-verify: implementation or oracle changed in r7
     "vocab_token_ids",
     "corpus_temperature_sample",

@@ -5088,3 +5088,104 @@ def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+MIX_T = 0.7  # mixture temperature (matches corpus_temperature_sample)
+MIX_QUANT = float(1 << 20)  # pow() quantization — the IVF_QUANT rule
+
+
+@register(
+    "corpus_mixture_schedule",
+    f"""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum({TX.sql_bpe_token_count('text')}) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_docs, n_tokens,
+             floor(pow(CAST(n_tokens AS DOUBLE), {MIX_T!r})
+                   * {MIX_QUANT!r}) / {MIX_QUANT!r} AS wq
+      FROM per
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             sum(wq) AS wsum
+      FROM w
+    )
+    SELECT w.source, w.n_docs, w.n_tokens,
+           CAST(w.n_tokens AS DOUBLE) / tot.total_tokens
+             AS natural_share,
+           w.wq / tot.wsum AS target_share,
+           (w.wq / tot.wsum) * tot.total_tokens
+             / CAST(w.n_tokens AS DOUBLE) AS epochs,
+           CAST(floor((w.wq / tot.wsum)
+                      * CAST(tot.total_tokens AS DOUBLE)) AS BIGINT)
+             AS effective_tokens
+    FROM w, tot
+    ORDER BY w.source
+    """,
+)
+def corpus_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data recipe: per-source token counts -> temperature-T mixture
+    weights (share ∝ n_tokens^T, the same damping rule as
+    corpus_temperature_sample) -> per-source EPOCH schedule for a
+    one-corpus-sized token budget: epochs > 1 means the source repeats
+    (upsampled), < 1 means it is subsampled — the LLaMA-style mixture
+    table a pretraining run publishes.
+
+    pow() is quantized to 2^-20 BEFORE the share sum (floor(x*2^20)/2^20
+    in both engines): quantized terms are exact multiples of 2^-20, so
+    the sum and every downstream ratio are bit-stable across engines —
+    the IVF_QUANT rule, avoiding cross-libm last-ulp drift.
+
+    Scale shape: one map-side-combinable (source, counts) agg; the
+    schedule math runs on the per-source table (tiny) with the totals
+    cross-joined as a 1-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(TX.bpe_token_count(F.col("text"))).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    w = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.floor(
+                F.pow(F.col("n_tokens").cast("double"), F.lit(MIX_T))
+                * F.lit(MIX_QUANT)
+            )
+            / F.lit(MIX_QUANT)
+        ).alias("wq"),
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("wq").alias("wsum"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double") / F.col("total_tokens")
+            ).alias("natural_share"),
+            (F.col("wq") / F.col("wsum")).alias("target_share"),
+            (
+                (F.col("wq") / F.col("wsum"))
+                * F.col("total_tokens")
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+            F.floor(
+                (F.col("wq") / F.col("wsum"))
+                * F.col("total_tokens").cast("double")
+            )
+            .cast("long")
+            .alias("effective_tokens"),
+        )
+        .orderBy("source")
+    )
