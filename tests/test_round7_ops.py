@@ -110,3 +110,26 @@ def test_cms_estimate_never_underestimates(spark):
             "Count-Min must only overestimate"
         )
         assert r["inflation"] == r["cms_n"] - r["exact_n"]
+
+
+def test_mixture_schedule_invariants(spark):
+    rows = Q.corpus_mixture_schedule(spark, SF_CORRECTNESS).collect()
+    assert rows
+    assert sum(r["natural_share"] for r in rows) == pytest.approx(1.0)
+    assert sum(r["target_share"] for r in rows) == pytest.approx(1.0)
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        # effective tokens = target share of the one-corpus budget
+        assert r["effective_tokens"] == pytest.approx(
+            r["target_share"] * total, abs=1.0
+        )
+        # epochs uses the UNfloored share (effective_tokens floors)
+        assert r["epochs"] == pytest.approx(
+            r["target_share"] * total / r["n_tokens"], rel=1e-9
+        )
+    # temperature < 1 damps: the largest source is subsampled, the
+    # smallest upsampled, relative to natural share
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert big["target_share"] < big["natural_share"]
+    assert small["target_share"] > small["natural_share"]
