@@ -189,6 +189,11 @@ def main() -> None:
         # (GC/JIT/box load) lands on both metrics evenly instead of
         # depressing whichever scale happens to run last. The spread is
         # reported so a wide band flags an untrustworthy median.
+        # one UNTIMED warmup at the bench SF and scale: the tiny-SF
+        # warmups above compile the plan shapes but the first x10 run
+        # still measures ~50% low (JIT tiering on the hot loops needs
+        # real volume) — same discipline as the per-query untimed warmup
+        run_ingest_bench(spark, sf_dir, scale=10)
         runs_by_scale: dict[int, list] = {1: [], 10: []}
         for _ in range(reps):
             for scale in (1, 10):
@@ -231,6 +236,7 @@ def main() -> None:
         # CSV reps.
         if os.path.isdir("/root/testdata/sf0.01"):
             run_ingest_bench(spark, "/root/testdata/sf0.01", fmt="sql")
+        run_ingest_bench(spark, sf_dir, fmt="sql", scale=10)  # untimed warmup
         sql_by_scale: dict[int, list] = {1: [], 10: []}
         for _ in range(reps):
             for scale in (1, 10):
