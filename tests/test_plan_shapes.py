@@ -232,3 +232,39 @@ def test_rfm_hist_no_global_ntile(spark):
     assert "ntile" not in plan
     assert plan.count("SinglePartition") == 3, plan.count("SinglePartition")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_13gram_no_cartesian_and_pruned_scan(spark):
+    """split_contamination_13gram: gram join is an equi-join (never
+    all-pairs docs), and the scan reads only (doc_id, text)."""
+    plan = plan_of(spark, "split_contamination_13gram")
+    assert "CartesianProduct" not in plan
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "source" not in schema_line and "lang" not in schema_line
+
+
+def test_sessionize_windows_keyed_on_user(spark):
+    """events_sessionize: both windows hash-partition on user_id; the
+    only single-partition work is the 1-row summary agg."""
+    plan = plan_of(spark, "events_sessionize")
+    assert "ntile" not in plan
+    assert plan.count("SinglePartition") == 1
+    assert re.search(r"hashpartitioning\(user_id", plan), plan
+
+
+def test_cms_counters_broadcast_back(spark):
+    """top_tokens_cms: the bounded counter grid broadcasts to the
+    candidate probe — the token table is never re-shuffled for it."""
+    plan = plan_of(spark, "top_tokens_cms")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") == 0
+
+
+def test_mixture_schedule_totals_broadcast(spark):
+    """corpus_mixture_schedule: per-source agg + 1-row totals broadcast;
+    no sort of anything bigger than the source list."""
+    plan = plan_of(spark, "corpus_mixture_schedule")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") <= 1  # the 1-row totals agg
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
