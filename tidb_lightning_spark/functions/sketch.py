@@ -18,6 +18,15 @@ Flajolet et al., "HyperLogLog: the analysis of a near-optimal
 cardinality estimation algorithm" (AofA 2007); small-range linear
 counting per the original paper, large-range correction unnecessary in a
 60-bit hash space.
+
+Cross-libm note (the corpus_temperature_sample quantization question,
+r6 advice): linear counting computes floor(m*ln(m/V) + 0.5) where V is
+an INTEGER in [1, m-1] — only 1023 possible ln arguments. Enumerating
+all of them, the closest any m*ln(m/V) comes to a rounding boundary is
+6.7e-6 absolute (V=24), i.e. ~8e3 ulps of margin at that magnitude;
+JVM StrictMath-adjacent ln and DuckDB's libm agree to <= 1 ulp, so the
+rounded estimate is identical by ENUMERATION, not luck — no rate
+quantization needed here, unlike pow() over a continuous operand.
 """
 
 from __future__ import annotations
