@@ -259,6 +259,28 @@ def main() -> None:
         extras["ingest_sql_x10_mib_per_sec"] = round(
             _stats.median(r["mib_per_sec"] for r in sql_by_scale[10]), 2
         )
+
+        # third source format: typed parquet (A8) — MiB/s is over the
+        # COMPRESSED parquet bytes (~3.6x denser than the CSV text), so
+        # rows/s is the cross-format comparable
+        run_ingest_bench(spark, sf_dir, fmt="parquet", scale=10)  # warmup
+        pq_runs = [
+            run_ingest_bench(spark, sf_dir, fmt="parquet", scale=10)
+            for _ in range(reps)
+        ]
+        timings["ingest_lineitem_parquet_x10"] = round(
+            _stats.median(r["seconds"] for r in pq_runs), 4
+        )
+        spread["ingest_lineitem_parquet_x10"] = [
+            round(min(r["mib_per_sec"] for r in pq_runs), 2),
+            round(max(r["mib_per_sec"] for r in pq_runs), 2),
+        ]
+        extras["ingest_parquet_x10_mib_per_sec"] = round(
+            _stats.median(r["mib_per_sec"] for r in pq_runs), 2
+        )
+        extras["ingest_parquet_x10_rows_per_sec"] = round(
+            _stats.median(r["rows_per_sec"] for r in pq_runs), 1
+        )
     except ImportError:
         pass
     except Exception as exc:

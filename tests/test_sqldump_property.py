@@ -163,3 +163,29 @@ def test_fast_row_path_matches_scanner_differentially():
     assert rows[2][1] == "double'quote"
     assert rows[3][0] == "ABJ" and rows[3][1] == "BC"
     assert rows[3][2] == "10" and rows[3][3] == "3"
+
+
+@settings(max_examples=200, deadline=None)
+@given(rows=rows_strategy)
+def test_fast_path_differential_property(rows):
+    """r7 regex fast path vs char-at-a-time scanner on generated dumps:
+    byte-identical statements (the 300-example roundtrip above already
+    checks expected VALUES; this pins fast == slow even if both were
+    wrong the same way on some future literal class)."""
+    from tidb_lightning_spark.sources import sqldump_source as S
+
+    text = render_insert("t", rows)
+    with_fast = [
+        (st_.table, st_.columns, st_.rows)
+        for st_ in S.parse_insert_statements(text)
+    ]
+    orig = S._fast_rows
+    S._fast_rows = lambda *a: None
+    try:
+        scanner_only = [
+            (st_.table, st_.columns, st_.rows)
+            for st_ in S.parse_insert_statements(text)
+        ]
+    finally:
+        S._fast_rows = orig
+    assert with_fast == scanner_only

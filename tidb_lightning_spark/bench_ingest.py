@@ -54,13 +54,20 @@ def _prepare_source(sf_dir: str, scale: int = 1, fmt: str = "csv") -> str:
         f.write(LINEITEM_DDL)
     base = _prepare_source(sf_dir, fmt=fmt) if scale > 1 else src
     if scale > 1:
-        name = "bench.lineitem.sql" if fmt == "sql" else "bench.lineitem.csv"
+        name = f"bench.lineitem.{fmt}"
         stem, ext = name.rsplit(".", 1)
         for i in range(scale):
             os.link(
                 os.path.join(base, name),
                 os.path.join(src, f"{stem}.{i:03d}.{ext}"),
             )
+    elif fmt == "parquet":
+        sp = f"{sf_dir}/lineitem.parquet"
+        dst = os.path.join(src, "bench.lineitem.parquet")
+        try:
+            os.link(sp, dst)
+        except OSError:
+            shutil.copy(sp, dst)
     elif fmt == "sql":
         con = duckdb.connect()
         cur = con.execute(
@@ -133,7 +140,7 @@ def run_ingest_bench(
     import dataclasses
 
     cfg.csv = dataclasses.replace(cfg.csv, strict_format=True)
-    ext = ".sql" if fmt == "sql" else ".csv"
+    ext = {"sql": ".sql", "parquet": ".parquet"}.get(fmt, ".csv")
     csv_bytes = sum(
         os.path.getsize(os.path.join(src, f))
         for f in os.listdir(src)
