@@ -193,6 +193,10 @@ def test_cli_report_dataset_card(spark, tmp_path, capsys):
     assert card["languages"].get("en", 0) > 0
     assert set(card["per_source"]) == {"s0", "s1"}
     assert card["median_chars"] is not None
+    vp = card["vocab_profile"]
+    assert vp["n_types"] > 0
+    assert 0 < vp["top10_share"] <= vp["top100_share"] <= 1
+    assert 0 <= vp["hapax_frac"] <= 1
     saved = json.load(
         open(f"{target}/corpus/docs/_tls_datacard.json")
     )
