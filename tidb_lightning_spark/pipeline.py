@@ -267,6 +267,7 @@ class Restorer:
         # sampler re-executing it flips the cache-vs-rescan economics
         # that keep the CSV path uncached)
         self._table_caches: list[DataFrame] = []
+        self._engine_cache_slices: dict[int, tuple[int, int]] = {}
 
     # ------------------------------------------------------------------
     def run(self) -> RunReport:
@@ -404,8 +405,12 @@ class Restorer:
                     done = self.checkpoints.engine_done(
                         tbl.db, tbl.name, k, esig
                     )
+                    c0 = len(self._table_caches)
                     df_e, next_base = self._read_and_transform(
                         tbl, info, files=efiles, rowid_base=base
+                    )
+                    self._engine_cache_slices[k] = (
+                        c0, len(self._table_caches)
                     )
                     engine_plans.append((k, efiles, esig, df_e, done, base))
                     parts.append(df_e)
@@ -582,6 +587,16 @@ class Restorer:
                         signature=esig, rowid_base=ebase, bytes=ebytes,
                         files=[f.path for f in efiles], **ecks_field,
                     )
+                    # bounded working set: any SQL-dump cache this
+                    # engine materialized is dead once the engine
+                    # commits (unpersist is idempotent; the finally
+                    # sweep covers error paths)
+                    lo, hi = self._engine_cache_slices.get(k, (0, 0))
+                    for cached in self._table_caches[lo:hi]:
+                        try:
+                            cached.unpersist()
+                        except Exception:
+                            pass
                 if want_cks and engine_cks is not None:
                     ingest_cks = Checksum()
                     for c in engine_cks:
@@ -736,6 +751,7 @@ class Restorer:
                 except Exception:
                     pass
             self._table_caches.clear()
+            self._engine_cache_slices.clear()
             rep.seconds = time.time() - t0
             metrics.IMPORT_SECONDS.observe(rep.seconds)
         return rep
@@ -1198,6 +1214,7 @@ class Restorer:
                 except Exception:
                     pass
             self._table_caches.clear()
+            self._engine_cache_slices.clear()
             rep.seconds = time.time() - t0
             metrics.IMPORT_SECONDS.observe(rep.seconds)
         return rep
@@ -1600,10 +1617,14 @@ class Restorer:
                 # cache round-trip — files_sink.write_table docstring),
                 # the SQL-dump scan is a Python statement parse that
                 # costs 10-30x the downstream plan, and the sampler
-                # would run it TWICE. MEMORY_AND_DISK: an engine is at
-                # most ~100 GiB of rows spread across executors; spill
-                # is the SST-intermediate analog, not a new cost class.
-                # Released in restore_table's finally.
+                # would run it TWICE. MEMORY_AND_DISK; released in
+                # restore_table's finally, so on an engine-granular
+                # import the cache footprint is the TABLE's parsed rows
+                # (engines materialize lazily but accumulate until the
+                # table commits) — spilled to executor disk, the same
+                # per-table on-disk footprint as the reference's SST
+                # intermediates (backend/local.go memtable->SST), not a
+                # new cost class.
                 from pyspark import StorageLevel
 
                 part = part.persist(StorageLevel.MEMORY_AND_DISK)
