@@ -36,6 +36,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # temperature threshold, generated funnel twin).
 _DRIVER_PRIORITY = [
     # new in r7
+    "doc_winnow_profile",
+    "near_dup_winnow_pairs",
+    "purchase_window_event_counts",
     "customer_rfm_segments_hist",
     "funnel_signup_4stage",
     "events_distinct_users_hll_merged",

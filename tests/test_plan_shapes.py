@@ -268,3 +268,40 @@ def test_mixture_schedule_totals_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("SinglePartition") <= 1  # the 1-row totals agg
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_winnow_profile_shape(spark):
+    """doc_winnow_profile: fingerprinting stays inside the scan stage
+    (no UDF, no extra shuffle) — exchange budget is widen's small-input
+    repartition + partial->final agg + the output sort."""
+    plan = plan_of(spark, "doc_winnow_profile")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert n_exchanges(plan) <= 3, plan
+    assert plan.count("SinglePartition") == 0
+
+
+def test_winnow_pairs_never_join_text(spark):
+    """near_dup_winnow_pairs: the self-join carries (fp, doc_id) longs;
+    document text is read once for fingerprinting and never appears in
+    a join. No all-pairs operator anywhere."""
+    plan = plan_of(spark, "near_dup_winnow_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "text" in schema_line  # the one scan that hashes it
+    # text column must not survive past the fingerprint projection
+    joins = plan.split("Join")[1:]
+    assert all("text#" not in j.split("\n")[0] for j in joins)
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    """purchase_window_event_counts: the range predicate must ride an
+    equi-join on the time bucket (explode <= 2 buckets/window), never a
+    nested-loop over all (event, window) pairs."""
+    plan = plan_of(spark, "purchase_window_event_counts")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the per-window bucket explode
+    assert re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin)", plan), plan
+    # map-side-combinable agg: partial before the final group on window_id
+    assert plan.count("HashAggregate") >= 2

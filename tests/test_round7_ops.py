@@ -133,3 +133,158 @@ def test_mixture_schedule_invariants(spark):
     small = min(rows, key=lambda r: r["n_tokens"])
     assert big["target_share"] < big["natural_share"]
     assert small["target_share"] > small["natural_share"]
+
+
+# --- winnowing fingerprints (MOSS) + interval join (second r7 pass) ----
+
+
+def _doc_df(spark, docs):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+
+
+def test_winnow_guarantee_shared_passage(spark):
+    """The winnowing guarantee: any shared normalized run of length
+    >= w + k - 1 chars must contribute >= 1 identical fingerprint to
+    both documents — even when the docs are otherwise disjoint."""
+    from tidb_lightning_spark.functions import dedup as D
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    a = "completely unrelated preamble text here. " + passage
+    b = passage + " and some other totally different trailing content."
+    fps = D.winnow_fingerprints_df(
+        _doc_df(spark, [a, b]), "doc_id", "text"
+    ).collect()
+    sets = {0: set(), 1: set()}
+    for r in fps:
+        sets[r["doc_id"]].add(r["fp"])
+    assert sets[0] & sets[1], "shared passage produced no common fingerprint"
+
+
+def test_winnow_disjoint_docs_share_nothing(spark):
+    from tidb_lightning_spark.functions import dedup as D
+
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    b = "zero nine eight seven six five four three two one launch"
+    fps = D.winnow_fingerprints_df(
+        _doc_df(spark, [a, b]), "doc_id", "text"
+    ).collect()
+    sa = {r["fp"] for r in fps if r["doc_id"] == 0}
+    sb = {r["fp"] for r in fps if r["doc_id"] == 1}
+    assert sa and sb and not (sa & sb)
+
+
+def test_winnow_short_and_empty_docs(spark):
+    """Docs shorter than k (after normalization) still own exactly one
+    fingerprint (the whole-remnant gram), so no doc silently drops out
+    of the dedup surface."""
+    from tidb_lightning_spark.functions import dedup as D
+
+    fps = D.winnow_fingerprints_df(
+        _doc_df(spark, ["ab", "!!!", ""]), "doc_id", "text"
+    ).collect()
+    per = {}
+    for r in fps:
+        per.setdefault(r["doc_id"], []).append(r["fp"])
+    assert set(per) == {0, 1, 2}
+    assert all(len(v) == 1 for v in per.values())
+    # "!!!" and "" normalize identically -> identical fingerprint
+    assert per[1] == per[2]
+
+
+def test_winnow_density_bound(spark, duck):
+    """Expected winnowing density is 2/(w+1) of the gram stream; assert
+    the per-doc fingerprint count never exceeds the hard ceiling (one
+    per window) and is positive."""
+    from tidb_lightning_spark.functions import dedup as D
+
+    rows = (
+        D.winnow_fingerprints_df(
+            Q.load(spark, SF_CORRECTNESS, "documents"), "doc_id", "text"
+        )
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    lens = dict(
+        duck.execute(
+            "SELECT doc_id, length(regexp_replace(lower(text),"
+            " '[^a-z0-9]', '', 'g')) FROM documents"
+        ).fetchall()
+    )
+    assert len(rows) == len(lens)
+    for r in rows:
+        n_grams = max(lens[r["doc_id"]] - (D.WINNOW_K - 1), 1)
+        n_windows = max(n_grams - (D.WINNOW_W - 1), 1)
+        assert 1 <= r["count"] <= n_windows
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Bucketization completeness: the bucketed equi-join + residual
+    must equal the naive range join, including boundary events exactly
+    at lo (included) and at hi (excluded) and events landing in the
+    window's second half-hour bucket."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 10, 13, 0)  # mid-bucket start
+    mins = dt.timedelta(minutes=1)
+
+    def ev(eid, offset_min, etype="view", value=1.0):
+        return Row(
+            event_id=eid,
+            ts=t0 + offset_min * mins,
+            user_id=1,
+            event_type=etype,
+            value=float(value),
+            props="{}",
+        )
+
+    rows = [
+        ev(100, 0, etype="purchase", value=99.0),  # opens [t0, t0+30min)
+        ev(1, 0),            # ts == lo -> included
+        ev(2, 16),           # crosses into the next half-hour bucket
+        ev(3, 29),           # last included minute
+        ev(4, 30),           # ts == hi -> excluded
+        ev(5, -1),           # before lo -> excluded
+        ev(6, 300),          # far away
+    ]
+    df = spark.createDataFrame(rows)
+    from tidb_lightning_spark.plans import queries as QQ
+
+    windows = df.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 95.0)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    wb = windows.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                QQ._ts_bucket(F.col("lo")), QQ._ts_bucket(F.col("hi"))
+            )
+        ),
+    )
+    eb = df.select("event_id", "ts").withColumn(
+        "bucket", QQ._ts_bucket(F.col("ts"))
+    )
+    got = sorted(
+        r["event_id"]
+        for r in eb.join(wb, "bucket")
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .select("event_id")
+        .collect()
+    )
+    naive = sorted(
+        r["event_id"]
+        for r in df.alias("e")
+        .join(
+            windows.alias("w"),
+            (F.col("e.ts") >= F.col("w.lo")) & (F.col("e.ts") < F.col("w.hi")),
+        )
+        .select("e.event_id")
+        .collect()
+    )
+    assert got == naive == [1, 2, 3, 100]

@@ -644,3 +644,89 @@ def sql_simhash60(table: str, id_col: str, text_col: str) -> str:
         f"SELECT {id_col}, CAST({bits} AS BIGINT) AS simhash FROM "
         f"(SELECT {id_col}, {sums} FROM ({toks}) GROUP BY {id_col})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the
+# MOSS local document fingerprinting algorithm). A rolling set of char
+# k-gram hashes is thinned by taking the minimum of every window of w
+# consecutive positions: any shared substring of length >= w + k - 1 is
+# GUARANTEED to contribute at least one identical fingerprint to both
+# documents (the winnowing guarantee), while expected density is only
+# 2/(w+1) of the raw k-gram stream. Complements MinHash (set-overlap
+# similarity, probabilistic) and SimHash (weighted Hamming proximity):
+# winnowing detects verbatim PASSAGE reuse — contiguous plagiarized /
+# boilerplate spans — which set-based sketches dilute on long documents.
+#
+# The hash is the repo-wide md5->15-hex->BIGINT (hash60), applied to each
+# k-gram substring of the normalized text, so the fingerprint set is
+# bit-identical in Spark and the DuckDB oracle. Position information is
+# deliberately dropped (DISTINCT fingerprint values per doc): the dedup
+# use-case keys on "how much fingerprint mass is shared", not where.
+
+WINNOW_K = 8  # char k-gram width over the normalized text
+WINNOW_W = 4  # window: every w consecutive grams yield >= 1 fingerprint
+WINNOW_MAX_DF = 20  # fingerprints in more docs than this are boilerplate
+
+
+def _winnow_norm(col: Column) -> Column:
+    """Lower-case and strip every non-alphanumeric char: whitespace and
+    punctuation carry no reuse signal and would break k-gram alignment
+    across reflowed text."""
+    return F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), "[^a-z0-9]", "")
+
+
+def winnow_fingerprints_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, fp) — the DISTINCT winnowed fingerprint set per document.
+
+    Shape: one linear scan; all k-gram hashing and window-min selection
+    is per-row Catalyst array math (transform/slice/array_min inside
+    whole-stage codegen — no UDF, no shuffle). Only (id, fp) longs leave
+    the scan stage. Short docs (< k chars after normalization) hash the
+    whole remnant as one gram so every doc owns >= 1 fingerprint.
+    """
+    n_grams = F.greatest(F.length("_s") - (WINNOW_K - 1), F.lit(1))
+    base = (
+        df.select(
+            F.col(id_col), _winnow_norm(F.col(text_col)).alias("_s")
+        )
+        .withColumn(
+            "_g",
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: hash60(F.col("_s").substr(i, F.lit(WINNOW_K))),
+            ),
+        )
+    )
+    mins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("_g") - (WINNOW_W - 1), F.lit(1))
+        ),
+        lambda j: F.array_min(F.slice("_g", j, WINNOW_W)),
+    )
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def sql_winnow_fingerprints(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of winnow_fingerprints_df: same normalization, same
+    hash60 per k-gram, window-min via a frame of w rows ordered by gram
+    position, DISTINCT values per doc. `i <= greatest(n - (w-1), 1)`
+    keeps exactly the full windows (plus the single short-doc window)."""
+    h = sql_hash60(f"substr(_s, CAST(i AS INT), {WINNOW_K})")
+    return f"""
+    SELECT DISTINCT {id_col}, fp FROM (
+      SELECT {id_col}, i,
+             min({h}) OVER (PARTITION BY {id_col} ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY {id_col}) AS n
+      FROM (
+        SELECT {id_col}, _s,
+               unnest(range(1, greatest(length(_s) - {WINNOW_K - 1}, 1) + 1)) AS i
+        FROM (SELECT {id_col},
+                     regexp_replace(lower(coalesce({text_col}, '')), '[^a-z0-9]', '', 'g') AS _s
+              FROM {table})
+      )
+    ) WHERE i <= greatest(n - {WINNOW_W - 1}, 1)
+    """

@@ -5189,3 +5189,215 @@ def corpus_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 additions (second pass): winnowing fingerprints (MOSS) and a
+# bucketized interval join — two operator classes the registry lacked.
+# ---------------------------------------------------------------------------
+
+
+def _winnow_profile_oracle() -> str:
+    fp = D.sql_winnow_fingerprints("documents", "doc_id", "text")
+    return f"""
+    SELECT doc_id,
+           count(*) AS n_fp,
+           bit_xor(fp) AS fp_checksum
+    FROM ({fp})
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+@register("doc_winnow_profile", _winnow_profile_oracle())
+def doc_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile (Schleimer/Wilkerson/
+    Aiken SIGMOD'03): count + exact-decimal checksum of the distinct
+    winnowed k-gram hash set. The xor-fold checksum makes the driver's
+    value-hash verify the ENTIRE fingerprint set per doc (xor is exact
+    64-bit integer math, associative and commutative, so Spark's
+    partition order cannot change it — unlike a decimal SUM of 60-bit
+    values, whose ~2^66 total exceeds double precision and rounds
+    differently per engine) without shipping ~2/(w+1) * doc_len
+    fingerprint rows through the compare.
+
+    Scale shape: fingerprinting is per-row Catalyst array math inside the
+    scan stage (functions/dedup.py winnow_fingerprints_df — no UDF); the
+    only shuffle is the (doc_id, fp) -> per-doc agg, map-side combinable.
+    """
+    d = widen(spark, sf_dir, "documents")
+    return (
+        D.winnow_fingerprints_df(d, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.bit_xor(F.col("fp")).alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _winnow_pairs_oracle() -> str:
+    fp = D.sql_winnow_fingerprints("documents", "doc_id", "text")
+    return f"""
+    WITH fps AS ({fp}),
+    rare AS (
+      SELECT fps.doc_id, fps.fp
+      FROM fps JOIN (SELECT fp, count(*) AS c FROM fps GROUP BY fp) df
+        USING (fp)
+      WHERE df.c <= {D.WINNOW_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM rare GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT s.a, s.b, s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / (sa.n_fp + sb.n_fp - s.n_shared), 4) AS sim
+    FROM shared s
+      JOIN sizes sa ON sa.doc_id = s.a
+      JOIN sizes sb ON sb.doc_id = s.b
+    WHERE CAST(s.n_shared AS DOUBLE)
+          / (sa.n_fp + sb.n_fp - s.n_shared) >= 0.5
+    ORDER BY a, b
+    """
+
+
+@register("near_dup_winnow_pairs", _winnow_pairs_oracle())
+def near_dup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-reuse near-dup pairs via winnowing fingerprint overlap —
+    the third dedup family next to MinHash-LSH (set similarity) and
+    SimHash (Hamming proximity). The winnowing guarantee makes this the
+    one that catches verbatim SPANS: any shared run of >= w + k - 1
+    normalized chars leaves an identical fingerprint in both docs, so a
+    long document that embeds a plagiarized paragraph still pairs even
+    though its global token-set Jaccard is low.
+
+    Scale shape mirrors the LSH pipeline: the shuffle carries (fp,
+    doc_id) longs, never text. Fingerprints appearing in more than
+    WINNOW_MAX_DF docs are dropped BEFORE the self-join (boilerplate —
+    headers, licenses — would otherwise create quadratic hot buckets;
+    same reasoning as the r=8 band width in MinHash-LSH). Similarity is
+    fingerprint-set Jaccard computed from exact integer counts — one
+    IEEE division per surviving pair, bit-stable cross-engine.
+    """
+    d = widen(spark, sf_dir, "documents")
+    fps = D.cache_acquire(D.winnow_fingerprints_df(d, "doc_id", "text"))
+    rare = fps.join(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= D.WINNOW_MAX_DF)
+        .select("fp"),
+        "fp",
+    )
+    rare = D.cache_acquire(rare)
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (
+        rare.select(F.col("doc_id").alias("a"), "fp")
+        .join(rare.select(F.col("doc_id").alias("b"), "fp"), "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sim = F.col("n_shared").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("n_shared")
+    ).cast("double")
+    out = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_fp").alias("_na")),
+            "a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_fp").alias("_nb")),
+            "b",
+        )
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= 0.5)
+        .select("a", "b", "n_shared", F.round("_sim", 4).alias("sim"))
+        .orderBy("a", "b")
+    )
+    out = D._unpersist_on_gc(out, fps, rare)
+    D.cache_release(fps)
+    D.cache_release(rare)
+    return out
+
+
+# Interval (range) join: Spark has no native band-join physical strategy —
+# a join whose only predicate is `point BETWEEN lo AND hi` plans as a
+# BroadcastNestedLoopJoin (all-pairs against every interval). The standard
+# scale technique is bucketization: quantize time into fixed-width buckets,
+# explode each interval over the buckets it covers (<= 2 for a window no
+# wider than the bucket), equi-join on the bucket id, then re-apply the
+# exact range predicate as a residual filter. The equi-join shuffles on a
+# well-distributed key and AQE handles skew; correctness never depends on
+# the bucketing (the residual is exact), only completeness does — and
+# floor-of-epoch bucketing covers [lo, hi) by monotonicity.
+WINDOW_MINUTES = 30
+_BUCKET_SEC = WINDOW_MINUTES * 60  # bucket width == window width -> <=2 buckets
+
+
+def _ts_bucket(c) -> F.Column:
+    return F.floor(F.unix_timestamp(c) / _BUCKET_SEC).cast("bigint")
+
+
+@register(
+    "purchase_window_event_counts",
+    f"""
+    WITH w AS (
+      SELECT event_id AS window_id, ts AS lo,
+             ts + INTERVAL {WINDOW_MINUTES} MINUTE AS hi
+      FROM events
+      WHERE event_type = 'purchase' AND value > 95.0
+    )
+    SELECT w.window_id,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+    FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+    GROUP BY w.window_id
+    ORDER BY w.window_id
+    """,
+)
+def purchase_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join without an equi-key: every high-value purchase opens
+    a 30-minute window; count/sum ALL site events (any user) landing in
+    each window — the cross-stream "what happened around the conversion"
+    question. The oracle is the plain range join; the Spark plan is the
+    bucketized form above (explode windows over <= 2 half-hour buckets,
+    equi-join on bucket, exact residual filter) so the big x big case
+    shuffles on a dense integer key instead of nested-looping.
+
+    At 100 TB: both sides partition by time bucket — the join is
+    effectively co-located after one shuffle each, intermediate size is
+    output-bound (sum of true overlaps x <= 2), and a hot bucket (flash
+    sale) is AQE-splittable because the key is data-time, not entity id.
+    """
+    e = widen(spark, sf_dir, "events")
+    windows = e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 95.0)
+    ).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr(f"INTERVAL {WINDOW_MINUTES} MINUTES")).alias("hi"),
+    )
+    wb = windows.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(_ts_bucket(F.col("lo")), _ts_bucket(F.col("hi")))
+        ),
+    )
+    eb = e.select("ts", "value").withColumn("bucket", _ts_bucket(F.col("ts")))
+    return (
+        eb.join(wb, "bucket")
+        .filter((F.col("ts") >= F.col("lo")) & (F.col("ts") < F.col("hi")))
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("window_id")
+    )
