@@ -288,3 +288,55 @@ def test_interval_join_matches_naive_range_join(spark):
         .collect()
     )
     assert got == naive == [1, 2, 3, 100]
+
+
+def test_sqldump_cache_registry_is_thread_local(spark, tmp_path):
+    """table_concurrency > 1 over SQL-dump tables: each worker thread
+    owns its own cache registry, so one table's engine-commit sweep /
+    finally can no longer unpersist another in-flight table's parsed-
+    rows cache (instance-level lists raced; engine index k collides
+    across tables). Engine-granular plan on both tables (tiny
+    engine_bytes -> one file per engine) to exercise the slice
+    bookkeeping concurrently."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    d = str(tmp_path / "dump")
+
+    def write(path, content):
+        import os
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(content)
+
+    write(f"{d}/c-schema-create.sql", "CREATE DATABASE IF NOT EXISTS c;")
+    for t in ("t1", "t2"):
+        write(
+            f"{d}/c.{t}-schema.sql",
+            f"CREATE TABLE {t} (a INT PRIMARY KEY, b VARCHAR(16));",
+        )
+        for part in (1, 2, 3):
+            rows = ",".join(
+                f"({part * 100 + i}, '{t}_{part}_{i}')" for i in range(40)
+            )
+            write(
+                f"{d}/c.{t}.{part:09d}.sql",
+                f"INSERT INTO {t} VALUES {rows};",
+            )
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None,
+        source_dir=d,
+        target_dir=target,
+        table_concurrency=2,
+        engine_bytes=1,  # every data file becomes its own engine
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    for t in ("t1", "t2"):
+        out = spark.read.parquet(f"{target}/c/{t}")
+        assert out.count() == 120
+        assert out.agg(F.sum("a")).collect()[0][0] == sum(
+            p * 100 + i for p in (1, 2, 3) for i in range(40)
+        )

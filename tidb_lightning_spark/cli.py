@@ -833,33 +833,19 @@ def _report(args) -> int:
     ).collect()[0]
     card["median_chars"] = q["median_chars"]
     card["p95_chars"] = q["p95_chars"]
-    # vocabulary-distribution health (corpus_zipf_profile's arithmetic):
-    # total/type counts, top-10/top-100 token share, hapax fraction —
-    # the pre-tokenizer-training check
-    tf = (
-        df.select(F.explode(TX.tokens(F.lower(t))).alias("_tok"))
-        .groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    ztot = tf.agg(
-        F.sum("_c").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_hapax"),
-    ).collect()[0]
-    if ztot["n_tokens"]:
-        top100 = [
-            r["_c"]
-            for r in tf.orderBy(F.col("_c").desc(), "_tok")
-            .limit(100)
-            .collect()
-        ]
+    # vocabulary-distribution health: total/type counts, top-10/top-100
+    # token share, hapax fraction — the pre-tokenizer-training check.
+    # THE corpus_zipf_profile implementation (shared helper), so the
+    # dataset card can never drift from the driver-verified query.
+    from tidb_lightning_spark.plans.queries import zipf_profile_df
+
+    z = zipf_profile_df(df.select(t.alias("text"))).collect()[0]
+    if z["n_tokens"]:
         card["vocab_profile"] = {
-            "n_types": ztot["n_types"],
-            "top10_share": round(sum(top100[:10]) / ztot["n_tokens"], 6),
-            "top100_share": round(sum(top100) / ztot["n_tokens"], 6),
-            "hapax_frac": round(ztot["n_hapax"] / ztot["n_types"], 6),
+            "n_types": z["n_types"],
+            "top10_share": round(z["top10_share"], 6),
+            "top100_share": round(z["top100_share"], 6),
+            "hapax_frac": round(z["hapax_frac"], 6),
         }
     if has_src:
         card["per_source"] = {

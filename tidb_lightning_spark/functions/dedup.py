@@ -235,6 +235,22 @@ def band_hashes_df(wide: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def signature_agreement(a_pref: str, b_pref: str) -> Column:
+    """MinHash similarity estimate between two wide signatures whose
+    components are aliased `{a_pref}{j}` / `{b_pref}{j}`: the fraction
+    of the N_MINHASH components that agree. The ONE estimator
+    expression — shared by lsh_candidate_pairs, the incremental-
+    admission query (plans/queries.py dedup_incremental_vs_reference)
+    and the streaming near-dup admission path (streaming/curation.py),
+    so a change to N_MINHASH or the estimator cannot silently diverge
+    between batch and streaming semantics."""
+    m = sum(
+        F.when(F.col(f"{a_pref}{j}") == F.col(f"{b_pref}{j}"), 1).otherwise(0)
+        for j in range(N_MINHASH)
+    )
+    return m.cast("double") / F.lit(float(N_MINHASH))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -285,19 +301,13 @@ def lsh_candidate_pairs(
         F.col(id_col).alias("_b"),
         *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_MINHASH)],
     )
-    matches = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(N_MINHASH)
-    )
     result = (
         cand.join(wa, "_a")
         .join(wb, "_b")
         .select(
             F.col("_a").alias("a"),
             F.col("_b").alias("b"),
-            (matches.cast("double") / F.lit(float(N_MINHASH))).alias(
-                "est_jaccard"
-            ),
+            signature_agreement("a", "b").alias("est_jaccard"),
         )
     )
     if signatures is not None:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -265,9 +266,26 @@ class Restorer:
         # SQL-dump branch registers here (see _read_and_transform — the
         # Python statement parse is expensive enough that the range
         # sampler re-executing it flips the cache-vs-rescan economics
-        # that keep the CSV path uncached)
-        self._table_caches: list[DataFrame] = []
-        self._engine_cache_slices: dict[int, tuple[int, int]] = {}
+        # that keep the CSV path uncached). THREAD-LOCAL: with
+        # table_concurrency > 1 each restore_table runs wholly on one
+        # worker thread, and instance-level lists would let one table's
+        # engine-commit/finally sweep unpersist another in-flight
+        # table's caches (and engine index k collides across tables).
+        self._cache_tls = threading.local()
+
+    @property
+    def _table_caches(self) -> list[DataFrame]:
+        tc = getattr(self._cache_tls, "table_caches", None)
+        if tc is None:
+            tc = self._cache_tls.table_caches = []
+        return tc
+
+    @property
+    def _engine_cache_slices(self) -> dict[int, tuple[int, int]]:
+        sl = getattr(self._cache_tls, "engine_slices", None)
+        if sl is None:
+            sl = self._cache_tls.engine_slices = {}
+        return sl
 
     # ------------------------------------------------------------------
     def run(self) -> RunReport:
@@ -1218,7 +1236,6 @@ class Restorer:
             rep.seconds = time.time() - t0
             metrics.IMPORT_SECONDS.observe(rep.seconds)
         return rep
-        return rep
 
     # ------------------------------------------------------------------
     def _rebase_and_analyze(
@@ -1327,14 +1344,22 @@ class Restorer:
             import json as _json
 
             peek_cap = 64 << 20
-            buf = b""
+            # scan only each fresh chunk for the newline and join once:
+            # rescanning/reallocating the accumulated buffer per 1 MiB
+            # read would be O(cap^2) driver work on a newline-free file
+            chunks: list[bytes] = []
+            size = 0
+            seen_nl = False
             with csv_source._decompress_open(first.path, self.spark) as f:
-                while b"\n" not in buf and len(buf) < peek_cap:
+                while not seen_nl and size < peek_cap:
                     chunk = f.read(1 << 20)
                     if not chunk:
                         break
-                    buf += chunk
-            if b"\n" not in buf and len(buf) >= peek_cap:
+                    chunks.append(chunk)
+                    size += len(chunk)
+                    seen_nl = b"\n" in chunk
+            buf = b"".join(chunks)
+            if not seen_nl and size >= peek_cap:
                 raise IngestError(
                     f"JSONL schema peek: first line of {first.path} "
                     f"exceeds {peek_cap >> 20} MiB without a newline; "

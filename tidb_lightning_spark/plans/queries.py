@@ -3514,18 +3514,12 @@ def dedup_incremental_vs_reference(
         F.col("doc_id").alias("_ref"),
         *[F.col(f"mh{j}").alias(f"b{j}") for j in range(D.N_MINHASH)],
     )
-    matches = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(D.N_MINHASH)
-    )
     verdicts = (
         cand.join(wa, "_new")
         .join(wb, "_ref")
         .select(
             "_new",
-            (matches.cast("double") / F.lit(float(D.N_MINHASH))).alias(
-                "est"
-            ),
+            D.signature_agreement("a", "b").alias("est"),
         )
         .groupBy("_new")
         .agg(F.max("est").alias("max_sim_vs_ref"))
@@ -4470,22 +4464,20 @@ def _zipf_oracle() -> str:
     """
 
 
-@register("corpus_zipf_profile", _zipf_oracle())
-def corpus_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus frequency-distribution health check: total/type counts,
-    the token share captured by the top-10 and top-100 types, and the
-    hapax (frequency-1) fraction of the vocabulary. A natural corpus is
-    zipfian (top-100 share high, hapax frac ~0.4-0.6); template spam
-    collapses the tail, OCR noise explodes it — the single-row profile a
-    curation run checks before tokenizer training.
+def zipf_profile_df(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single-row vocabulary-distribution profile over `text_col`:
+    (n_tokens, n_types, top10_share, top100_share, hapax_frac). The ONE
+    implementation behind both `corpus_zipf_profile` and the `cli
+    report` dataset card's vocab_profile — shared so the query and the
+    card cannot drift (same tokenizer, same top-k tie-break on the
+    token string, same exact-integer arithmetic).
 
     Scale shape: one (token, count) agg with map-side combine; the
     top-k sums are TakeOrdered (distributed heap top-k, NO global sort
     or single-partition window); everything joins back as 1-row
     broadcasts. Exact integer sums, one final division per ratio."""
-    d = widen(spark, sf_dir, "documents")
     tf = (
-        d.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"))
+        d.select(F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -4521,6 +4513,18 @@ def corpus_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("corpus_zipf_profile", _zipf_oracle())
+def corpus_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-distribution health check: total/type counts,
+    the token share captured by the top-10 and top-100 types, and the
+    hapax (frequency-1) fraction of the vocabulary. A natural corpus is
+    zipfian (top-100 share high, hapax frac ~0.4-0.6); template spam
+    collapses the tail, OCR noise explodes it — the single-row profile a
+    curation run checks before tokenizer training. Plan shape and
+    arithmetic live in zipf_profile_df (shared with the dataset card)."""
+    return zipf_profile_df(widen(spark, sf_dir, "documents"))
 
 
 def _bpe_pairs_oracle() -> str:
@@ -5212,7 +5216,7 @@ def _winnow_profile_oracle() -> str:
 @register("doc_winnow_profile", _winnow_profile_oracle())
 def doc_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint profile (Schleimer/Wilkerson/
-    Aiken SIGMOD'03): count + exact-decimal checksum of the distinct
+    Aiken SIGMOD'03): count + xor-fold checksum of the distinct
     winnowed k-gram hash set. The xor-fold checksum makes the driver's
     value-hash verify the ENTIRE fingerprint set per doc (xor is exact
     64-bit integer math, associative and commutative, so Spark's

@@ -153,15 +153,6 @@ def curate_to_warehouse_neardup(
     sigs_dir = os.path.join(state_dir, "sigs")
     mh_cols = [f"mh{j}" for j in range(D.N_MINHASH)]
 
-    def _matches(a_pref: str, b_pref: str):
-        m = sum(
-            F.when(
-                F.col(f"{a_pref}{j}") == F.col(f"{b_pref}{j}"), 1
-            ).otherwise(0)
-            for j in range(D.N_MINHASH)
-        )
-        return m.cast("double") / F.lit(float(D.N_MINHASH))
-
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         sig = D.minhash_wide_df(batch_df, "doc_id", "text").persist()
         bands_new = D.band_hashes_df(sig, "doc_id")
@@ -217,7 +208,7 @@ def curate_to_warehouse_neardup(
             dropped = (
                 cand.join(wa, "_new")
                 .join(wb, "_ref")
-                .filter(_matches("a", "b") >= F.lit(threshold))
+                .filter(D.signature_agreement("a", "b") >= F.lit(threshold))
                 .select(F.col("_new").alias("doc_id"))
                 .distinct()
             )

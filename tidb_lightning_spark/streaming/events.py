@@ -319,14 +319,19 @@ def streaming_distinct_users(stream: DataFrame) -> DataFrame:
         if len(regs) == HLL_M:
             regs.append(0)
         for pdf in pdf_iter:
-            for uid in pdf["user_id"]:
-                # a nullable int64 column arrives in pandas as float64
-                # with NaN — `is None` misses it and int(nan) raises
+            # _uid_str is stringified SPARK-SIDE: Arrow hands a nullable
+            # int64 over as float64 (NaN for null), which silently
+            # rounds ids above 2^53 — a snowflake-style user_id in a
+            # micro-batch that also contains a null would then hash
+            # differently than the batch hash60(cast as string) path.
+            # A string column round-trips exactly; pd.isna catches the
+            # None slots.
+            for uid in pdf["_uid_str"]:
                 if pd.isna(uid):
                     regs[HLL_M] = HLL_W_BITS + 1
                     continue
                 h = int(
-                    hashlib.md5(str(int(uid)).encode()).hexdigest()[:15], 16
+                    hashlib.md5(uid.encode()).hexdigest()[:15], 16
                 )
                 reg = h & (HLL_M - 1)
                 w = h >> HLL_P
@@ -351,7 +356,10 @@ def streaming_distinct_users(stream: DataFrame) -> DataFrame:
             }
         )
 
-    return stream.groupBy("event_type").applyInPandasWithState(
+    keyed = stream.select(
+        "event_type", F.col("user_id").cast("string").alias("_uid_str")
+    )
+    return keyed.groupBy("event_type").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
