@@ -340,3 +340,32 @@ def test_sqldump_cache_registry_is_thread_local(spark, tmp_path):
         assert out.agg(F.sum("a")).collect()[0][0] == sum(
             p * 100 + i for p in (1, 2, 3) for i in range(40)
         )
+
+
+def test_winnow_containment_catches_embedded_passage(spark, monkeypatch):
+    """A short doc embedded verbatim in a much longer one must surface
+    via containment (~1.0) even though set Jaccard is diluted below the
+    0.5 threshold — the case the asymmetric score exists for."""
+    import tidb_lightning_spark.plans.queries as QQ
+
+    short = (
+        "winnowing guarantees every shared run of eleven characters "
+        "leaves one common fingerprint in both documents"
+    )
+    filler = " ".join(
+        f"unrelated padding token number {i} keeps the long document long"
+        for i in range(40)
+    )
+    long_doc = filler + " " + short + " " + filler[::-1]
+    docs = _doc_df(spark, [short, long_doc])
+    orig = QQ.load
+    monkeypatch.setattr(
+        QQ,
+        "load",
+        lambda sp, sf, t: docs if t == "documents" else orig(sp, sf, t),
+    )
+    rows = QQ.near_dup_winnow_pairs(spark, SF_CORRECTNESS).collect()
+    pair = [r for r in rows if r["a"] == 0 and r["b"] == 1]
+    assert pair, "embedded passage pair not surfaced"
+    assert pair[0]["containment"] >= 0.8
+    assert pair[0]["sim"] < 0.5  # Jaccard alone would have missed it

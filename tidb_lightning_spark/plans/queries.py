@@ -5259,12 +5259,16 @@ def _winnow_pairs_oracle() -> str:
     )
     SELECT s.a, s.b, s.n_shared,
            round(CAST(s.n_shared AS DOUBLE)
-                 / (sa.n_fp + sb.n_fp - s.n_shared), 4) AS sim
+                 / (sa.n_fp + sb.n_fp - s.n_shared), 4) AS sim,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / least(sa.n_fp, sb.n_fp), 4) AS containment
     FROM shared s
       JOIN sizes sa ON sa.doc_id = s.a
       JOIN sizes sb ON sb.doc_id = s.b
     WHERE CAST(s.n_shared AS DOUBLE)
           / (sa.n_fp + sb.n_fp - s.n_shared) >= 0.5
+       OR CAST(s.n_shared AS DOUBLE)
+          / least(sa.n_fp, sb.n_fp) >= 0.8
     ORDER BY a, b
     """
 
@@ -5283,9 +5287,12 @@ def near_dup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id) longs, never text. Fingerprints appearing in more than
     WINNOW_MAX_DF docs are dropped BEFORE the self-join (boilerplate —
     headers, licenses — would otherwise create quadratic hot buckets;
-    same reasoning as the r=8 band width in MinHash-LSH). Similarity is
-    fingerprint-set Jaccard computed from exact integer counts — one
-    IEEE division per surviving pair, bit-stable cross-engine.
+    same reasoning as the r=8 band width in MinHash-LSH). Two scores,
+    both from exact integer counts (one IEEE division each, bit-stable
+    cross-engine): fingerprint-set Jaccard, and CONTAINMENT
+    (|A∩B| / min|A|,|B|) — the asymmetric score that stays high when a
+    short doc is embedded verbatim inside a much longer one, where
+    Jaccard dilutes toward 0. A pair surfaces on either threshold.
     """
     d = widen(spark, sf_dir, "documents")
     fps = D.cache_acquire(D.winnow_fingerprints_df(d, "doc_id", "text"))
@@ -5308,6 +5315,12 @@ def near_dup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = F.col("n_shared").cast("double") / (
         F.col("_na") + F.col("_nb") - F.col("n_shared")
     ).cast("double")
+    # containment = |A ∩ B| / min(|A|, |B|): the ASYMMETRIC score that
+    # catches a short doc's passage embedded verbatim in a much longer
+    # one — exactly the case where Jaccard dilutes toward 0
+    contain = F.col("n_shared").cast("double") / F.least(
+        F.col("_na"), F.col("_nb")
+    ).cast("double")
     out = (
         shared.join(
             sizes.select(F.col("doc_id").alias("a"), F.col("n_fp").alias("_na")),
@@ -5318,8 +5331,15 @@ def near_dup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
         )
         .withColumn("_sim", sim)
-        .filter(F.col("_sim") >= 0.5)
-        .select("a", "b", "n_shared", F.round("_sim", 4).alias("sim"))
+        .withColumn("_con", contain)
+        .filter((F.col("_sim") >= 0.5) | (F.col("_con") >= 0.8))
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.round("_sim", 4).alias("sim"),
+            F.round("_con", 4).alias("containment"),
+        )
         .orderBy("a", "b")
     )
     out = D._unpersist_on_gc(out, fps, rare)
