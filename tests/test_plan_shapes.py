@@ -305,3 +305,13 @@ def test_interval_join_is_bucketed_equi_join(spark):
     assert re.search(r"\(\d+\) (BroadcastHashJoin|SortMergeJoin)", plan), plan
     # map-side-combinable agg: partial before the final group on window_id
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hourly_dense_single_fact_pass(spark):
+    """events_hourly_dense: the fact table passes ONE aggregation; the
+    spine/grid side is built from a 1-row agg and broadcast — no
+    re-shuffle of raw events for the gap-fill join."""
+    plan = plan_of(spark, "events_hourly_dense")
+    assert plan.count("BroadcastExchange") >= 2  # spine and hourly cells
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # crossJoin plans as BNLJ w/ 1-col build

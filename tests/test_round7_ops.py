@@ -369,3 +369,26 @@ def test_winnow_containment_catches_embedded_passage(spark, monkeypatch):
     assert pair, "embedded passage pair not surfaced"
     assert pair[0]["containment"] >= 0.8
     assert pair[0]["sim"] < 0.5  # Jaccard alone would have missed it
+
+
+def test_hourly_dense_grid_is_complete_and_consistent(spark, duck):
+    """Gap-fill invariants: the output is the FULL dense grid (types x
+    every hour between global min and max), zero rows exist for empty
+    buckets, and summing the dense grid reproduces the sparse rollup
+    totals exactly."""
+    rows = Q.events_hourly_dense(spark, SF_CORRECTNESS).collect()
+    types = {r["event_type"] for r in rows}
+    hours = sorted({r["hour"] for r in rows})
+    # dense: every (type, hour) cell exactly once
+    assert len(rows) == len(types) * len(hours)
+    # spine has no holes: consecutive hours are 3600 s apart
+    deltas = {
+        int((b - a).total_seconds()) for a, b in zip(hours, hours[1:])
+    }
+    assert deltas == {3600}
+    # zero-filled gaps exist in this fixture (30 days x 5 types at
+    # sf0.01 leaves some empty cells) and are genuine zeros
+    zeros = [r for r in rows if r["n_events"] == 0]
+    assert zeros and all(r["sum_value"] == 0.0 for r in zeros)
+    n_total, = duck.execute("SELECT count(*) FROM events").fetchone()
+    assert sum(r["n_events"] for r in rows) == n_total

@@ -5425,3 +5425,77 @@ def purchase_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+@register(
+    "events_hourly_dense",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events,
+             CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM span
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, s.hour,
+           coalesce(h.n_events, 0) AS n_events,
+           coalesce(h.sum_value, 0.0) AS sum_value
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN hourly h
+      ON h.event_type = t.event_type AND h.hour = s.hour
+    ORDER BY t.event_type, s.hour
+    """,
+)
+def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup — the hypertable/time_bucket_gapfill
+    analog: every (event_type, hour) cell of the dense time grid gets a
+    row, zero-filled where no events landed, so downstream
+    moving-window math (events_hourly_anomaly's trailing z-score,
+    chart spines, forecasting features) never silently skips empty
+    buckets and mis-sizes its windows.
+
+    Scale shape: the fact table passes exactly ONE map-side-combinable
+    aggregation (same plan as events_hourly_rollup). The dense spine is
+    METADATA-sized — hours x distinct types, generated by exploding a
+    sequence off a 1-row min/max agg — and the gap-fill is a broadcast
+    left join of that tiny grid against the pre-aggregated cells; raw
+    events are never re-shuffled for the fill. At 100 TB the grid is
+    still only (years x 8760) x types rows.
+    """
+    e = widen(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("sum_value"),
+    )
+    span = e.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    )
+    spine = span.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    return (
+        grid.join(F.broadcast(hourly), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
