@@ -392,3 +392,15 @@ def test_hourly_dense_grid_is_complete_and_consistent(spark, duck):
     assert zeros and all(r["sum_value"] == 0.0 for r in zeros)
     n_total, = duck.execute("SELECT count(*) FROM events").fetchone()
     assert sum(r["n_events"] for r in rows) == n_total
+    # LOCF: in a gap the carried value equals the last observed hour's
+    # sum; on an observed hour it equals that hour's own sum
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for seq in by_type.values():
+        seq.sort(key=lambda r: r["hour"])
+        carried = 0.0
+        for r in seq:
+            if r["n_events"] > 0:
+                carried = r["sum_value"]
+            assert r["locf_sum_value"] == carried

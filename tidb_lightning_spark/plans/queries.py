@@ -5443,13 +5443,21 @@ def purchase_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
       FROM span
     ), types AS (SELECT DISTINCT event_type FROM events)
-    SELECT t.event_type, s.hour,
-           coalesce(h.n_events, 0) AS n_events,
-           coalesce(h.sum_value, 0.0) AS sum_value
-    FROM types t CROSS JOIN spine s
-    LEFT JOIN hourly h
-      ON h.event_type = t.event_type AND h.hour = s.hour
-    ORDER BY t.event_type, s.hour
+    SELECT event_type, hour, n_events, sum_value,
+           coalesce(locf, 0.0) AS locf_sum_value
+    FROM (
+      SELECT t.event_type, s.hour,
+             coalesce(h.n_events, 0) AS n_events,
+             coalesce(h.sum_value, 0.0) AS sum_value,
+             last_value(h.sum_value IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS locf
+      FROM types t CROSS JOIN spine s
+      LEFT JOIN hourly h
+        ON h.event_type = t.event_type AND h.hour = s.hour
+    )
+    ORDER BY event_type, hour
     """,
 )
 def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5458,7 +5466,9 @@ def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, zero-filled where no events landed, so downstream
     moving-window math (events_hourly_anomaly's trailing z-score,
     chart spines, forecasting features) never silently skips empty
-    buckets and mis-sizes its windows.
+    buckets and mis-sizes its windows. locf_sum_value carries the last
+    observed hour's value forward across gaps (gapfill's locf mode;
+    leading gaps before the first observation fill with 0).
 
     Scale shape: the fact table passes exactly ONE map-side-combinable
     aggregation (same plan as events_hourly_rollup). The dense spine is
@@ -5489,6 +5499,14 @@ def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     types = e.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(spine))
+    # LOCF rides a window KEYED on event_type (per-type hour order, no
+    # global sort); the carried value is an exact previously-computed
+    # double, so the fill is bit-stable cross-engine
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         grid.join(F.broadcast(hourly), ["event_type", "hour"], "left")
         .select(
@@ -5496,6 +5514,9 @@ def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour",
             F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
             F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+            F.coalesce(
+                F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("locf_sum_value"),
         )
         .orderBy("event_type", "hour")
     )
