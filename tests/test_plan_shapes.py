@@ -315,3 +315,11 @@ def test_hourly_dense_single_fact_pass(spark):
     assert plan.count("BroadcastExchange") >= 2  # spine and hourly cells
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan  # crossJoin plans as BNLJ w/ 1-col build
+
+
+def test_bloom_prefilter_words_broadcast(spark):
+    """dedup_bloom_prefilter: the <=1024-word bitset must broadcast to
+    the probe side — probing never shuffles the new-doc fingerprints."""
+    plan = plan_of(spark, "dedup_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -404,3 +404,42 @@ def test_hourly_dense_grid_is_complete_and_consistent(spark, duck):
             if r["n_events"] > 0:
                 carried = r["sum_value"]
             assert r["locf_sum_value"] == carried
+
+
+def test_bloom_prefilter_no_false_negatives_on_crafted_dups(
+    spark, monkeypatch
+):
+    """Bloom guarantee: every actual historical dup must be
+    bloom_maybe (its positions were set by its historical twin); unique
+    new docs overwhelmingly miss at n=3,m=32768."""
+    import tidb_lightning_spark.plans.queries as QQ
+
+    hist = [
+        Row(doc_id=i, text=f"historical document number {i} body")
+        for i in range(3)
+    ]
+    new = [
+        # exact dup of hist 1 (whitespace-collapsed canon matches)
+        Row(doc_id=250, text="historical  document   number 1 body"),
+        Row(doc_id=251, text="a completely fresh document"),
+        Row(doc_id=252, text="another fresh unseen document"),
+    ]
+    docs = spark.createDataFrame(hist + new)
+    orig = QQ.load
+    monkeypatch.setattr(
+        QQ,
+        "load",
+        lambda sp, sf, t: docs if t == "documents" else orig(sp, sf, t),
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in QQ.dedup_bloom_prefilter(spark, SF_CORRECTNESS).collect()
+    }
+    assert set(rows) == {250, 251, 252}
+    assert rows[250]["is_actual_dup"] and rows[250]["bloom_maybe"]
+    for i in (251, 252):
+        assert not rows[i]["is_actual_dup"]
+    # the implication direction that must NEVER break (false positives
+    # are allowed, false negatives are not):
+    for r in rows.values():
+        assert (not r["is_actual_dup"]) or r["bloom_maybe"]

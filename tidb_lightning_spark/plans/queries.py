@@ -5520,3 +5520,146 @@ def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+# Bloom-filter membership prefilter: the standard "cheap broadcast check
+# before the expensive shuffle join" pattern for incremental ingest. The
+# filter over the HISTORICAL corpus's exact fingerprints is a fixed
+# 32768-bit / 4-probe bitset (1024 x 32-bit words in BIGINTs — bit
+# positions stay <= 31 because DuckDB raises on 1 << 63), built by a
+# bit_or aggregate and small enough to broadcast to every executor. New
+# documents test 4 bit positions sliced from their own 60-bit
+# fingerprint; only maybe-seen docs would proceed to the exact/near-dup
+# shuffle join. No false negatives by construction (a real dup's
+# positions were all set by its historical twin); false positives are
+# bounded by (1 - e^(-kn/m))^k and REPORTED by the query itself.
+BLOOM_BITS = 1 << 15
+BLOOM_MASK = BLOOM_BITS - 1
+BLOOM_K_SHIFTS = (0, 15, 30, 45)  # 4 x 15-bit slices of hash60
+
+
+def _bloom_oracle() -> str:
+    fp = TX.sql_fingerprint("text")
+    shifts = ", ".join(f"({s})" for s in BLOOM_K_SHIFTS)
+    return f"""
+    WITH fp AS (SELECT doc_id, {fp} AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+    words AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+      FROM (SELECT DISTINCT ((fp >> s) & {BLOOM_MASK}) AS pos
+            FROM hist, (VALUES {shifts}) v(s))
+      GROUP BY 1
+    ),
+    probes AS (
+      SELECT doc_id, ((fp >> s) & {BLOOM_MASK}) AS pos
+      FROM fp, (VALUES {shifts}) v(s)
+      WHERE doc_id >= 250
+    ),
+    hits AS (
+      SELECT p.doc_id,
+             min(CASE WHEN w.word IS NOT NULL
+                       AND ((w.word >> CAST(p.pos % 32 AS INT)) & 1) = 1
+                      THEN 1 ELSE 0 END) AS all_set
+      FROM probes p LEFT JOIN words w ON w.word_idx = p.pos // 32
+      GROUP BY 1
+    ),
+    truth AS (
+      SELECT f.doc_id,
+             max(CASE WHEN h.fp IS NOT NULL THEN 1 ELSE 0 END) AS dup
+      FROM fp f LEFT JOIN hist h ON f.fp = h.fp
+      WHERE f.doc_id >= 250
+      GROUP BY 1
+    )
+    SELECT h.doc_id, h.all_set = 1 AS bloom_maybe, t.dup = 1 AS is_actual_dup
+    FROM hits h JOIN truth t USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@register("dedup_bloom_prefilter", _bloom_oracle())
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast Bloom prefilter for incremental admission (same
+    new/historical split as dedup_incremental_vs_reference): per NEW
+    doc, whether the historical-fingerprint Bloom filter says
+    maybe-seen, next to the exact ground truth so the false-positive
+    rate is visible in the result. At 100 TB the filter build is one
+    linear scan + a 1024-row bit_or agg; the probe side touches ONLY
+    the broadcast bitset — new documents that miss skip the historical
+    shuffle join entirely, which is the point: the expensive join runs
+    on the maybe-seen minority. is_actual_dup -> bloom_maybe always
+    (no false negatives; pinned in tests)."""
+    d = widen(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fp")
+    )
+    hist = fp.filter(F.col("doc_id") < 250).select("fp").distinct()
+    shifts = F.array(*[F.lit(s) for s in BLOOM_K_SHIFTS])
+    positions = (
+        hist.select("fp", F.explode(shifts).alias("s"))
+        .select(
+            F.expr(f"shiftright(fp, CAST(s AS INT)) & {BLOOM_MASK}").alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+    words = (
+        positions.select(
+            F.shiftright(F.col("pos"), 5).alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "w"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("word"))
+    )
+    probes = fp.filter(F.col("doc_id") >= 250).select(
+        "doc_id",
+        "fp",
+        F.explode(shifts).alias("s"),
+    ).select(
+        "doc_id",
+        "fp",
+        F.expr(f"shiftright(fp, CAST(s AS INT)) & {BLOOM_MASK}").alias("pos"),
+    )
+    hits = (
+        probes.join(
+            F.broadcast(words),
+            F.shiftright(F.col("pos"), 5) == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.expr(
+                        "(shiftright(word, CAST(pos % 32 AS INT)) & 1)"
+                    )
+                    == 1
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg((F.min("hit") == 1).alias("bloom_maybe"))
+    )
+    truth = (
+        fp.filter(F.col("doc_id") >= 250)
+        .join(
+            hist.select(F.col("fp").alias("_h")),
+            F.col("fp") == F.col("_h"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.col("_h").isNotNull().cast("int")).alias("_dup"))
+        .select("doc_id", (F.col("_dup") == 1).alias("is_actual_dup"))
+    )
+    return (
+        hits.join(truth, "doc_id")
+        .select("doc_id", "bloom_maybe", "is_actual_dup")
+        .orderBy("doc_id")
+    )
