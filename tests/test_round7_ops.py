@@ -443,3 +443,56 @@ def test_bloom_prefilter_no_false_negatives_on_crafted_dups(
     # are allowed, false negatives are not):
     for r in rows.values():
         assert (not r["is_actual_dup"]) or r["bloom_maybe"]
+
+
+def test_rp_recall_bounds_on_fixture(spark):
+    rows = Q.embedding_rp_recall(spark, SF_CORRECTNESS).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["recall_at_10"] == r["n_overlap"] / 10.0
+
+
+def test_rp_recall_high_on_clustered_corpus(spark, monkeypatch):
+    """JL projection preserves NEIGHBOR STRUCTURE when there is any:
+    on a corpus of 3 tight clusters the projected top-10 must recover
+    the exact top-10 almost perfectly — the honest counterpart to the
+    fixture's near-isotropic vectors, where recall is legitimately low."""
+    import math
+
+    import tidb_lightning_spark.plans.queries as QQ
+
+    def unit(seed, dim=64):
+        # deterministic pseudo-random unit vector
+        import hashlib, struct
+
+        v = []
+        for d in range(dim):
+            h = hashlib.md5(f"rp-test:{seed}:{d}".encode()).digest()
+            (u,) = struct.unpack("<Q", h[:8])
+            v.append(u / 2**63 - 1.0)
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    centers = [unit(f"c{i}") for i in range(3)]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for m in range(12):
+            noise = unit(f"n{ci}.{m}")
+            vec = [x + 0.05 * e for x, e in zip(c, noise)]
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in vec]))
+            vid += 1
+    emb = spark.createDataFrame(rows)
+    orig = QQ.load
+    monkeypatch.setattr(
+        QQ,
+        "load",
+        lambda sp, sf, t: emb if t == "embeddings" else orig(sp, sf, t),
+    )
+    out = QQ.embedding_rp_recall(spark, SF_CORRECTNESS).collect()
+    # queries 0..4 live in cluster 0; their exact top-10 is their own
+    # cluster, far from the others — the 16-d sketch must keep >= 8/10
+    assert len(out) == 5
+    for r in out:
+        assert r["n_overlap"] >= 8, out
