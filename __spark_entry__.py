@@ -36,6 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # temperature threshold, generated funnel twin).
 _DRIVER_PRIORITY = [
     # new in r7
+    "doc_novelty_vs_reference",
     "embedding_rp_recall",
     "dedup_bloom_prefilter",
     "events_hourly_dense",

@@ -496,3 +496,41 @@ def test_rp_recall_high_on_clustered_corpus(spark, monkeypatch):
     assert len(out) == 5
     for r in out:
         assert r["n_overlap"] >= 8, out
+
+
+def test_novelty_extremes_on_crafted_corpus(spark, monkeypatch):
+    """A new doc that reprints a historical doc scores ~0 novelty; a
+    genuinely fresh doc scores 1.0; a half-recycled doc lands in
+    between — the granularity whole-doc dup verdicts can't express."""
+    import tidb_lightning_spark.plans.queries as QQ
+
+    hist_text = (
+        "the history of distributed databases begins with partitioned "
+        "storage engines and consensus protocols for replication safety"
+    )
+    fresh_text = (
+        "meanwhile gardening in volcanic soil requires entirely other "
+        "skills like drainage terracing and patient seasonal observation"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=hist_text),
+            Row(doc_id=250, text=hist_text),          # reprint
+            Row(doc_id=251, text=fresh_text),          # fresh
+            Row(doc_id=252, text=hist_text + " " + fresh_text),  # half
+        ]
+    )
+    orig = QQ.load
+    monkeypatch.setattr(
+        QQ,
+        "load",
+        lambda sp, sf, t: docs if t == "documents" else orig(sp, sf, t),
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in QQ.doc_novelty_vs_reference(spark, SF_CORRECTNESS).collect()
+    }
+    assert set(rows) == {250, 251, 252}
+    assert rows[250]["novelty"] == 0.0
+    assert rows[251]["novelty"] == 1.0
+    assert 0.2 < rows[252]["novelty"] < 0.8, rows[252]

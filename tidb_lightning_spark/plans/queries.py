@@ -5823,3 +5823,73 @@ def embedding_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def _novelty_oracle() -> str:
+    fp = D.sql_winnow_fingerprints("documents", "doc_id", "text")
+    return f"""
+    WITH fps AS ({fp}),
+    hist AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250),
+    new AS (SELECT doc_id, fp FROM fps WHERE doc_id >= 250),
+    per AS (SELECT doc_id, count(*) AS n_fp FROM new GROUP BY doc_id),
+    seen AS (
+      SELECT n.doc_id, count(*) AS n_seen
+      FROM new n JOIN hist h ON n.fp = h.fp
+      GROUP BY n.doc_id
+    )
+    SELECT p.doc_id, p.n_fp,
+           CAST(coalesce(s.n_seen, 0) AS BIGINT) AS n_seen,
+           round(1.0 - CAST(coalesce(s.n_seen, 0) AS DOUBLE) / p.n_fp, 4)
+             AS novelty
+    FROM per p LEFT JOIN seen s ON s.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """
+
+
+@register("doc_novelty_vs_reference", _novelty_oracle())
+def doc_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against the historical corpus (same split as
+    dedup_incremental_vs_reference): the fraction of a NEW doc's
+    winnowing fingerprints never seen in the admitted corpus — the
+    passage-level memorization/novelty score curation uses to rank what
+    a crawl actually adds (novelty ~0 = reprint, ~1 = genuinely new
+    prose; mid-range = partial boilerplate). Finer-grained than the
+    incremental MinHash verdict: a doc that is 40% recycled paragraphs
+    scores 0.6 here but may pass the whole-doc Jaccard check.
+
+    Scale shape: identical to the incremental dedup family — the
+    historical fingerprint set is precomputable and reusable across
+    crawl batches, the join shuffles (fp, doc_id) longs, text never
+    leaves its scan. Novelty is one IEEE division of exact integer
+    counts, bit-stable cross-engine.
+    """
+    d = widen(spark, sf_dir, "documents")
+    fps = D.cache_acquire(D.winnow_fingerprints_df(d, "doc_id", "text"))
+    hist = fps.filter(F.col("doc_id") < 250).select("fp").distinct()
+    new = fps.filter(F.col("doc_id") >= 250)
+    per = new.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    seen = (
+        new.join(hist, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_seen"))
+    )
+    out = (
+        per.join(seen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_fp",
+            F.coalesce(F.col("_n_seen"), F.lit(0))
+            .cast("bigint")
+            .alias("n_seen"),
+            F.round(
+                1.0
+                - F.coalesce(F.col("_n_seen"), F.lit(0)).cast("double")
+                / F.col("n_fp"),
+                4,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+    out = D._unpersist_on_gc(out, fps)
+    D.cache_release(fps)
+    return out
