@@ -840,12 +840,22 @@ def _report(args) -> int:
     from tidb_lightning_spark.plans.queries import zipf_profile_df
 
     z = zipf_profile_df(df.select(t.alias("text"))).collect()[0]
+    # the key is ALWAYS present: a non-empty table whose text tokenizes
+    # to zero tokens (all-symbol/whitespace docs) gets a degenerate
+    # profile with null ratios, not a missing key (r7 advice)
     if z["n_tokens"]:
         card["vocab_profile"] = {
             "n_types": z["n_types"],
             "top10_share": round(z["top10_share"], 6),
             "top100_share": round(z["top100_share"], 6),
             "hapax_frac": round(z["hapax_frac"], 6),
+        }
+    else:
+        card["vocab_profile"] = {
+            "n_types": 0,
+            "top10_share": None,
+            "top100_share": None,
+            "hapax_frac": None,
         }
     if has_src:
         card["per_source"] = {

@@ -105,9 +105,14 @@ def hll_distinct(
     scaled = F.pow(
         F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("_m")
     ).cast("long")  # M in [1, W_BITS+1] -> exact longs 2^0 .. 2^W_BITS
+    # _hit counts REAL registers only (count(col) skips the NULL-key
+    # phantom group): the phantom contributes its 2^-rho term to _si but
+    # must not shrink zeros = m - hit — otherwise a saturated sketch
+    # (all 1024 registers hit + a null key) pushes zeros to -1 and, once
+    # s < 1, the denominator s + zeros goes negative (r7 advice).
     grouped = per_reg.groupBy(*group_cols).agg(
         F.sum(scaled).alias("_si"),
-        F.count(F.lit(1)).alias("_hit"),
+        F.count(F.col("_reg")).alias("_hit"),
     )
     return _estimate_select(grouped, group_cols)
 
@@ -195,10 +200,15 @@ def hll_estimate(
         lambda acc, r: acc
         + F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - r).cast("long"),
     )
+    # _hit over the REAL slots [0, HLL_M) only — slot HLL_M is the
+    # phantom NULL-key register, which feeds _si (its 2^-rho term) but
+    # not the zeros/denominator count, matching hll_distinct's
+    # count(_reg) null-skip (r7 advice: zeros must never reach -1).
+    real = F.slice(F.col(regs_col), 1, HLL_M)
     grouped = df.select(
         *group_cols,
         si.alias("_si"),
-        F.size(nz).cast("long").alias("_hit"),
+        F.size(F.filter(real, lambda r: r > 0)).cast("long").alias("_hit"),
     )
     return _estimate_select(grouped, group_cols)
 
@@ -231,7 +241,7 @@ def sql_hll_distinct(
       SELECT {gsel}
              CAST(sum(CAST(pow(2.0, {HLL_W_BITS + 1} - m) AS BIGINT))
                   AS DOUBLE) / CAST({float(1 << (HLL_W_BITS + 1))!r} AS DOUBLE) AS s,
-             count(*) AS hit
+             count(reg) AS hit
       FROM regs{gby}
     )
     SELECT {gsel}

@@ -146,7 +146,10 @@ def sql_bpe_token_count(col: str) -> str:
 
 
 def sql_hash60(col: str) -> str:
-    return f"CAST(concat('0x', substr(md5({col}), 1, 15)) AS BIGINT)"
+    # '||' not concat(): DuckDB concat treats NULL as '' (yielding the
+    # uncastable string '0x'), while || propagates NULL — matching
+    # Spark's hash60(NULL) = NULL (the HLL phantom-register fold)
+    return f"CAST(('0x' || substr(md5({col}), 1, 15)) AS BIGINT)"
 
 
 def sql_stopword_hits(col: str, words: list[str]) -> str:

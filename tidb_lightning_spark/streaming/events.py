@@ -339,7 +339,11 @@ def streaming_distinct_users(stream: DataFrame) -> DataFrame:
                 if rho > regs[reg]:
                     regs[reg] = rho
         state.update((bytes(regs),))
-        hit = sum(1 for r in regs if r > 0)
+        # hit counts REAL registers only; the phantom NULL slot at
+        # regs[HLL_M] contributes its 2^-rho term to si but must not
+        # shrink zeros = m - hit below 0 (batch fix mirrored here so
+        # stream == batch stays bit-exact — r7 advice).
+        hit = sum(1 for r in regs[:HLL_M] if r > 0)
         si = sum(1 << (HLL_W_BITS + 1 - r) for r in regs if r > 0)
         s = float(si) / float(1 << (HLL_W_BITS + 1))
         zeros = float(HLL_M - hit)
