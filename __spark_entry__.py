@@ -27,41 +27,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return Q.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Queries the per-round driver verify has not yet recorded a green row
-# for (it samples the first ~50 entries; CORRECTNESS_r01..r06 cover the
-# rest). Listed FIRST so this round's window verifies them; every name
-# here is already green in tests/test_oracle_parity.py (the identical
-# DuckDB compare). Round 7: the new operators plus the queries whose
-# implementation changed this round (bucketed vocab rank, quantized
-# temperature threshold, generated funnel twin).
+# The per-round driver verify samples the first ~50 entries of
+# ``queries()``, so this list rotates the verification window onto the
+# STALEST names: every registry query whose most recent green row in
+# CORRECTNESS_r01..r08 predates round 7 (1 from r4, 24 from r5, 24 from
+# r6 — includes all of TPC-H q2-q22). Round 9 rotation: the r7/r8
+# window re-verified the same 50 names twice; these 49 are the rest of
+# the registry, all green in tests/test_oracle_parity.py (the identical
+# DuckDB compare) and last driver-checked r4-r6. Ordered stalest-first.
 _DRIVER_PRIORITY = [
-    # new in r7
-    "doc_novelty_vs_reference",
-    "embedding_rp_recall",
-    "dedup_bloom_prefilter",
-    "events_hourly_dense",
-    "doc_winnow_profile",
-    "near_dup_winnow_pairs",
-    "purchase_window_event_counts",
-    "customer_rfm_segments_hist",
-    "funnel_signup_4stage",
-    "events_distinct_users_hll_merged",
-    "split_contamination_13gram",
-    "corpus_zipf_profile",
-    "bpe_merge_pair_stats",
-    "bpe_train_merges",
-    "top_tokens_cms",
-    "events_sessionize",
-    "embedding_int8_recall",
-    "corpus_mixture_schedule",
-    # re-verify: implementation or oracle changed in r7
-    "vocab_token_ids",
-    "corpus_temperature_sample",
-    "funnel_view_click_purchase",
-    "doc_top_terms_tficf",
-    "vocab_top_df",
-    "events_distinct_users_hll",
-    "customer_rfm_segments",
+    # last driver-verified in r4
+    "q21_sole_late_supplier",
+    # last driver-verified in r5
+    "user_key_set_ops",
+    "asof_latest_order_per_event",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "events_json_props",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_or_predicates",
+    "q22_idle_balance",
+    "events_pivot_by_type",
+    "cube_orders_status_priority",
+    "quantiles_by_returnflag",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_promotion_suppliers",
+    # last driver-verified in r6
+    "quantiles_by_returnflag_hist",
+    "corpus_pack_sequences",
+    "cohort_weekly_retention",
+    "dedup_incremental_vs_reference",
+    "near_dup_simhash_pairs",
+    "split_leakage_neardup",
+    "event_transition_matrix",
+    "events_hourly_anomaly",
+    "doclen_quantiles_by_source",
+    "embedding_norm_profile",
+    "text_scrub",
+    "corpus_split_assign",
+    "top_bigrams",
+    "split_contamination",
+    "quality_repetition_filters",
+    "quality_top_bigram",
+    "domain_quota_sample",
+    "dedup_keep_best",
+    "corpus_shuffle_buckets",
+    "embedding_centroids",
+    "corpus_stats_by_source",
+    "token_concentration",
+    "minhash_calibration",
+    "dedup_rate_by_source",
 ]
 
 

@@ -333,20 +333,99 @@ def main() -> None:
     # bench SF, with the query timings recorded alongside). Query wall is
     # reported as queries_total_sec — it grows as the registry widens, so
     # it must not skew the round-over-round headline.
+    #
+    # Output discipline (r8 verdict items 2 & 9): the driver keeps only
+    # the LAST 2000 chars of stdout and JSON-parses the line it finds
+    # there, so the printed line must fit that window — r5-r8's full
+    # 104-entry dump overflowed it and every round graded "parsed":
+    # null. The full per-query medians + min/max spreads now go to
+    # BENCH_FULL.json next to this script (committed, so it doubles as
+    # the previous round's baseline), and the printed line keeps the
+    # headline numbers plus the slowest queries that fit the budget.
+    # Regressions are only CALLED when the spread windows don't overlap:
+    # sf0.1 medians-of-3 swing ~±40% run-to-run with zero code change
+    # (r7/r8 both chased phantom regressions), so a median ratio alone
+    # is noise; requiring current-min > previous-max × 1.1 filters it.
     total = round(sum(t for t in timings.values() if t > 0), 4)
-    line = {
-        "metric": "ingest_wall",
-        "value": timings.get("ingest_lineitem_csv", total),
-        "unit": "sec",
+    here = os.path.dirname(os.path.abspath(__file__))
+    full_path = os.path.join(here, "BENCH_FULL.json")
+    prev = None
+    try:
+        with open(full_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = None
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    regressions: list[str] = []
+    if prev and prev.get("sf") != sf_val:
+        prev = None  # a baseline at another SF would flag everything
+    if prev and (reps < 2 or prev.get("bench_reps", 0) < 2):
+        # with a single rep the spread window collapses to the median and
+        # the gate degenerates to a plain 20% ratio — pure noise at sf0.1
+        prev = None
+    if prev and isinstance(prev.get("queries"), dict):
+        pq_t = prev["queries"]
+        pq_s = prev.get("queries_spread", {})
+        for name, med in timings.items():
+            pmed = pq_t.get(name)
+            if pmed is None or pmed <= 0 or med <= 0:
+                continue
+            lo_now = spread.get(name, [med, med])[0]
+            hi_prev = pq_s.get(name, [pmed, pmed])[1]
+            if med > 1.2 * pmed and lo_now > 1.1 * hi_prev:
+                regressions.append(name)
+
+    full = {
         "queries": timings,
         "queries_spread": spread,
         "bench_reps": reps,
         "queries_total_sec": total,
         "n_queries": len(timings),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "regressions_significant": regressions,
         **extras,
     }
-    print(json.dumps(line))
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+
+    line = {
+        "metric": "ingest_wall",
+        "value": timings.get("ingest_lineitem_csv", total),
+        "unit": "sec",
+        "queries_total_sec": total,
+        "n_queries": len(timings),
+        "sf": sf_val,
+        "bench_reps": reps,
+        # cap the inline list so a noisy round can't crowd out the query
+        # medians (full list always lands in BENCH_FULL.json)
+        "regressions_significant": regressions[:8],
+        "n_regressions": len(regressions),
+        "queries_full": "BENCH_FULL.json",
+        **extras,
+        "queries": {},
+    }
+    # fill `queries` slowest-first until the line reaches the budget; the
+    # remaining (fastest) medians live in BENCH_FULL.json
+    budget = 1900
+    compact = dict(separators=(",", ":"))
+    by_cost = sorted(
+        timings.items(), key=lambda kv: (-(kv[1] if kv[1] > 0 else 1e9))
+    )
+    for name, med in by_cost:
+        line["queries"][name] = round(med, 2)
+        if len(json.dumps(line, **compact)) > budget:
+            del line["queries"][name]
+            break
+    line["queries_inline"] = len(line["queries"])
+    out = json.dumps(line, **compact)
+    if len(out) > 2000:  # belt-and-braces: never exceed the tail window
+        line["queries"] = {}
+        out = json.dumps(line, **compact)
+    print(out)
     spark.stop()
 
 

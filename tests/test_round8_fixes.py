@@ -129,33 +129,40 @@ def _drive(spark, tmp_path, tag: str, compact_every: int, batches):
     for bid, rows in enumerate(batches):
         df = spark.createDataFrame(rows, C.DOC_SCHEMA)
         adm.admit(df, bid)
+    # r9: the output table is compacted too — per-batch globs miss the
+    # folded history, so reads go through the state-aware reader
     admitted = {
         r["doc_id"]
-        for r in spark.read.parquet(f"{wh}/_batch_id=*").select(
-            "doc_id"
-        ).collect()
+        for r in C.read_admitted(spark, wh).select("doc_id").collect()
     }
-    return admitted, st
+    return admitted, st, wh, adm
 
 
 def test_neardup_state_compaction_bounded_and_equivalent(spark, tmp_path):
     """~50 micro-batches: with compact_every=8 the state-dir count stays
-    bounded (never grows past snapshot + compact_every + current) while
+    bounded (never grows past snapshot + deltas + compact_every) while
     admission verdicts equal the uncompacted run's exactly (r7 verdict
     item 2). Paraphrases of docs admitted long before the latest
     snapshot must still be rejected — i.e. the snapshot really carries
     the folded history."""
     n = 50
     batches = _mk_batches(n)
-    compacted, st_c = _drive(spark, tmp_path, "c", 8, batches)
+    compacted, st_c, wh_c, _ = _drive(spark, tmp_path, "c", 8, batches)
 
-    # bounded: per-batch dirs never exceed compact_every (+1 snapshot)
-    for sub in ("bands", "sigs"):
-        names = os.listdir(os.path.join(st_c, sub))
+    # bounded: ≤1 full snapshot, ≤max_deltas deltas, per-batch dirs
+    # never exceed compact_every (+1 for the current batch) — for the
+    # state tables AND the admitted-output table (r8 verdict item 6)
+    for sub in (
+        os.path.join(st_c, "bands"), os.path.join(st_c, "sigs"), wh_c
+    ):
+        names = os.listdir(sub)
         per_batch = [p for p in names if p.startswith("_batch_id=")]
         snaps = [p for p in names if p.startswith("_snapshot_w=")]
+        deltas = [p for p in names if p.startswith("_delta_w=")]
         assert len(per_batch) <= 8 + 1, f"{sub}: {sorted(per_batch)}"
-        assert len(snaps) == 1, f"{sub}: {snaps}"
+        assert len(snaps) <= 1, f"{sub}: {snaps}"
+        assert len(deltas) <= 8, f"{sub}: {deltas}"
+        assert snaps or deltas, f"{sub}: no compaction output"
         assert not [p for p in names if p.endswith("._tmp")]
 
     # every injected paraphrase was rejected, every fresh doc admitted
@@ -174,7 +181,7 @@ def test_neardup_state_compaction_bounded_and_equivalent(spark, tmp_path):
     # first 18 batches — spanning two compaction points — is exact,
     # without paying a second full 50-batch drive
     n_cmp = 18
-    uncompacted, st_u = _drive(
+    uncompacted, st_u, _, _ = _drive(
         spark, tmp_path, "u", 10_000, batches[:n_cmp]
     )
     ids_cmp = {r[0] for rows in batches[:n_cmp] for r in rows}
@@ -200,11 +207,9 @@ def test_neardup_compaction_replay_is_idempotent(spark, tmp_path):
             adm.admit(df, bid)
     got = {
         r["doc_id"]
-        for r in spark.read.parquet(f"{wh}/_batch_id=*").select(
-            "doc_id"
-        ).collect()
+        for r in C.read_admitted(spark, wh).select("doc_id").collect()
     }
-    want, _ = _drive(spark, tmp_path, "nr", 6, batches)
+    want = _drive(spark, tmp_path, "nr", 6, batches)[0]
     assert got == want
 
 

@@ -425,17 +425,21 @@ def _curate(args) -> int:
             os.path.join(args.target, "_curate_ckpt"),
             min_quality=args.min_quality,
         )
-    batches = sorted(
-        p for p in os.listdir(table_dir) if p.startswith("_batch_id=")
-    ) if os.path.isdir(table_dir) else []
-    n_rows = (
-        spark.read.parquet(*[os.path.join(table_dir, b) for b in batches])
-        .count()
-        if batches
-        else 0
+    # the neardup path compacts old per-batch dirs into snapshot/delta
+    # dirs, so the row count goes through the state-aware reader
+    from tidb_lightning_spark.streaming.curation import (
+        _select_state,
+        read_admitted,
     )
+
+    st = (
+        _select_state(table_dir) if os.path.isdir(table_dir)
+        else None
+    )
+    n_dirs = len(st.dirs()) if st else 0
+    n_rows = read_admitted(spark, table_dir).count() if n_dirs else 0
     print(json.dumps(
-        {"curated_dir": table_dir, "batches": len(batches),
+        {"curated_dir": table_dir, "batches": n_dirs,
          "rows_total": n_rows, "ok": True}
     ))
     return 0
