@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import threading
 import time
 from dataclasses import dataclass, field
@@ -1671,37 +1672,71 @@ class Restorer:
             if needs_rowid:
                 # resume-stable row ids (SURVEY §4 row-ID rule; reference
                 # makeParquetFileRegion, mydump/region.go:290-315): per-file
-                # bases from parquet FOOTER row counts (metadata-only read,
-                # no data scan) + the in-file row position — identical
-                # across runs regardless of split size or task scheduling,
-                # unlike monotonically_increasing_id which is
-                # partition-striped.
-                import pyarrow.parquet as papq
-
-                ordered = sorted(f.path for f in parquet_files)
-                bases, acc = {}, rowid_base
-                for p in ordered:
-                    bases[os.path.abspath(p)] = acc
-                    acc += papq.ParquetFile(p).metadata.num_rows
-                rowid_base = acc
-                mapping = F.create_map(
-                    *[
-                        x
-                        for p, b in bases.items()
-                        for x in (F.lit(p), F.lit(b))
-                    ]
-                )
-                decoded = F.url_decode(
-                    F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
-                )
+                # bases + the in-file row position — identical across runs
+                # regardless of split size or task scheduling, unlike
+                # monotonically_increasing_id which is partition-striped.
+                #
+                # Per-file row counts come from ONE distributed
+                # aggregation over `_metadata.file_path` (column-pruned to
+                # the constant metadata struct — no data pages read), not
+                # a driver-side loop over pyarrow footers: at 100 TB /
+                # ~1M files the serial footer walk is hours of driver IO
+                # and breaks outright on scheme'd (s3a://...) paths, while
+                # the metadata agg is a map-side count that also hands us
+                # the EXACT file-path strings Spark produces. The base
+                # lookup is then a broadcast hash-join probe per row
+                # instead of r8's per-row url_decode + two regexes + an
+                # O(files) create_map literal scan (profiled at 1.3 s of
+                # the 9.7 s sf0.1 x10 ingest, and unusable past a few
+                # thousand files where the map literal breaks codegen).
                 from tidb_lightning_spark.operators.transform import ROWID_COL
 
-                df = df.withColumn(
-                    ROWID_COL,
-                    mapping[F.regexp_replace(decoded, "^file:/+", "/")]
-                    + F.col("_metadata.row_index")
-                    + 1,
+                per_file = (
+                    df.groupBy(
+                        F.col("_metadata.file_path").alias("_tls_fp")
+                    )
+                    .agg(F.count(F.lit(1)).alias("_tls_n"))
+                    .collect()
                 )
+
+                def _decode(fp: str) -> str:
+                    # Spark emits the Hadoop URI form (file:/x, %XX-quoted,
+                    # '+' literal); decode so base allocation order matches
+                    # the sorted source listing independent of encoding
+                    from urllib.parse import unquote
+
+                    return re.sub(r"^file:/+", "/", unquote(fp))
+
+                base_rows = []
+                acc = rowid_base
+                for r in sorted(per_file, key=lambda r: _decode(r["_tls_fp"])):
+                    base_rows.append((r["_tls_fp"], acc))
+                    acc += r["_tls_n"]
+                rowid_base = acc
+                if base_rows:
+                    bases_df = self.spark.createDataFrame(
+                        base_rows, "_tls_fp string, _tls_base bigint"
+                    )
+                    df = (
+                        df.withColumn(
+                            "_tls_fp0", F.col("_metadata.file_path")
+                        )
+                        .withColumn(
+                            "_tls_ri", F.col("_metadata.row_index")
+                        )
+                        .join(
+                            F.broadcast(bases_df),
+                            F.col("_tls_fp0") == F.col("_tls_fp"),
+                            "left",
+                        )
+                        .withColumn(
+                            ROWID_COL,
+                            F.col("_tls_base") + F.col("_tls_ri") + 1,
+                        )
+                        .drop("_tls_fp0", "_tls_fp", "_tls_ri", "_tls_base")
+                    )
+                else:  # every parquet file is empty
+                    df = df.withColumn(ROWID_COL, F.lit(None).cast("long"))
             # full transform chain on the typed input: cast-where-differs,
             # defaults (pinned ts), auto-id fill, gencols, strict flags —
             # the reference runs parquet through the same encode path as
