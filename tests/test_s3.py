@@ -106,18 +106,60 @@ def test_remote_headerless_gz_csv_scans_natively(spark, tmp_path):
     assert rows == {1: "x", 2: "y"}
 
 
-def test_remote_sqldump_fails_fast_with_remedy(spark, tmp_path):
-    """SQL dumps are range-read directly on executors, so a remote dump
-    must fail on the DRIVER with the remedy — not mid-scan with a bare
-    FileNotFoundError."""
+def test_remote_sqldump_restore_end_to_end(spark, tmp_path):
+    """Full restore from a scheme'd SQL dump (r8 verdict item 4): the
+    INSERT peek runs through _HadoopStream, the data bytes through the
+    binaryFile Hadoop connector (whole-file tasks — the reference's own
+    no-mid-file-split model for .sql), and the rows land bit-identically
+    to a local run. Two data files + a column-list variant exercise the
+    per-file row-id bases and the remote header peek; the multi-column
+    PK forces _tidb_rowid assignment, pinning base uniqueness."""
     d = str(tmp_path / "dump")
     write(f"{d}/rq-schema-create.sql", "CREATE DATABASE rq;")
     write(
         f"{d}/rq.t-schema.sql",
+        "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a, b));",
+    )
+    write(
+        f"{d}/rq.t.000.sql",
+        "INSERT INTO t VALUES (1, 'x'), (2, 'y');\n"
+        "INSERT INTO t VALUES (3, NULL);\n",
+    )
+    write(
+        f"{d}/rq.t.001.sql",
+        "INSERT INTO `t` (`b`, `a`) VALUES ('w', 4), ('v\\'q', 5);\n",
+    )
+    src = _mount(spark, "tlssql", d)
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=src, target_dir=target, checkpoint_enable=False
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    out = spark.read.parquet(f"{target}/rq/t")
+    rows = {r["a"]: r["b"] for r in out.collect()}
+    assert rows == {1: "x", 2: "y", 3: None, 4: "w", 5: "v'q"}
+    rowids = [r["_tidb_rowid"] for r in out.collect()]
+    assert len(set(rowids)) == 5, rowids
+
+
+def test_remote_compressed_sqldump_fails_fast_with_remedy(spark, tmp_path):
+    """Compressed remote dumps can't reserve row-id ranges (the divisor
+    bound needs the DECOMPRESSED size) — the driver must fail with the
+    remedy, not mid-scan."""
+    import gzip
+
+    d = str(tmp_path / "dump")
+    write(f"{d}/rz-schema-create.sql", "CREATE DATABASE rz;")
+    write(
+        f"{d}/rz.t-schema.sql",
         "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a));",
     )
-    write(f"{d}/rq.t.sql", "INSERT INTO t VALUES (1, 'x');")
-    src = _mount(spark, "tlssql", d)
+    write(
+        f"{d}/rz.t.sql.gz",
+        gzip.compress(b"INSERT INTO t VALUES (1, 'x');"),
+    )
+    src = _mount(spark, "tlssqlz", d)
     target = str(tmp_path / "wh")
     cfg = Config.from_toml(
         None, source_dir=src, target_dir=target, checkpoint_enable=False
@@ -125,7 +167,8 @@ def test_remote_sqldump_fails_fast_with_remedy(spark, tmp_path):
     rep = Restorer(spark, cfg).run()
     (trep,) = [t for t in rep.tables if t.table == "t"]
     assert trep.error is not None
-    assert "remote storage" in trep.error and "Copy the dump" in trep.error
+    assert "compressed SQL dumps on remote storage" in trep.error
+    assert "Decompress in place" in trep.error
 
 
 def test_remote_compressed_peek_is_explicit_error(spark, tmp_path):

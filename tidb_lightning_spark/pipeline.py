@@ -1550,70 +1550,106 @@ class Restorer:
                 rowid_base += group_bytes // max(1, len(info.columns)) + 1
 
         if sql_files:
-            remote = [
+            remote_set = {
                 f.path for f in sql_files
                 if "://" in f.path and not f.path.startswith("file:")
-            ]
-            if remote:
-                # fail FAST on the driver with the remedy — the
-                # statement-aligned range reader opens paths directly on
-                # executors (sqldump_source.py:17-19), so a remote dump
-                # would die mid-scan with a bare FileNotFoundError
+            }
+            bad = sorted(
+                p for p in remote_set if sqldump_source._is_compressed(p)
+            )
+            if bad:
+                # fail FAST on the driver with the remedy: row-id range
+                # reservation needs the DECOMPRESSED text size (the
+                # divisor bound below), which only a full driver-side
+                # stream of the remote object could provide
                 raise IngestError(
-                    f"SQL-dump files on remote storage are not supported "
-                    f"({remote[0]!r}): the statement-aligned range reader "
-                    "opens files directly on executors. Copy the dump to "
-                    "shared/local storage, or use CSV/parquet sources "
-                    "(scanned remotely via the Hadoop connector)."
+                    f"compressed SQL dumps on remote storage are not "
+                    f"supported ({bad[0]!r}): row-id reservation needs "
+                    "the decompressed size. Decompress in place, or copy "
+                    "the dump to shared/local storage (where compressed "
+                    "dumps are fully supported)."
                 )
-            # the Spark text reader is UTF-8-only: legacy-charset dumps are
-            # stream-transcoded driver-side first (A10 — same contract as
-            # the CSV path; reader.go:39-69)
+            # the Spark text reader is UTF-8-only: legacy-charset LOCAL
+            # dumps are stream-transcoded driver-side first (A10 — same
+            # contract as the CSV path; reader.go:39-69). Remote dumps
+            # skip the transcode: their content is decoded with the
+            # configured charset directly in the executor parser.
             import codecs as _codecs
 
             charset = _codecs.lookup(self.cfg.character_set or "utf-8").name
+            local_sql = [f for f in sql_files if f.path not in remote_set]
             actual = {f.path: f.path for f in sql_files}
-            if charset not in ("utf-8", "ascii"):
+            if charset not in ("utf-8", "ascii") and local_sql:
                 transcoded = csv_source.transcode_to_utf8(
-                    [f.path for f in sql_files], charset
+                    [f.path for f in local_sql], charset
                 )
-                actual = dict(zip((f.path for f in sql_files), transcoded))
+                actual.update(
+                    zip((f.path for f in local_sql), transcoded)
+                )
             # lz4 dumps: no JVM codec reads the lz4 frame format, and the
             # range reader wants seekable plain text — materialize ONCE
             # driver-side (same contract as the transcode step above;
             # no-op when nothing is .lz4). The base mapping below keys on
             # the path the scan actually reads, so rewrite before it.
-            mat = csv_source.materialize_lz4(list(actual.values()))
-            actual = dict(zip(actual.keys(), mat))
+            mat = csv_source.materialize_lz4(
+                [actual[f.path] for f in local_sql]
+            )
+            actual.update(zip((f.path for f in local_sql), mat))
             groups: dict[tuple, list] = {}
             for f in sql_files:
-                cols = sqldump_source.peek_columns(actual[f.path], "utf-8")
-                key = tuple(cols) if cols else ()
+                is_remote = f.path in remote_set
+                cols = sqldump_source.peek_columns(
+                    actual[f.path],
+                    charset if is_remote else "utf-8",
+                    spark=self.spark if is_remote else None,
+                )
+                key = (tuple(cols) if cols else (), is_remote)
                 groups.setdefault(key, []).append(f)
-            for key, files in groups.items():
+            for (key, is_remote), files in groups.items():
                 file_cols = list(key) if key else None
                 n_cols = len(file_cols) if file_cols else len(info.columns)
-                df = sqldump_source.read_sql_files(
-                    self.spark,
-                    [actual[f.path] for f in files],
-                    n_cols,
-                    "utf-8",
-                )
                 # per-file row-id bases from file sizes (region.go:252-286);
                 # keys are the paths the scan actually read (= _src_file).
-                # The divisor MUST match read_sql_files' (n_cols + 2, the
+                # The divisor MUST match the reader's (n_cols + 2, the
                 # file's arity): chunk bases inside a file go up to
                 # size // that divisor, so reserving less here would let a
                 # split file's sequence overrun the next file's base.
-                # Sizes come from the DECOMPRESSED/transcoded text the scan
-                # actually parses (decompressed_size), not f.file_size: a
-                # gz dump's decompressed rows can exceed compressed_size //
-                # divisor, overrunning the next base -> duplicate row ids.
                 bases, acc = {}, rowid_base
-                for f in files:
-                    ap = os.path.abspath(actual[f.path])
-                    bases[ap] = acc
-                    acc += sqldump_source.decompressed_size(ap) // (n_cols + 2) + 1
+                if is_remote:
+                    # whole-file tasks through the Hadoop binaryFile
+                    # connector (read_sql_files_remote docstring; parity:
+                    # the reference never splits .sql mid-file either,
+                    # region.go:131-234). Plain .sql only — the guard
+                    # above — so the observed byte length IS the text
+                    # size the divisor bound needs.
+                    df, sizes = sqldump_source.read_sql_files_remote(
+                        self.spark,
+                        [f.path for f in files],
+                        n_cols,
+                        charset,
+                    )
+                    for p in sorted(sizes):
+                        bases[p] = acc
+                        acc += sizes[p] // (n_cols + 2) + 1
+                else:
+                    df = sqldump_source.read_sql_files(
+                        self.spark,
+                        [actual[f.path] for f in files],
+                        n_cols,
+                        "utf-8",
+                    )
+                    # Sizes come from the DECOMPRESSED/transcoded text the
+                    # scan actually parses (decompressed_size), not
+                    # f.file_size: a gz dump's decompressed rows can exceed
+                    # compressed_size // divisor, overrunning the next
+                    # base -> duplicate row ids.
+                    for f in files:
+                        ap = os.path.abspath(actual[f.path])
+                        bases[ap] = acc
+                        acc += (
+                            sqldump_source.decompressed_size(ap)
+                            // (n_cols + 2) + 1
+                        )
                 rowid_base = acc
                 mapping = F.create_map(
                     *[
