@@ -36,6 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the registry, all green in tests/test_oracle_parity.py (the identical
 # DuckDB compare) and last driver-checked r4-r6. Ordered stalest-first.
 _DRIVER_PRIORITY = [
+    # implementation changed in r9 (sub-bucketed rank) — re-grade first
+    "vocab_token_ids",
     # last driver-verified in r4
     "q21_sole_late_supplier",
     # last driver-verified in r5

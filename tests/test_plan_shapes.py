@@ -214,8 +214,12 @@ def test_vocab_rank_is_bucketed_not_global(spark):
     is the one feeding the df-HISTOGRAM prefix sum (O(distinct df
     values) rows)."""
     plan = plan_of(spark, "vocab_token_ids")
-    assert re.search(r"row_number\(\) windowspecdefinition\(doc_freq", plan), (
-        "row_number window not partitioned by doc_freq:\n" + plan
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(doc_freq[^)]*pfx", plan
+    ), (
+        "row_number window not sub-bucketed by (doc_freq, first-char) "
+        "(r8 verdict item 8 — the zipf-dominant df=3 bucket must not be "
+        "one window partition):\n" + plan
     )
     assert plan.count("SinglePartition") == 1, (
         "expected exactly one SinglePartition (the df histogram), got "
