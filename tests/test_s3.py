@@ -246,3 +246,77 @@ def test_preflight_resolves_hadoop_version_and_endpoint_keys(spark):
     msg = str(ei.value)
     assert f"hadoop-aws:{hv}" in msg, msg
     assert "fs.s3a.endpoint" in msg and "path.style.access" in msg, msg
+
+
+def test_remote_sqldump_over_cap_restores_via_ranged_reader(
+    spark, tmp_path, monkeypatch
+):
+    """r9 verdict item 6: a remote .sql file LARGER than
+    REMOTE_SQL_MAX_BYTES restores through the TextInputFormat ranged
+    reader (statement-aligned byte ranges, per-statement row-id bases
+    from record offsets) instead of failing fast. The cap is scaled down
+    so the fixture dump trips it; a second small file stays on the
+    whole-file binaryFile path, pinning the mixed-path union and
+    cross-file base disjointness."""
+    from tidb_lightning_spark.sources import sqldump_source as M
+
+    d = str(tmp_path / "dump")
+    write(f"{d}/rb-schema-create.sql", "CREATE DATABASE rb;")
+    write(
+        f"{d}/rb.t-schema.sql",
+        "CREATE TABLE t (a INT, b VARCHAR(40), PRIMARY KEY (a, b));",
+    )
+    # the "oversized" file: many statements so the ranged reader has
+    # real per-statement offsets; values include escaped quotes and an
+    # embedded (escaped) newline to pin the no-raw-newline invariant
+    stmts = []
+    rows = {}
+    for i in range(40):
+        a1, a2 = 2 * i + 1, 2 * i + 2
+        rows[a1] = f"v{a1}"
+        rows[a2] = f"w'{a2}\nx".replace("\n", "\\n")
+        lit2 = rows[a2].replace("'", "\\'")
+        rows[a2] = rows[a2].replace("\\n", "\n")
+        stmts.append(
+            f"INSERT INTO t VALUES ({a1}, 'v{a1}'), ({a2}, '{lit2}');\n"
+        )
+    write(f"{d}/rb.t.000.sql", "".join(stmts))
+    write(f"{d}/rb.t.001.sql", "INSERT INTO t VALUES (9001, 'small');\n")
+    rows[9001] = "small"
+    big_len = os.path.getsize(f"{d}/rb.t.000.sql")
+    small_len = os.path.getsize(f"{d}/rb.t.001.sql")
+    cap = max(small_len + 1, big_len // 4)
+    assert small_len <= cap < big_len
+    monkeypatch.setattr(M, "REMOTE_SQL_MAX_BYTES", cap)
+
+    src = _mount(spark, "tlssqlbig", d)
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=src, target_dir=target, checkpoint_enable=False
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    out = spark.read.parquet(f"{target}/rb/t")
+    got = {r["a"]: r["b"] for r in out.collect()}
+    assert got == rows
+    rowids = [r["_tidb_rowid"] for r in out.collect()]
+    assert len(set(rowids)) == len(rows), "row-id collision across ranges"
+
+
+def test_remote_oversized_legacy_charset_still_fails_fast(
+    spark, tmp_path, monkeypatch
+):
+    """The ranged reader is utf-8-only (Hadoop Text decoding): an
+    oversized remote dump in a legacy charset keeps the fail-fast with
+    remedy instead of silently mis-decoding."""
+    from tidb_lightning_spark.sources import sqldump_source as M
+
+    d = str(tmp_path / "dump")
+    body = ("INSERT INTO t VALUES (1, 'x');\n" * 8).encode("gb18030")
+    write(f"{d}/t.sql", body)
+    monkeypatch.setattr(M, "REMOTE_SQL_MAX_BYTES", 16)
+    src = _mount(spark, "tlssqlgbk", d)
+    with pytest.raises(M.SQLDumpError, match="utf-8-only"):
+        M.read_sql_files_remote(
+            spark, [f"{src}/t.sql"], 2, encoding="gb18030"
+        )

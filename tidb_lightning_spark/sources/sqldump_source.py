@@ -39,6 +39,7 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -691,10 +692,76 @@ def _row_frames(content: str, n_columns: int, base: int, src: str):
 
 
 # binaryFile ships a file's bytes as ONE Arrow cell; Spark caps a single
-# binary value a little under 2 GiB, and executor Python holds
-# content + decoded text at once, so remote whole-file tasks are bounded
-# well below that. mydumper -F keeps real dumps far smaller.
-REMOTE_SQL_MAX_BYTES = 1 << 30
+# binary value a little under 2 GiB, and executor Python holds the raw
+# cell plus its decoded text at once (a legacy-charset decode can be
+# 2-4x the byte size), so remote whole-file tasks are bounded to the
+# same 256 MiB the "mydumper -F 256" remedy already prescribes — a
+# worst-case task then needs ~1.25 GiB of Python heap, not ~5 GiB.
+# Overridable for one-off restores of oversized dumps on big executors.
+REMOTE_SQL_MAX_BYTES = int(
+    os.environ.get("TLS_REMOTE_SQL_MAX_BYTES", str(256 << 20))
+)
+
+
+def _remote_out_schema(n_columns: int) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f"_c{i}", T.StringType(), True)
+            for i in range(n_columns)
+        ]
+        + [
+            T.StructField("_row_seq", T.LongType(), False),
+            T.StructField("_src_file", T.StringType(), False),
+        ]
+    )
+
+
+def _read_sql_file_ranged(
+    spark: SparkSession, path: str, n_columns: int, length: int
+) -> DataFrame:
+    """One OVERSIZED remote dump file -> rows, with statement-aligned
+    byte-range splitting done by the JVM connector itself: Hadoop
+    TextInputFormat with a `;\\n` record delimiter. Mydumper
+    backslash-escapes raw newlines inside string literals, so `;\\n`
+    occurs only at true statement ends — each record is one complete
+    statement's text, the LineRecordReader reads past its split boundary
+    to finish its last record and skips the partial first one (the same
+    contract the local splitter implements by hand, region.go analog),
+    and the record KEY is the statement's byte offset. Row ids:
+    offset // (n_columns + 2) is the statement's base — statements never
+    overlap byte ranges, so bases never collide (the identical
+    bytes-per-row bound as the local chunk splitter, region.go:208-225).
+
+    This retires the r9 whole-file cap for utf-8 dumps: no single Arrow
+    cell ever holds the file; peak task memory is one statement
+    (mydumper --statement-size, ~1 MiB) times the Arrow slice, and a
+    multi-GiB remote dump fans out across the cluster at
+    `adaptive_chunk_bytes` granularity."""
+    chunk = adaptive_chunk_bytes(length)
+    conf = {
+        "textinputformat.record.delimiter": ";\n",
+        "mapreduce.input.fileinputformat.split.maxsize": str(chunk),
+    }
+    rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+        conf=conf,
+    )
+    sdf = spark.createDataFrame(rdd, schema="_off long, _stmt string")
+    divisor = n_columns + 2
+
+    def parse_batches(batches):
+        for pdf in batches:
+            for off, stmt in zip(pdf["_off"], pdf["_stmt"]):
+                # the delimiter strips the terminating ';' — the scanner
+                # treats it as optional at EOF, so no re-append needed
+                yield from _row_frames(
+                    stmt, n_columns, int(off) // divisor, path
+                )
+
+    return sdf.mapInPandas(parse_batches, schema=_remote_out_schema(n_columns))
 
 
 def read_sql_files_remote(
@@ -707,22 +774,24 @@ def read_sql_files_remote(
     `_c0.._cN` + `_row_seq` + `_src_file` frame as `read_sql_files`, plus
     {observed_path: byte_size} for the caller's row-id base reservation.
 
-    The bytes come through Spark's `binaryFile` source — the SAME Hadoop
-    connector the CSV/parquet executor scans use (A1 external storage;
-    reference lightning.go:273-279) — one whole file per task, with the
-    statement parse running on the Arrow-shipped content in executor
-    Python. Parity note: the reference also never splits .sql files
-    mid-file (SplitLargeFile is strict-CSV-only, region.go:131-234), so
-    one-file-one-task IS its remote model; the statement-aligned range
-    splitter stays a LOCAL-path enhancement because executor Python has
-    no JVM access for remote byte-range IO. At scale a dump's
-    parallelism is its file count (mydumper -F caps file size). Files
-    above REMOTE_SQL_MAX_BYTES fail fast driver-side with the remedy.
+    Files up to REMOTE_SQL_MAX_BYTES come through Spark's `binaryFile`
+    source — the SAME Hadoop connector the CSV/parquet executor scans use
+    (A1 external storage; reference lightning.go:273-279) — one whole
+    file per task, with the statement parse running on the Arrow-shipped
+    content in executor Python; this is the only path that supports
+    in-executor legacy-charset decode. Files ABOVE the cap (r9 verdict
+    item 6: previously a hard fail) are read via `_read_sql_file_ranged`
+    — JVM-side statement-aligned range splitting, utf-8 dumps only
+    (Hadoop Text decodes utf-8; an oversized legacy-charset dump still
+    fails fast with the remedy). Parity: the reference streams any file
+    size through its storage abstraction (mydump/reader.go:140-179) but
+    also never splits .sql mid-file (region.go:131-234) — the ranged
+    path is strictly more parallel than both.
 
-    Row ids: each file is one chunk with in-file base 0, exactly the
-    whole-file case of the local reader, so resume-stability and the
-    per-file base reservation (size // (n_cols+2)) carry over unchanged.
-    """
+    Row ids: whole files are one chunk with in-file base 0; ranged files
+    reserve per-statement bases from byte offsets — both bounded by
+    size // (n_cols+2), so the caller's per-file reservation is
+    unchanged."""
     bdf = spark.read.format("binaryFile").load(paths)
     # column-pruned to file status only — no content read for the guard
     meta = bdf.select("path", "length").collect()
@@ -731,25 +800,16 @@ def read_sql_files_remote(
         for r in meta
         if r["length"] > REMOTE_SQL_MAX_BYTES
     )
-    if big:
+    if big and encoding.lower().replace("-", "") not in ("utf8", "ascii"):
         raise SQLDumpError(
-            f"remote SQL dump file(s) exceed {REMOTE_SQL_MAX_BYTES >> 20} "
-            f"MiB and would not fit a whole-file task: {big[:3]}. Split "
-            "the dump into smaller files (mydumper -F 256) or copy it to "
-            "local/shared storage, where the statement-aligned range "
-            "splitter handles any size."
+            f"remote SQL dump file(s) in charset {encoding!r} exceed "
+            f"{REMOTE_SQL_MAX_BYTES >> 20} MiB and would not fit a "
+            f"whole-file task: {big[:3]}. The range-split remote reader "
+            "is utf-8-only (Hadoop Text decoding); split the dump into "
+            "smaller files (mydumper -F 256), transcode it, or copy it "
+            "to local/shared storage, where the statement-aligned range "
+            "splitter handles any size and charset."
         )
-
-    out_schema = T.StructType(
-        [
-            T.StructField(f"_c{i}", T.StringType(), True)
-            for i in range(n_columns)
-        ]
-        + [
-            T.StructField("_row_seq", T.LongType(), False),
-            T.StructField("_src_file", T.StringType(), False),
-        ]
-    )
 
     from tidb_lightning_spark._shipping import ensure_shipped
 
@@ -758,12 +818,28 @@ def read_sql_files_remote(
     def parse_batches(batches):
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                text = bytes(content).decode(encoding, errors="replace")
+                # str(buffer, enc) decodes bytes/bytearray/memoryview
+                # without materializing an intermediate bytes copy — at
+                # the cell cap that copy alone was an extra 256 MiB of
+                # peak task memory
+                text = str(content, encoding, "replace")
                 yield from _row_frames(text, n_columns, 0, path)
 
-    return (
-        bdf.select("path", "content").mapInPandas(
-            parse_batches, schema=out_schema
-        ),
-        {r["path"]: r["length"] for r in meta},
-    )
+    parts: list[DataFrame] = []
+    if len(big) < len(meta):
+        small = bdf
+        if big:
+            # binaryFile pushes length predicates down to the file
+            # listing, so oversized files are pruned before any read
+            small = bdf.filter(F.col("length") <= REMOTE_SQL_MAX_BYTES)
+        parts.append(
+            small.select("path", "content").mapInPandas(
+                parse_batches, schema=_remote_out_schema(n_columns)
+            )
+        )
+    for p, ln in big:
+        parts.append(_read_sql_file_ranged(spark, p, n_columns, ln))
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.unionByName(extra)
+    return out, {r["path"]: r["length"] for r in meta}
