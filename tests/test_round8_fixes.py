@@ -124,7 +124,8 @@ def _drive(spark, tmp_path, tag: str, compact_every: int, batches):
     wh = str(tmp_path / f"wh_{tag}")
     st = str(tmp_path / f"st_{tag}")
     adm = C.NearDupAdmitter(
-        spark, wh, st, threshold=0.5, compact_every=compact_every
+        spark, wh, st, threshold=0.5, compact_every=compact_every,
+        track_rows=True,  # rows_rewritten accounting is test-only (r10)
     )
     for bid, rows in enumerate(batches):
         df = spark.createDataFrame(rows, C.DOC_SCHEMA)

@@ -436,6 +436,16 @@ def _curate(args) -> int:
         _select_state(table_dir) if os.path.isdir(table_dir)
         else None
     )
+    if st is not None:
+        # mirror read_admitted's _SUCCESS filter: a crash mid-write of the
+        # current batch leaves a partial dir that readers skip, so the
+        # summary must not count it either (n_dirs>0 with every dir
+        # filtered out would crash read_admitted instead of reporting 0)
+        st.batches = [
+            (b, p)
+            for b, p in st.batches
+            if os.path.exists(os.path.join(p, "_SUCCESS"))
+        ]
     n_dirs = len(st.dirs()) if st else 0
     n_rows = read_admitted(spark, table_dir).count() if n_dirs else 0
     print(json.dumps(
@@ -464,7 +474,18 @@ def _sql(args) -> int:
             tpath = os.path.join(dpath, tbl)
             if not os.path.isdir(tpath) or tbl.startswith("_"):
                 continue
-            df = read_table(spark, tpath)
+            # a tier-compacted streaming table mixes _snapshot_w=/_delta_w=
+            # dirs with _batch_id= dirs, which plain partition discovery
+            # rejects — route through the state-aware reader
+            from tidb_lightning_spark.streaming import curation as _cur
+
+            if any(
+                e.startswith((_cur._SNAP, _cur._DELTA))
+                for e in os.listdir(tpath)
+            ):
+                df = _cur.read_table(spark, tpath)
+            else:
+                df = read_table(spark, tpath)
             df.createOrReplaceTempView(f"`{db}.{tbl}`")
             df.createOrReplaceTempView(f"{db}_{tbl}")
             found += 1

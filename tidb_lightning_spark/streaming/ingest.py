@@ -23,7 +23,9 @@ transform.py), with exactly-once delivery into the warehouse layout:
     without wrapping. Replay-stable: a re-run batch re-reads ITS
     recorded base from the ledger (persisted before any data write).
 
-Readers see ordinary partitioned parquet; `cli sql` works unchanged.
+Readers see ordinary partitioned parquet until the first tier-compaction
+fold; after that `streaming.curation.read_table` is the exact reader
+(`cli sql` detects folded tables and routes through it).
 """
 
 from __future__ import annotations
@@ -137,17 +139,33 @@ def stream_restore(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     fmt: str = "csv",
+    compact_every: int | None = 16,
 ):
     """Incrementally restore new data files matching `source_glob` into
     `table_dir`. Each call drains everything currently available
     (trigger availableNow) and returns; re-running with the same
     `checkpoint_dir` ingests only files that arrived since — the
     continuous-restore loop. Set available_now=False for an always-on
-    query (caller manages the handle). fmt: "csv" or "jsonl"."""
+    query (caller manages the handle). fmt: "csv" or "jsonl".
+
+    Per-batch `_batch_id=N` dirs are tier-compacted like the generic
+    streaming sink (curation.TieredCompactor) so a long-running restore
+    keeps a bounded dir count; read a folded table back with
+    `streaming.curation.read_table` (`cli sql` routes folded tables
+    through it automatically). `compact_every=None`, or a scheme'd
+    remote `table_dir`, keeps the legacy flat layout."""
     from tidb_lightning_spark.operators.transform import (
         ERR_COL,
         transform_table,
     )
+
+    compactor = None
+    if compact_every and "://" not in table_dir:
+        from tidb_lightning_spark.streaming.curation import TieredCompactor
+
+        compactor = TieredCompactor(
+            spark, [table_dir], compact_every=compact_every
+        )
 
     if fmt == "jsonl":
         stream = read_jsonl_stream(
@@ -195,6 +213,8 @@ def stream_restore(
         sort_cols = info.primary_key or None
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
+        if compactor is not None:
+            compactor.run(batch_id)
         out.write.mode("overwrite").parquet(f"{table_dir}/_batch_id={batch_id}")
 
     writer = stream.writeStream.foreachBatch(write_batch).option(
