@@ -29,67 +29,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The per-round driver verify samples the first ~50 entries of
 # ``queries()``, so this list rotates the verification window onto the
-# STALEST names: every registry query whose most recent green row in
-# CORRECTNESS_r01..r08 predates round 7 (1 from r4, 24 from r5, 24 from
-# r6 — includes all of TPC-H q2-q22). Round 9 rotation: the r7/r8
-# window re-verified the same 50 names twice; these 49 are the rest of
-# the registry, all green in tests/test_oracle_parity.py (the identical
-# DuckDB compare) and last driver-checked r4-r6. Ordered stalest-first.
+# STALEST names — THE RULE (permanent, r9 verdict item 4): each round,
+# set this to every registry query NOT green in the PREVIOUS round's
+# CORRECTNESS_r{N}.json (i.e. the names whose latest driver check is
+# two rounds old), stalest first, prepending anything whose
+# implementation changed this round. The union of any two consecutive
+# rounds then covers the full registry with no entry older than one
+# round. Current window (r10): queries whose implementation's streaming
+# siblings changed get no special slot (no registry query changed in
+# r10 so far); the 49 below are exactly the registry minus
+# CORRECTNESS_r09's 50 — all last driver-checked in r8, all green in
+# tests/test_oracle_parity.py (the identical DuckDB compare).
 _DRIVER_PRIORITY = [
-    # implementation changed in r9 (sub-bucketed rank) — re-grade first
-    "vocab_token_ids",
-    # last driver-verified in r4
-    "q21_sole_late_supplier",
-    # last driver-verified in r5
-    "user_key_set_ops",
-    "asof_latest_order_per_event",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "events_json_props",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_or_predicates",
-    "q22_idle_balance",
-    "events_pivot_by_type",
-    "cube_orders_status_priority",
-    "quantiles_by_returnflag",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q16_supplier_part_counts",
-    "q20_promotion_suppliers",
-    # last driver-verified in r6
-    "quantiles_by_returnflag_hist",
-    "corpus_pack_sequences",
-    "cohort_weekly_retention",
-    "dedup_incremental_vs_reference",
-    "near_dup_simhash_pairs",
-    "split_leakage_neardup",
-    "event_transition_matrix",
-    "events_hourly_anomaly",
-    "doclen_quantiles_by_source",
-    "embedding_norm_profile",
-    "text_scrub",
-    "corpus_split_assign",
-    "top_bigrams",
-    "split_contamination",
-    "quality_repetition_filters",
-    "quality_top_bigram",
-    "domain_quota_sample",
-    "dedup_keep_best",
-    "corpus_shuffle_buckets",
-    "embedding_centroids",
-    "corpus_stats_by_source",
-    "token_concentration",
-    "minhash_calibration",
-    "dedup_rate_by_source",
+    "bpe_merge_pair_stats",
+    "bpe_train_merges",
+    "checksum_lineitem",
+    "corpus_clean_pipeline",
+    "corpus_mixture_schedule",
+    "corpus_temperature_sample",
+    "corpus_zipf_profile",
+    "customer_rfm_segments",
+    "customer_rfm_segments_hist",
+    "customers_without_orders",
+    "dedup_bloom_prefilter",
+    "dedup_exact_documents",
+    "doc_novelty_vs_reference",
+    "doc_rare_tokens",
+    "doc_top_terms_tficf",
+    "doc_winnow_profile",
+    "embedding_int8_recall",
+    "embedding_rp_recall",
+    "events_distinct_users_hll",
+    "events_distinct_users_hll_merged",
+    "events_hourly_dense",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "funnel_signup_4stage",
+    "funnel_view_click_purchase",
+    "knn_cosine_bruteforce",
+    "knn_cosine_ivf",
+    "knn_cosine_lsh",
+    "minhash_signatures",
+    "near_dup_clusters",
+    "near_dup_embeddings",
+    "near_dup_embeddings_lsh",
+    "near_dup_minhash_lsh",
+    "near_dup_winnow_pairs",
+    "ngram_jaccard_vs_first_doc",
+    "purchase_window_event_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rollup_events_daily",
+    "sessionize_events",
+    "simhash_documents",
+    "split_contamination_13gram",
+    "text_analysis",
+    "text_token_stats",
+    "top_orders",
+    "top_tokens_cms",
+    "vocab_top_df",
+    "window_user_events",
 ]
 
 

@@ -349,12 +349,30 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t > 0), 4)
     here = os.path.dirname(os.path.abspath(__file__))
     full_path = os.path.join(here, "BENCH_FULL.json")
+    # Baseline = the COMMITTED BENCH_FULL.json (git HEAD), not the working
+    # file: this run overwrites the working file below, so reading it as
+    # the baseline would make a second in-round run silently compare
+    # against the first (same-code) run and lose the real prior-round
+    # reference (driver ADVICE r9). Fallback to the working copy only
+    # when git is unavailable (e.g. the repo dir was exported).
     prev = None
     try:
-        with open(full_path) as f:
-            prev = json.load(f)
-    except (OSError, ValueError):
+        import subprocess
+
+        blob = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH_FULL.json"],
+            capture_output=True, timeout=30,
+        )
+        if blob.returncode == 0:
+            prev = json.loads(blob.stdout)
+    except (OSError, ValueError, subprocess.SubprocessError):
         prev = None
+    if prev is None:
+        try:
+            with open(full_path) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            prev = None
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     regressions: list[str] = []

@@ -38,7 +38,10 @@ def _prepare_source(sf_dir: str, scale: int = 1, fmt: str = "csv") -> str:
     without new data. fmt='sql' emits mydumper INSERT dumps (the
     reference's primary format; its 28 MiB/s headline is this path)."""
     tag = sf_dir.rstrip("/").replace("/", "_")
-    src = f"/tmp/tls_bench_src{tag}_{fmt}" + (
+    # "_mrg" versions the parquet cache dir: pre-r10 /tmp caches hold the
+    # single-row-group layout and would silently keep benchmarking it
+    fmt_tag = f"{fmt}_mrg" if fmt == "parquet" else fmt
+    src = f"/tmp/tls_bench_src{tag}_{fmt_tag}" + (
         f"_x{scale}" if scale > 1 else ""
     )
     marker = os.path.join(src, "_ready")
@@ -62,12 +65,21 @@ def _prepare_source(sf_dir: str, scale: int = 1, fmt: str = "csv") -> str:
                 os.path.join(src, f"{stem}.{i:03d}.{ext}"),
             )
     elif fmt == "parquet":
+        # The driver's SF parquet is ONE row group per file — indivisible
+        # by maxPartitionBytes, so an xN hardlink layout caps the scan at
+        # file-count parallelism and benchmarks the fixture, not the
+        # engine (r9 verdict item 2). Rewrite the base file with row
+        # groups proportioned like production files (~10 per file, the
+        # 8-16 MiB-in-a-128 MiB-file shape), so byte-range splits engage
+        # exactly as they do on real multi-row-group data. Not timed.
+        import pyarrow.parquet as pq
+
         sp = f"{sf_dir}/lineitem.parquet"
         dst = os.path.join(src, "bench.lineitem.parquet")
-        try:
-            os.link(sp, dst)
-        except OSError:
-            shutil.copy(sp, dst)
+        tbl = pq.read_table(sp)
+        n_rgs = 10
+        rows_per_rg = max(1, -(-tbl.num_rows // n_rgs))
+        pq.write_table(tbl, dst, row_group_size=rows_per_rg)
     elif fmt == "sql":
         con = duckdb.connect()
         cur = con.execute(
