@@ -197,6 +197,23 @@ def test_stream_restore_compacts_and_cli_sql_reads(spark, tmp_path, capsys):
     ids = [r["id"] for r in out.collect()]
     assert len(set(ids)) == n  # disjoint per-batch ranges survive folds
 
+    # fold outputs keep the PK sort within every file, so their parquet
+    # footers stay range-prunable like the per-batch dirs they replaced
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    folded = [
+        p for p in names if p.startswith((C._SNAP, C._DELTA))
+    ]
+    checked = 0
+    for d in folded:
+        for f in glob.glob(os.path.join(table_dir, d, "*.parquet")):
+            col = _pq.read_table(f, columns=["id"])["id"].to_pylist()
+            assert col == sorted(col), f
+            checked += 1
+    assert checked > 0
+
     rc = cli.main([
         "sql", "--target", str(wh), "--format", "json",
         "SELECT count(*) AS c FROM d_t",

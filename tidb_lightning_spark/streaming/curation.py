@@ -277,6 +277,13 @@ class TieredCompactor:
     `rows_rewritten` accounting counter needs one extra `.count()` scan
     per fold output, so production admits keep compaction IO pure fold
     IO; tests turn it on to prove sub-quadratic growth.
+
+    `sort_within` (continuous restore passes the PK): a fold reads many
+    small per-batch files whose concatenation interleaves key ranges;
+    re-applying sortWithinPartitions keeps the snapshot's parquet
+    footers range-prunable on the sort key — the sorted-artifacts half
+    of the reference's engine contract, at fold cost only (no extra
+    shuffle: the sort is within the fold's write partitions).
     """
 
     def __init__(
@@ -286,12 +293,14 @@ class TieredCompactor:
         compact_every: int = 16,
         max_deltas: int = 8,
         track_rows: bool = False,
+        sort_within: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.tables = list(tables)
         self.compact_every = compact_every
         self.max_deltas = max_deltas
         self.track_rows = track_rows
+        self.sort_within = list(sort_within) if sort_within else None
         self.compaction_stats = {"folds": 0, "merges": 0,
                                  "bytes_rewritten": 0,
                                  "rows_rewritten": 0}
@@ -353,9 +362,12 @@ class TieredCompactor:
                 continue
             if not os.path.isdir(final):  # replay of a crashed fold
                 tmp = final + "._tmp"
-                self.spark.read.parquet(*srcs).write.mode(
-                    "overwrite"
-                ).parquet(tmp)
+                fold_df = self.spark.read.parquet(*srcs)
+                if self.sort_within:
+                    fold_df = fold_df.sortWithinPartitions(
+                        *self.sort_within
+                    )
+                fold_df.write.mode("overwrite").parquet(tmp)
                 os.rename(tmp, final)
                 self.compaction_stats["folds"] += 1
                 self.compaction_stats["merges"] += int(merge)

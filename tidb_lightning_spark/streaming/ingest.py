@@ -164,7 +164,10 @@ def stream_restore(
         from tidb_lightning_spark.streaming.curation import TieredCompactor
 
         compactor = TieredCompactor(
-            spark, [table_dir], compact_every=compact_every
+            spark, [table_dir], compact_every=compact_every,
+            # folds re-apply the PK sort so snapshot parquet footers stay
+            # range-prunable, like the per-batch dirs they replace
+            sort_within=list(info.primary_key or []) or None,
         )
 
     if fmt == "jsonl":
