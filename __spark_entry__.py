@@ -41,6 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r09's 50 — all last driver-checked in r8, all green in
 # tests/test_oracle_parity.py (the identical DuckDB compare).
 _DRIVER_PRIORITY = [
+    # new in r10 — grade first
+    "dedup_exact_substrings",
+    # registry minus CORRECTNESS_r09 (last checked r8), stalest-first
     "bpe_merge_pair_stats",
     "bpe_train_merges",
     "checksum_lineitem",

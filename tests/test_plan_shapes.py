@@ -327,3 +327,19 @@ def test_bloom_prefilter_words_broadcast(spark):
     plan = plan_of(spark, "dedup_bloom_prefilter")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_exact_substrings_exchange_budget_and_shared_window(spark):
+    """dedup_exact_substrings (r10): the gap-and-islands span merge runs
+    both windows (running-max break flags + island ids) on ONE doc_id
+    exchange; the only other shuffle is the gram-count partial agg; the
+    final orderBy adds the range exchange. No cartesian anywhere, and
+    the scan prunes to (doc_id, text)."""
+    plan = plan_of(spark, "dedup_exact_substrings")
+    assert "CartesianProduct" not in plan
+    assert n_exchanges(plan) <= 3, plan[:2000]
+    # both Window ops are adjacent on the same partitioning (a second
+    # doc_id exchange between them would double the span-merge shuffle)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "source" not in schema_line and "lang" not in schema_line

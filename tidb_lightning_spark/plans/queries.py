@@ -5916,3 +5916,165 @@ def doc_novelty_vs_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D._unpersist_on_gc(out, fps)
     D.cache_release(fps)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r10: exact-substring (repeated-span) dedup — Lee et al. 2021
+# ---------------------------------------------------------------------------
+
+EXSUB_K = 8  # token window; Lee et al. use 50 BPE tokens — scaled to the
+# fixture's short documents, the span-merge machinery is K-invariant
+
+
+def _exact_substrings_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    k = EXSUB_K
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(t, i, i + {k - 1}), ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - {k - 2})) AS u(i)
+      WHERE len(t) >= {k}
+    ), dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+    ), dp AS (
+      SELECT doc_id, pos FROM grams JOIN dup USING (g)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+                    max(pos + {k - 1}) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS brk
+      FROM dp
+    ), isl2 AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {k - 1} AS e
+      FROM isl2 GROUP BY doc_id, island
+    ), per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+             CAST(MAX(e - s + 1) AS BIGINT) AS longest_span
+      FROM spans GROUP BY doc_id
+    )
+    SELECT per.doc_id,
+           per.n_spans,
+           per.dup_tokens,
+           per.longest_span,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(per.dup_tokens AS DOUBLE) / len(toks.t) AS dup_frac
+    FROM per JOIN toks ON toks.doc_id = per.doc_id
+    ORDER BY per.doc_id
+    """
+
+
+@register("dedup_exact_substrings", _exact_substrings_oracle())
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-SUBSTRING dedup profile (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): per
+    document, the maximal token spans whose every K-token window occurs
+    at least twice in the corpus (boilerplate headers, licenses, quoted
+    passages) — the removal units ExactSubstr cuts. Complements the
+    whole-document tiers: dedup_exact_documents (identical docs),
+    near_dup_minhash_lsh (high-Jaccard docs), and this (repeated spans
+    INSIDE otherwise-unique docs, which neither catches). The paper
+    builds a corpus-wide suffix array; the distributed equivalent is
+    K-gram anchoring — a span of length >= K is repeated iff all its
+    K-windows are, so merging duplicated window positions reconstructs
+    the paper's maximal repeated spans without any global suffix order.
+
+    Scale shape: grams explode linearly in token count and reduce
+    map-side to (gram, count) partial aggregates; the duplicated-gram
+    set joins back on the gram key (hash it to a 60-bit long at real
+    scale — same contract as split_contamination_13gram); the
+    gap-and-islands span merge shuffles ONLY (doc_id, pos) pairs of
+    duplicated positions, windowed per doc_id. Text never leaves the
+    scan stage; no all-pairs comparison and no suffix array."""
+    k = EXSUB_K
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    grams = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i, k)
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("g")
+    )
+    dp = grams.join(dup, "g").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("pos")
+        > F.coalesce(
+            F.max(F.col("pos") + F.lit(k - 1)).over(w_prev), F.lit(-1)
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # two adjacent Window ops over the SAME (doc_id, pos) ordering —
+    # Catalyst plans them back-to-back on one exchange (nesting one
+    # window inside another's aggregate is illegal in both engines)
+    isl = dp.select("doc_id", "pos", brk.alias("brk")).select(
+        "doc_id", "pos", F.sum("brk").over(w_run).alias("island")
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).alias("e"),
+    )
+    per = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_span"),
+    )
+    return (
+        per.join(
+            toks.select("doc_id", F.size("t").cast("long").alias("n_tokens")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "longest_span",
+            "n_tokens",
+            (
+                F.col("dup_tokens").cast("double") / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
