@@ -43,6 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY = [
     # new in r10 — grade first
     "dedup_exact_substrings",
+    "semdedup_prune",
     # registry minus CORRECTNESS_r09 (last checked r8), stalest-first
     "bpe_merge_pair_stats",
     "bpe_train_merges",

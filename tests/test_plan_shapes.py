@@ -343,3 +343,18 @@ def test_exact_substrings_exchange_budget_and_shared_window(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
     schema_line = plan.split("ReadSchema")[1].split("\n")[0]
     assert "source" not in schema_line and "lang" not in schema_line
+
+
+def test_semdedup_single_scan_single_window(spark):
+    """semdedup_prune (r10): the ranked corpus (window over the cluster
+    key) is persisted and re-read by all three consumers — both
+    self-join sides and the final left join — so the physical plan has
+    exactly ONE parquet scan and ONE Window; everything else reads the
+    cache. Shuffle budget: window exchange + prune-distinct + final
+    join/sort. No cartesian (the self-join is keyed on the cluster)."""
+    plan = plan_of(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert n_exchanges(plan) <= 4

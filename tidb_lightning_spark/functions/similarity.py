@@ -715,6 +715,53 @@ def sql_knn_ivf(
 
     The `iters` Lloyd iterations are unrolled as CTE pairs
     (assign -> quantized means), mirroring the driver loop."""
+    prefix = _sql_kmeans_prefix(table, id_col, vec_col, dim, n_lists, iters)
+    return f"""{prefix},
+    bkt AS (
+      SELECT id, e, sqrt(list_dot_product(e, e)) AS norm FROM v
+    ), probe AS (
+      SELECT query_id, idx FROM (
+        SELECT v.id AS query_id, c.idx,
+               row_number() OVER (
+                 PARTITION BY v.id
+                 ORDER BY c.cn2 - 2.0 * list_dot_product(v.e, c.c), c.idx
+               ) AS pr
+        FROM v, cent{iters} c
+        WHERE {query_where}
+      ) WHERE pr <= {n_probe}
+    ), cand AS (
+      SELECT p.query_id, a.id AS neighbor_id
+      FROM probe p JOIN al a ON a._c = p.idx AND a.id <> p.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qv.e, nv.e) / (qv.norm * nv.norm) AS sim
+      FROM cand
+        JOIN bkt qv ON qv.id = cand.query_id
+        JOIN bkt nv ON nv.id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(sim, 4) AS cosine
+    FROM ranked WHERE rank <= {k}"""
+
+
+def _sql_kmeans_prefix(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_lists: int,
+    iters: int,
+) -> str:
+    """The shared DuckDB k-means training scaffold (seeds -> unrolled
+    Lloyd iterations -> final assignment `al`, centroids `cent{iters}`)
+    used by both full-pipeline oracles, sql_knn_ivf and sql_semdedup —
+    one text, so the engines' bit-stability contract (see
+    train_ivf_centroids) is pinned in exactly one place."""
     q = IVF_QUANT
 
     def assign(src_cent: str) -> str:
@@ -761,35 +808,160 @@ def sql_knn_ivf(
       ) WHERE idx < {n_lists}
     ),
     {iter_ctes},
-    al AS {assign(f"cent{iters}")},
-    bkt AS (
-      SELECT id, e, sqrt(list_dot_product(e, e)) AS norm FROM v
-    ), probe AS (
-      SELECT query_id, idx FROM (
-        SELECT v.id AS query_id, c.idx,
-               row_number() OVER (
-                 PARTITION BY v.id
-                 ORDER BY c.cn2 - 2.0 * list_dot_product(v.e, c.c), c.idx
-               ) AS pr
-        FROM v, cent{iters} c
-        WHERE {query_where}
-      ) WHERE pr <= {n_probe}
-    ), cand AS (
-      SELECT p.query_id, a.id AS neighbor_id
-      FROM probe p JOIN al a ON a._c = p.idx AND a.id <> p.query_id
-    ), scored AS (
-      SELECT cand.query_id, cand.neighbor_id,
-             list_dot_product(qv.e, nv.e) / (qv.norm * nv.norm) AS sim
-      FROM cand
-        JOIN bkt qv ON qv.id = cand.query_id
-        JOIN bkt nv ON nv.id = cand.neighbor_id
-    ), ranked AS (
-      SELECT query_id, neighbor_id, sim,
-             row_number() OVER (
-               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-           round(sim, 4) AS cosine
-    FROM ranked WHERE rank <= {k}
+    al AS {assign(f"cent{iters}")}
     """
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tau: float,
+    n_lists: int = N_LISTS,
+    iters: int = KMEANS_ITERS,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster the
+    embeddings with k-means, then within each cluster suppress vectors
+    whose cosine to an already-ranked vector reaches `tau`. Rank order is
+    the paper's keeper preference — ascending cosine to the own-cluster
+    centroid (the LEAST prototypical member of a duplicate neighborhood
+    survives), ties by id. A vector is pruned when ANY earlier-ranked
+    clustermate is tau-close (one-pass pairwise suppression: equivalent
+    to the paper's greedy sweep whenever duplicate groups are
+    tau-transitive, and never keeps more than it).
+
+    Scale shape (the paper's own cost argument): candidate pairs exist
+    only WITHIN a cluster, so the quadratic term is sum(n_c^2) ~= n^2/k
+    instead of n^2 — choose k ~ sqrt(n) (and sub-split outlier-heavy
+    clusters) to hold cluster populations flat as the corpus grows. One
+    corpus scan attaches (cluster, centroid-cos); the self-join shuffles
+    on the cluster key only. Training runs on a sample at 100 TB
+    (callers pass df.sample(...) to train_ivf_centroids — the math is
+    identical; see that docstring).
+
+    Bit-stable across engines end-to-end (same contract as knn_ivf):
+    md5 seeding, BIGINT-quantized means, one shared left-fold dot
+    product — so sql_semdedup replays the ENTIRE pipeline, training
+    included, and the tau comparison sees identical doubles."""
+    import math
+
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(df, id_col, vec_col, n_lists, iters)
+
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        )
+        .withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+        .withColumn("_list", _nearest_centroid(F.col("_v"), centroids))
+    )
+    # cosine to the assigned centroid: pick this row's entry out of the
+    # per-centroid literal array (centroid norms are driver-side sqrt of
+    # the same left-fold self-dot DuckDB computes as list_dot_product)
+    ccos_all = F.array(
+        *[
+            (
+                dot(F.col("_v"), F.array(*[F.lit(x) for x in c]))
+                / (F.col("_norm") * F.lit(math.sqrt(_py_dot(c, c))))
+            )
+            for c in centroids
+        ]
+    )
+    ranked = base.withColumn(
+        "_ccos", F.element_at(ccos_all, F.col("_list") + 1)
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("_list").orderBy(F.asc("_ccos"), F.asc("_id"))
+        ),
+    )
+    # `ranked` feeds three plan branches (both self-join sides + the
+    # final left join); without a persist each branch re-scans the
+    # corpus and re-runs the window shuffle. Refcounted cache, released
+    # when the caller drops the result (functions.dedup idiom).
+    from tidb_lightning_spark.functions import dedup as _D
+
+    ranked = _D.cache_acquire(ranked)
+    later = ranked.select("_id", "_v", "_norm", "_list", "_rk")
+    earlier = ranked.select(
+        F.col("_id").alias("_eid"),
+        F.col("_v").alias("_ev"),
+        F.col("_norm").alias("_enorm"),
+        F.col("_list").alias("_elist"),
+        F.col("_rk").alias("_erk"),
+    )
+    pruned = (
+        later.join(
+            earlier,
+            (F.col("_list") == F.col("_elist"))
+            & (F.col("_erk") < F.col("_rk")),
+        )
+        .filter(
+            dot(F.col("_v"), F.col("_ev"))
+            / (F.col("_norm") * F.col("_enorm"))
+            >= F.lit(tau)
+        )
+        .select("_id")
+        .distinct()
+        .withColumn("_pruned", F.lit(1))
+    )
+    out = (
+        ranked.join(pruned, "_id", "left")
+        .select(
+            F.col("_id").alias("vec_id"),
+            F.col("_list").cast("int").alias("cluster"),
+            F.round("_ccos", 4).alias("centroid_cos"),
+            F.when(F.col("_pruned").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+    out = _D._unpersist_on_gc(out, ranked)
+    _D.cache_release(ranked)
+    return out
+
+
+def sql_semdedup(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    tau: float,
+    n_lists: int = N_LISTS,
+    iters: int = KMEANS_ITERS,
+) -> str:
+    """DuckDB twin of semdedup — the FULL pipeline including k-means
+    training (shared scaffold _sql_kmeans_prefix; bit-stability contract
+    in train_ivf_centroids). Norms and cosines use the identical
+    operand order as the Spark side so the `>= tau` comparison is made
+    on identical doubles."""
+    prefix = _sql_kmeans_prefix(table, id_col, vec_col, dim, n_lists, iters)
+    return f"""{prefix},
+    scored AS (
+      SELECT a.id, a._c, a.e,
+             sqrt(list_dot_product(a.e, a.e)) AS nrm,
+             list_dot_product(a.e, c.c)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(c.cn2)) AS ccos
+      FROM al a JOIN cent{iters} c ON c.idx = a._c
+    ), ranked AS (
+      SELECT id, _c, e, nrm, ccos,
+             row_number() OVER (
+               PARTITION BY _c ORDER BY ccos ASC, id) AS rk
+      FROM scored
+    ), pruned AS (
+      SELECT DISTINCT x.id
+      FROM ranked x JOIN ranked y ON y._c = x._c AND y.rk < x.rk
+      WHERE list_dot_product(x.e, y.e) / (x.nrm * y.nrm) >= {tau!r}
+    )
+    SELECT r.id AS vec_id, CAST(r._c AS INT) AS cluster,
+           round(r.ccos, 4) AS centroid_cos,
+           CAST(CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM ranked r LEFT JOIN pruned p ON p.id = r.id
+    ORDER BY vec_id"""

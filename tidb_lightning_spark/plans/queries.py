@@ -6078,3 +6078,53 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: semantic dedup (SemDeDup) — k-means clusters + within-cluster
+# cosine suppression, full-pipeline SQL oracle (training replayed)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.42  # corpus-tuned like the paper's epsilon: the synthetic
+# fixture's nearest-pair cosines top out near 0.51, so 0.42 exercises a
+# realistic few-percent prune rate; real web-scale corpora sit near 0.95+
+
+
+def _semdedup_oracle() -> str | None:
+    # Same dim-literal constraint as the other embedding oracles:
+    # rows-only fallback when the corpus isn't the 64 the Spark side
+    # discovers at run time.
+    if _corpus_dim() != 64:
+        return None
+    from tidb_lightning_spark.functions.similarity import sql_semdedup
+
+    return sql_semdedup(
+        "embeddings", "vec_id", "embedding",
+        dim=64, tau=SEMDEDUP_TAU, n_lists=8, iters=2,
+    )
+
+
+@register("semdedup_prune", _semdedup_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (Abbas et al. 2023, SemDeDup): k-means the
+    embeddings (same deterministic, BIGINT-quantized Lloyd trainer as
+    knn_cosine_ivf), rank each cluster by ascending centroid cosine
+    (least-prototypical member first — the paper's keeper preference),
+    and prune any vector with a tau-close earlier-ranked clustermate.
+    Returns every vector with its cluster, centroid cosine, and a 0/1
+    keep flag. Fourth dedup tier: exact docs, MinHash (lexical
+    near-dup), exact substrings, and this — semantic duplicates that
+    share no tokens at all.
+
+    Driver-verified against the FULL-pipeline DuckDB twin
+    (sql_semdedup): training, assignment, ranking, and the tau
+    comparison all replay bit-stably (md5 seeds, quantized means, one
+    shared left-fold dot product). Scale shape in semdedup's docstring:
+    candidate pairs only within clusters (n^2/k), cluster key is the
+    only self-join shuffle, centroids broadcast as literals."""
+    from tidb_lightning_spark.functions.similarity import semdedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return semdedup(
+        e, "vec_id", "embedding", tau=SEMDEDUP_TAU, n_lists=8, iters=2
+    )
