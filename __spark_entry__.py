@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     # new in r10 — grade first
     "dedup_exact_substrings",
     "semdedup_prune",
+    "dsir_importance_select",
     # registry minus CORRECTNESS_r09 (last checked r8), stalest-first
     "bpe_merge_pair_stats",
     "bpe_train_merges",

@@ -358,3 +358,20 @@ def test_semdedup_single_scan_single_window(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert "InMemoryTableScan" in plan
     assert n_exchanges(plan) <= 4
+
+
+def test_dsir_single_text_scan(spark):
+    """dsir_importance_select (r10): the tokenize+explode pass runs ONCE
+    — the (doc, bucket) count matrix is cached and bucket stats, totals
+    and per-doc scores all read the cache. The only other scan is the
+    doc_id-only left-join anchor (column-pruned). Bucket stats and
+    totals broadcast; no cartesian (the one-row totals join is a
+    broadcast nest-loop, not a shuffle)."""
+    plan = plan_of(spark, "dsir_importance_select")
+    assert "CartesianProduct" not in plan
+    scans = re.findall(r"\(\d+\) Scan parquet[^\n]*\n[^\n]*\n[^\n]*", plan)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:1500]
+    assert "InMemoryTableScan" in plan
+    assert n_exchanges(plan) <= 6
+    # text is read by exactly one of the two scans
+    assert plan.count("text:string") <= 2

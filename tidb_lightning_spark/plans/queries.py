@@ -6128,3 +6128,193 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(
         e, "vec_id", "embedding", tau=SEMDEDUP_TAU, n_lists=8, iters=2
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: DSIR — hashed-n-gram importance resampling for data selection
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed feature space (paper uses 10k; scaled to SF)
+DSIR_SELECT_K = 128  # deterministic top-k in place of Gumbel resampling
+DSIR_QUANT = 1000000.0  # ln() fixed-point: floor(ln(k)*1e6) per INTEGER k
+
+
+def _dsir_lr_sql(k: str) -> str:
+    return f"CAST(floor(ln(CAST({k} AS DOUBLE)) * {DSIR_QUANT!r}) AS BIGINT)"
+
+
+def _dsir_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    h = TX.sql_hash60("g")
+    lr = _dsir_lr_sql
+    b = DSIR_BUCKETS
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {toks} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+             {h} % {b} AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(t || list_transform(range(1, len(t)),
+                                          i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM toks
+      )
+    ), docb AS (
+      SELECT doc_id, b, count(*) AS c FROM grams GROUP BY doc_id, b
+    ), bstats AS (
+      SELECT b, count(*) AS rb, sum(tgt) AS tb FROM grams GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(rb) AS BIGINT) AS rtot, CAST(sum(tb) AS BIGINT) AS ttot
+      FROM bstats
+    ), perdoc AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(sum(c * ({lr("tb + 1")} - {lr("rb + 1")})) AS BIGINT) AS s1
+      FROM docb JOIN bstats USING (b) GROUP BY doc_id
+    ), weighted AS (
+      SELECT tk.doc_id,
+             coalesce(p.n_grams, 0) AS n_grams,
+             coalesce(p.s1, 0)
+               + coalesce(p.n_grams, 0)
+                 * ({lr(f"rtot + {b}")} - {lr(f"ttot + {b}")}) AS wq
+      FROM toks tk LEFT JOIN perdoc p ON p.doc_id = tk.doc_id, tot
+    ), ranked AS (
+      SELECT doc_id, n_grams, wq,
+             row_number() OVER (ORDER BY wq DESC, doc_id) AS rnk
+      FROM weighted
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(wq AS DOUBLE) / {DSIR_QUANT!r} AS logw,
+           CAST(rnk AS INT) AS rank,
+           CAST(CASE WHEN rnk <= {DSIR_SELECT_K} THEN 1 ELSE 0 END AS INT)
+             AS selected
+    FROM ranked ORDER BY doc_id
+    """
+
+
+def _dsir_lr(k):
+    return F.floor(F.log(k.cast("double")) * F.lit(DSIR_QUANT)).cast("long")
+
+
+@register("dsir_importance_select", _dsir_oracle())
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    its log importance weight under bag-of-hashed-n-gram language models
+    of a target distribution (here: the 'en' slice as the quality proxy)
+    vs the raw corpus, then keep the top-K (deterministic top-k stands
+    in for the paper's Gumbel resampling — documented departure; Gumbel
+    adds an RNG the cross-engine gate can't replay).
+
+    log w(doc) = sum_b c_b * [ln(t_b+1) - ln(r_b+1)]
+               + n_grams(doc) * [ln(R+B) - ln(T+B)]
+    (add-1-smoothed unigram+bigram models, B hashed buckets).
+
+    Cross-engine bit-stability: every ln() is taken of an INTEGER
+    (bucket count + 1) and immediately fixed-pointed to
+    floor(ln(k)*1e6) BIGINT, so per-doc sums are order-independent
+    integer arithmetic — Spark's partition-parallel aggregation equals
+    DuckDB's serial one exactly, and the only doubles in the output are
+    exact BIGINT/1e6 conversions.
+
+    Scale shape: grams reduce map-side to (doc, bucket) counts — the
+    per-doc feature vector never materializes wider than the doc's
+    distinct buckets; bucket stats are B rows, broadcast into the
+    per-doc join; totals are a broadcast one-row cross join. The final
+    rank is the only global step and its window carries three longs per
+    doc (at 100 TB: replace with a quantile-threshold selection from a
+    histogram of wq — same contract as corpus_temperature_sample)."""
+    b = DSIR_BUCKETS
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        TX.tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("t"), i),
+                F.lit(" "),
+                F.element_at(F.col("t"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("tgt"),
+        F.explode(F.concat(F.col("t"), bigrams)).alias("g"),
+    ).select("doc_id", "tgt", (TX.hash60(F.col("g")) % b).alias("b"))
+    # ONE tokenize+explode pass: reduce straight to the (doc, bucket)
+    # count matrix (tgt rides along, constant per doc) and cache it —
+    # bucket stats, corpus totals, and the per-doc score all derive from
+    # these counts, so the text is scanned once, not three times.
+    docb = grams.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("c"), F.max("tgt").alias("tgt")
+    )
+    docb = D.cache_acquire(docb)
+    bstats = docb.groupBy("b").agg(
+        F.sum("c").alias("rb"), F.sum(F.col("c") * F.col("tgt")).alias("tb")
+    )
+    tot = bstats.agg(
+        F.sum("rb").cast("long").alias("rtot"),
+        F.sum("tb").cast("long").alias("ttot"),
+    )
+    perdoc = (
+        docb.join(F.broadcast(bstats), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(
+                F.col("c")
+                * (
+                    _dsir_lr(F.col("tb") + F.lit(1))
+                    - _dsir_lr(F.col("rb") + F.lit(1))
+                )
+            )
+            .cast("long")
+            .alias("s1"),
+        )
+    )
+    weighted = (
+        toks.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            (
+                F.coalesce(F.col("s1"), F.lit(0))
+                + F.coalesce(F.col("n_grams"), F.lit(0))
+                * (
+                    _dsir_lr(F.col("rtot") + F.lit(b))
+                    - _dsir_lr(F.col("ttot") + F.lit(b))
+                )
+            ).alias("wq"),
+        )
+    )
+    ranked = weighted.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("wq"), F.asc("doc_id"))
+        ),
+    )
+    out = ranked.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        (F.col("wq").cast("double") / F.lit(DSIR_QUANT)).alias("logw"),
+        F.col("rnk").cast("int").alias("rank"),
+        F.when(F.col("rnk") <= DSIR_SELECT_K, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("selected"),
+    ).orderBy("doc_id")
+    out = D._unpersist_on_gc(out, docb)
+    D.cache_release(docb)
+    return out
