@@ -45,6 +45,7 @@ _DRIVER_PRIORITY = [
     "dedup_exact_substrings",
     "semdedup_prune",
     "dsir_importance_select",
+    "ccnet_perplexity_buckets",
     # registry minus CORRECTNESS_r09 (last checked r8), stalest-first
     "bpe_merge_pair_stats",
     "bpe_train_merges",

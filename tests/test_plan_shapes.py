@@ -375,3 +375,16 @@ def test_dsir_single_text_scan(spark):
     assert n_exchanges(plan) <= 6
     # text is read by exactly one of the two scans
     assert plan.count("text:string") <= 2
+
+
+def test_ccnet_bounded_scans(spark):
+    """ccnet_perplexity_buckets (r10): exploded bigrams and the
+    reference unigram LM are each cached (the tokenize pass is not
+    re-run per consumer) — 3 scans total (bigram build, reference
+    unigrams, doc_id join anchor), one tercile window, no cartesian."""
+    plan = plan_of(spark, "ccnet_perplexity_buckets")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
+    assert "InMemoryTableScan" in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert n_exchanges(plan) <= 6

@@ -6318,3 +6318,172 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D._unpersist_on_gc(out, docb)
     D.cache_release(docb)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r10: CCNet-style perplexity bucketing (reference-LM cross-entropy)
+# ---------------------------------------------------------------------------
+
+
+def _ccnet_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    lr = _dsir_lr_sql
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {toks} AS t FROM documents
+    ), doc_bg AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                 i -> [t[i], t[i + 1]])) AS bg
+        FROM toks
+      ) s, LATERAL (SELECT bg[1] AS w1, bg[2] AS w2)
+    ), ref_uni AS (
+      SELECT w1, count(*) AS c1 FROM (
+        SELECT unnest(t) AS w1 FROM toks WHERE lang = 'en'
+      ) GROUP BY w1
+    ), ref_bg AS (
+      SELECT w1, w2, count(*) AS c2
+      FROM doc_bg JOIN (SELECT doc_id FROM toks WHERE lang = 'en')
+        USING (doc_id)
+      GROUP BY w1, w2
+    ), vocab AS (
+      SELECT CAST(count(*) AS BIGINT) AS v FROM ref_uni
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum({lr("coalesce(b.c2, 0) + 1")}
+                      - {lr("coalesce(u.c1, 0) + v")}) AS BIGINT)
+               AS s
+      FROM doc_bg d
+        LEFT JOIN ref_bg b ON b.w1 = d.w1 AND b.w2 = d.w2
+        LEFT JOIN ref_uni u ON u.w1 = d.w1, vocab
+      GROUP BY d.doc_id
+    ), perdoc AS (
+      SELECT tk.doc_id,
+             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CASE WHEN s.n_bigrams IS NULL THEN 0.0
+                  ELSE -((CAST(s.s AS DOUBLE) / {DSIR_QUANT!r})
+                         / s.n_bigrams) END AS xent
+      FROM toks tk LEFT JOIN scored s ON s.doc_id = tk.doc_id
+    )
+    SELECT doc_id, n_bigrams, xent,
+           CAST(ntile(3) OVER (ORDER BY xent, doc_id) AS INT) AS bucket
+    FROM perdoc ORDER BY doc_id
+    """
+
+
+@register("ccnet_perplexity_buckets", _ccnet_oracle())
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document's cross-entropy under a language model trained on a trusted
+    reference slice (here: the 'en' docs; CCNet uses a Wikipedia KenLM
+    5-gram — ours is an add-1-smoothed bigram LM, same mechanism,
+    documented departure), then split the corpus into head/middle/tail
+    perplexity terciles — CCNet's actual quality gate keeps head+middle.
+
+    xent(doc) = -(1/n) * sum_i ln p(w_i | w_{i-1}),
+    p(w2|w1) = (c_ref(w1 w2)+1) / (c_ref(w1)+V).
+
+    Same fixed-point contract as dsir_importance_select: every ln() is
+    of an integer (reference count + smoothing), floored to 1e-6
+    BIGINTs, so the per-doc sum is order-independent; the only doubles
+    are the final exact conversions and one identically-ordered division
+    chain. Terciles via ntile(3) on (xent, doc_id) — SQL-standard
+    semantics, identical both engines.
+
+    Scale shape: doc bigrams reduce map-side; the reference LM is two
+    count tables joined on the bigram/unigram key (shuffle join at
+    corpus scale — the LM tables shard like any fact table; vocab size V
+    is a broadcast one-row scalar). The tercile rank is the only global
+    step and carries (doc_id, xent) pairs (at 100 TB: histogram
+    thresholds, same contract as corpus_temperature_sample)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    bg_arr = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("w1"),
+                F.element_at(F.col("t"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bg = toks.select(
+        "doc_id", "lang", F.explode(bg_arr).alias("bg")
+    ).select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # doc_bg feeds the reference LM counts AND the scoring join: cache
+    # the exploded bigrams so the tokenize+explode pass runs once.
+    doc_bg = D.cache_acquire(doc_bg)
+    ref_uni = (
+        toks.filter(F.col("lang") == "en")
+        .select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # vocab-sized; feeds both the V scalar and the scoring join
+    ref_uni = D.cache_acquire(ref_uni)
+    ref_bg = (
+        doc_bg.filter(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = ref_uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    scored = (
+        doc_bg.join(
+            ref_bg.withColumnRenamed("w1", "_bw1").withColumnRenamed(
+                "w2", "_bw2"
+            ),
+            (F.col("w1") == F.col("_bw1")) & (F.col("w2") == F.col("_bw2")),
+            "left",
+        )
+        .join(
+            ref_uni.withColumnRenamed("w1", "_uw1"),
+            F.col("w1") == F.col("_uw1"),
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(
+                _dsir_lr(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1))
+                - _dsir_lr(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    perdoc = (
+        toks.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.when(F.col("n_bigrams").isNull(), F.lit(0.0))
+            .otherwise(
+                -(
+                    (F.col("s").cast("double") / F.lit(DSIR_QUANT))
+                    / F.col("n_bigrams")
+                )
+            )
+            .alias("xent"),
+        )
+    )
+    out = (
+        perdoc.withColumn(
+            "bucket",
+            F.ntile(3)
+            .over(Window.orderBy(F.asc("xent"), F.asc("doc_id")))
+            .cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+    out = D._unpersist_on_gc(out, doc_bg, ref_uni)
+    D.cache_release(doc_bg)
+    D.cache_release(ref_uni)
+    return out
