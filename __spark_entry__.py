@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "semdedup_prune",
     "dsir_importance_select",
     "ccnet_perplexity_buckets",
+    "bpe_encode_corpus",
     # registry minus CORRECTNESS_r09 (last checked r8), stalest-first
     "bpe_merge_pair_stats",
     "bpe_train_merges",

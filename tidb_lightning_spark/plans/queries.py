@@ -6487,3 +6487,195 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.cache_release(doc_bg)
     D.cache_release(ref_uni)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r10: BPE ENCODING — apply the trained merge table to the corpus
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(n_merges: int = BPE_MERGES) -> str:
+    s, s2 = BPE_SEP, BPE_SEP + BPE_SEP
+    toks = TX.SQL_TOKENS.format(col=f"translate(lower(text), '{s}', '')")
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT doc_id, length(w) AS nch,
+             '{s2}' || array_to_string(
+               list_transform(range(1, length(w) + 1),
+                              i -> substr(w, i, 1)), '{s2}')
+             || '{s2}' AS seg
+      FROM (SELECT doc_id, unnest({toks}) AS w FROM documents)
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{k} AS (
+      SELECT t[i] AS l, t[i + 1] AS r, count(*) AS n
+      FROM (SELECT list_filter(string_split(seg, '{s2}'), x -> x != '')
+              AS t FROM w{k - 1}),
+           UNNEST(range(1, len(t))) AS u(i)
+      GROUP BY l, r
+    ), m{k} AS MATERIALIZED (
+      SELECT l, r FROM p{k} ORDER BY n DESC, l, r LIMIT 1
+    ), w{k} AS MATERIALIZED (
+      SELECT doc_id, nch,
+             replace(seg, '{s}' || m.l || '{s2}' || m.r || '{s}',
+                     '{s}' || m.l || m.r || '{s}') AS seg
+      FROM w{k - 1}, m{k} m
+    )"""
+        )
+    ctes.append(
+        f"""per AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(nch) AS BIGINT) AS n_chars,
+             CAST(sum(len(list_filter(string_split(seg, '{s2}'),
+                                      x -> x != ''))) AS BIGINT)
+               AS n_tokens
+      FROM w{n_merges} GROUP BY doc_id
+    )"""
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + """
+    SELECT d.doc_id,
+           coalesce(per.n_words, 0) AS n_words,
+           coalesce(per.n_chars, 0) AS n_chars,
+           coalesce(per.n_tokens, 0) AS n_tokens,
+           CASE WHEN coalesce(per.n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(per.n_chars AS DOUBLE) / per.n_tokens END
+             AS chars_per_token
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN per ON per.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+    )
+
+
+@register("bpe_encode_corpus", _bpe_encode_oracle())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the other half of the tokenizer lifecycle: train
+    the BPE_MERGES-step merge table (identical procedure and argmax
+    order to bpe_train_merges) and APPLY every merge to the whole
+    corpus, yielding each document's post-BPE token count and
+    compression (chars per BPE token) — the numbers a training pipeline
+    needs for sequence budgeting and packing. Encoding uses the same
+    double-separator replace as training (one linear-scan string replace
+    per merge, canonical greedy left-to-right semantics — see
+    bpe_train_merges), with doc_id riding along so per-doc stats drop
+    out of one aggregation at the end.
+
+    The SQL oracle replays the FULL pipeline — training AND encoding —
+    in one CTE chain (per-step argmax as a materialized scalar, the k-th
+    replace applied corpus-wide), the same replay-the-training standard
+    as the IVF/SemDeDup oracles.
+
+    Scale shape: k merge steps = k map-only replaces over the cached
+    segment column plus k bounded (l, r) count aggs; the per-doc rollup
+    is one groupBy(doc_id). Driver state: one (l, r) row per step.
+    Production tokenizers train on a sample then encode the full corpus
+    with the frozen table — callers pass precomputed merges to skip the
+    training scans (the apply chain is this function's second half)."""
+    s2 = BPE_SEP + BPE_SEP
+    d = load(spark, sf_dir, "documents")
+    w = F.col("w")
+    seg0 = F.concat(
+        F.lit(s2),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.substr(w, i, F.lit(1)),
+            ),
+            s2,
+        ),
+        F.lit(s2),
+    )
+    corpus = (
+        d.select(
+            "doc_id",
+            F.explode(
+                TX.tokens(F.lower(F.translate(F.col("text"), BPE_SEP, "")))
+            ).alias("w"),
+        )
+        .select("doc_id", F.length(w).alias("nch"), seg0.alias("seg"))
+        .persist()
+    )
+    prev = None
+    cur = corpus
+    for _step in range(1, BPE_MERGES + 1):
+        t = F.filter(F.split(F.col("seg"), s2), lambda x: x != "")
+        pairs = (
+            cur.select(t.alias("t"))
+            .select(
+                F.explode(
+                    F.when(
+                        F.size("t") >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size("t") - 1),
+                            lambda i: F.struct(
+                                F.element_at(F.col("t"), i).alias("l"),
+                                F.element_at(F.col("t"), i + 1).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
+                    )
+                ).alias("p")
+            )
+            .select("p.l", "p.r")
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if prev is not None:
+            prev.unpersist()
+        if not top:
+            break
+        l, r = top[0]["l"], top[0]["r"]
+        pattern = BPE_SEP + l + s2 + r + BPE_SEP
+        repl = BPE_SEP + l + r + BPE_SEP
+        prev, cur = cur, cur.select(
+            "doc_id",
+            "nch",
+            F.replace(F.col("seg"), F.lit(pattern), F.lit(repl)).alias(
+                "seg"
+            ),
+        ).persist()
+    per = cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("nch").cast("long").alias("n_chars"),
+        F.sum(
+            F.size(F.filter(F.split(F.col("seg"), s2), lambda x: x != ""))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = (
+        d.select("doc_id")
+        .distinct()
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.when(F.coalesce(F.col("n_tokens"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_chars").cast("double") / F.col("n_tokens")
+            )
+            .alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+    # `cur`'s cache is declared but only fills when `out` executes; it
+    # computes from `prev`'s (materialized) cache — keep BOTH alive
+    # until the caller drops the result. Earlier frames were released
+    # inside the loop once the next argmax collect materialized their
+    # successor.
+    keep = [cur] if prev is None else [prev, cur]
+    out = D._unpersist_on_gc(out, *keep)
+    return out
