@@ -1,0 +1,133 @@
+"""Behavioral tests for the round-10 LLM-pipeline operators.
+
+The oracle-parity suite already proves Spark==DuckDB on the fixture
+corpus; these tests pin the SEMANTICS on planted inputs — a shared
+passage is found as exactly one maximal span, an identical vector pair
+prunes exactly its higher id, target-vocabulary docs outrank off-target
+docs, reference-like text scores lower cross-entropy than gibberish,
+and BPE encoding actually compresses a repetitive corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tidb_lightning_spark.plans import queries as Q
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, lang, "src", len(t)) for i, t, lang in rows], DOC_SCHEMA
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_exact_substrings_planted_passage(spark, tmp_path):
+    """A >=K-token passage shared by two docs (unique elsewhere) is
+    recovered as exactly ONE maximal span per doc covering exactly the
+    passage's tokens; a fully unique doc is absent from the output."""
+    k = Q.EXSUB_K
+    passage = " ".join(f"shared{i}" for i in range(k + 4))  # k+4 tokens
+    rows = [
+        (1, "alpha bravo charlie " + passage + " delta echo", "en"),
+        (2, "foxtrot golf hotel india " + passage + " juliet", "en"),
+        (3, "kilo lima mike november oscar papa quebec romeo sierra", "en"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in Q.dedup_exact_substrings(spark, sf).collect()
+    }
+    assert set(out) == {1, 2}
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert r["n_spans"] == 1
+        assert r["dup_tokens"] == k + 4
+        assert r["longest_span"] == k + 4
+
+
+def test_semdedup_identical_pair_prunes_higher_id(spark):
+    """Two bit-identical vectors land in one cluster with equal centroid
+    cosine; the id tie-break ranks the LOWER id first, so exactly the
+    higher id is pruned at any tau <= 1."""
+    from tidb_lightning_spark.functions.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(
+            df, "vec_id", "embedding", tau=0.999, n_lists=2, iters=1
+        ).collect()
+    }
+    assert out[1] == 1
+    assert out[2] == 0
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_dsir_target_vocab_outranks_offtarget(spark, tmp_path):
+    """Docs written in the target ('en') slice's vocabulary carry higher
+    importance weights than docs whose n-grams never occur in the
+    target model — DSIR's defining property."""
+    en = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    fr = "omega psi chi phi upsilon tau sigma rho " * 4
+    rows = [(i, en, "en") for i in range(1, 4)] + [
+        (i, fr, "fr") for i in range(4, 7)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r["logw"]
+        for r in Q.dsir_importance_select(spark, sf).collect()
+    }
+    assert min(out[i] for i in (1, 2, 3)) > max(out[i] for i in (4, 5, 6))
+
+
+def test_ccnet_reference_like_text_scores_lower_xent(spark, tmp_path):
+    """A doc written in the reference slice's phrasing has lower
+    cross-entropy (and a no-worse tercile) than out-of-model gibberish —
+    the CCNet head/tail separation."""
+    ref = "the cat sat on the mat and the dog sat on the rug " * 3
+    rows = [
+        (1, ref, "en"),
+        (2, ref, "en"),
+        (3, "the cat sat on the mat", "fr"),  # in-domain, non-reference
+        (4, "zzq xxv qqj vvk jjx kkq zzv", "fr"),  # gibberish
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in Q.ccnet_perplexity_buckets(spark, sf).collect()
+    }
+    assert out[3]["xent"] < out[4]["xent"]
+    assert out[3]["bucket"] <= out[4]["bucket"]
+    assert out[4]["bucket"] == 3  # gibberish lands in the tail tercile
+
+
+def test_bpe_encode_compresses_repetitive_corpus(spark, tmp_path):
+    """BPE merges collapse a corpus dominated by one word: fewer tokens
+    than characters, compression > 1, and per-doc word counts exact."""
+    rows = [
+        (1, "banana banana banana banana", "en"),
+        (2, "banana bandana", "en"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in Q.bpe_encode_corpus(spark, sf).collect()
+    }
+    assert out[1]["n_words"] == 4
+    assert out[2]["n_words"] == 2
+    for r in out.values():
+        assert 0 < r["n_tokens"] < r["n_chars"]
+        assert r["chars_per_token"] > 1.0
+    # 6 merges fully collapse the dominant 6-char word: one token each
+    assert out[1]["n_tokens"] == 4
