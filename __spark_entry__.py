@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "dsir_importance_select",
     "ccnet_perplexity_buckets",
     "bpe_encode_corpus",
+    "bm25_retrieval_topk",
     # registry minus CORRECTNESS_r09 (last checked r8), stalest-first
     "bpe_merge_pair_stats",
     "bpe_train_merges",

@@ -388,3 +388,16 @@ def test_ccnet_bounded_scans(spark):
     assert "InMemoryTableScan" in plan
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert n_exchanges(plan) <= 6
+
+
+def test_bm25_single_scan_broadcast_joins(spark):
+    """bm25_retrieval_topk (r10): the (doc, tok, tf) terms table is
+    cached — ONE parquet scan; doc lengths, corpus totals, document
+    frequencies and query term sets all read the cache and join back by
+    broadcast (no sort-merge legs, no cartesian)."""
+    plan = plan_of(spark, "bm25_retrieval_topk")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+    assert n_exchanges(plan) <= 8

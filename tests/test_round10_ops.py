@@ -131,3 +131,25 @@ def test_bpe_encode_compresses_repetitive_corpus(spark, tmp_path):
         assert r["chars_per_token"] > 1.0
     # 6 merges fully collapse the dominant 6-char word: one token each
     assert out[1]["n_tokens"] == 4
+
+
+def test_bm25_duplicate_doc_ranks_first(spark, tmp_path):
+    """A verbatim copy of the query document is the strongest BM25
+    match; an unrelated doc never outranks an overlapping one."""
+    q = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, q, "en"),
+        (10, q, "en"),                       # exact copy
+        (11, "alpha beta unrelated words here", "en"),  # partial overlap
+        (12, "nothing shared at all whatsoever", "en"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in Q.bm25_retrieval_topk(spark, sf).collect()
+        if r["query_id"] == 1
+    ]
+    by_rank = {rank: doc for doc, rank in got}
+    assert by_rank[1] == 10
+    assert by_rank[2] == 11
+    assert 12 not in dict(got)  # shares no term: absent, not ranked

@@ -6679,3 +6679,156 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = [cur] if prev is None else [prev, cur]
     out = D._unpersist_on_gc(out, *keep)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r10: BM25 retrieval top-k (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+BM25_TOPK = 10
+BM25_N_QUERIES = 5  # doc_id < 5 are the query documents
+
+
+def _bm25_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    lr = _dsir_lr_sql
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM terms
+      GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS BIGINT) AS d FROM dl
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM terms GROUP BY tok
+    ), qterms AS (
+      SELECT doc_id AS query_id, tok FROM terms
+      WHERE doc_id < {BM25_N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(sum(
+               (({lr("2 * s.n + 2")} - {lr("2 * f.df + 1")})
+                * 22 * s.d * t.tf)
+               // (10 * s.d * t.tf + 3 * s.d + 9 * l.dl * s.n)
+             ) AS BIGINT) AS sq
+      FROM qterms q
+        JOIN terms t ON t.tok = q.tok AND t.doc_id <> q.query_id
+        JOIN dfreq f ON f.tok = q.tok
+        JOIN dl l ON l.doc_id = t.doc_id, stats s
+      GROUP BY q.query_id, t.doc_id
+    ), ranked AS (
+      SELECT query_id, doc_id, sq,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sq DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, doc_id, CAST(rnk AS INT) AS rank,
+           CAST(sq AS DOUBLE) / {DSIR_QUANT!r} AS score
+    FROM ranked WHERE rnk <= {BM25_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@register("bm25_retrieval_topk", _bm25_oracle())
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (Robertson & Zaragoza 2009; Lucene's
+    non-negative idf variant): score every corpus document against each
+    query document's term set and keep the top-10 — the lexical
+    retrieval primitive behind decontamination-by-retrieval and
+    similarity-to-target data selection, complementing the dense paths
+    (knn_cosine_*) with exact sparse matching.
+
+    Integer-exact scoring, order-independent by construction: with
+    k1 = 6/5 and b = 3/4 the per-term score
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    multiplies out to  idf_q * 22*D*tf // (10*D*tf + 3*D + 9*dl*N)
+    (D = corpus token count, N = doc count, avgdl = D/N), where
+    idf_q = fixedpoint(ln(2N+2)) - fixedpoint(ln(2df+1)) is the
+    Lucene idf ln(1 + (N-df+.5)/(df+.5)) of INTEGER arguments —
+    always >= 0, so the integer floor-division is engine-agnostic and
+    per-(query, doc) sums are exact BIGINT arithmetic. The only doubles
+    are the final /1e6 conversions. (At petabyte scale rescale the
+    fixed-point factor so idf_q * 22 * D * tf stays under 2^63 —
+    documented overflow headroom, same contract as the checksum
+    monoid.)
+
+    Scale shape: terms reduce map-side to (doc, tok, tf); doc lengths,
+    corpus totals and document frequencies all derive from the cached
+    terms table (no re-tokenization); query term sets broadcast; the
+    candidate join fans out only docs sharing a query term, and the
+    top-k window partitions by query. No all-pairs scan."""
+    d = load(spark, sf_dir, "documents")
+    terms = (
+        d.select(
+            "doc_id",
+            F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    terms = D.cache_acquire(terms)
+    dl = terms.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("d"),
+    )
+    dfreq = terms.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qterms = terms.filter(F.col("doc_id") < BM25_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    idf_q = _dsir_lr(F.lit(2) * F.col("n") + F.lit(2)) - _dsir_lr(
+        F.lit(2) * F.col("df") + F.lit(1)
+    )
+    scored = (
+        terms.join(F.broadcast(qterms), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq.withColumnRenamed("tok", "_ftok")),
+              F.col("tok") == F.col("_ftok"))
+        .join(F.broadcast(dl.withColumnRenamed("doc_id", "_ldoc")),
+              F.col("doc_id") == F.col("_ldoc"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (idf_q * F.lit(22) * F.col("d") * F.col("tf")).alias("_num"),
+            (
+                F.lit(10) * F.col("d") * F.col("tf")
+                + F.lit(3) * F.col("d")
+                + F.lit(9) * F.col("dl") * F.col("n")
+            ).alias("_den"),
+        )
+        # integer floor division; every operand nonnegative, so Spark's
+        # DIV (truncating) and DuckDB's // (flooring) agree
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr("_num DIV _den").alias("_sterm"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_sterm").cast("long").alias("sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sq").desc(), F.asc("doc_id")
+    )
+    out = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rnk").cast("int").alias("rank"),
+            (F.col("sq").cast("double") / F.lit(DSIR_QUANT)).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+    out = D._unpersist_on_gc(out, terms)
+    D.cache_release(terms)
+    return out
