@@ -348,7 +348,14 @@ def main() -> None:
     # is noise; requiring current-min > previous-max × 1.1 filters it.
     total = round(sum(t for t in timings.values() if t > 0), 4)
     here = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(here, "BENCH_FULL.json")
+    # Single-rep sanity runs (SPARK_GRAFT_BENCH_REPS=1, typically at a
+    # small SF while iterating) go to an UNTRACKED side file: writing
+    # them to the tracked BENCH_FULL.json invites a stray `git add -A`
+    # to replace the committed prior-round baseline with junk the
+    # sf/reps guards below would then reject — making the next round's
+    # regression gate vacuous (this exact accident happened in r10).
+    full_name = "BENCH_FULL.json" if reps >= 2 else "BENCH_FULL.local.json"
+    full_path = os.path.join(here, full_name)
     # Baseline = the COMMITTED BENCH_FULL.json (git HEAD), not the working
     # file: this run overwrites the working file below, so reading it as
     # the baseline would make a second in-round run silently compare
@@ -422,7 +429,7 @@ def main() -> None:
         # medians (full list always lands in BENCH_FULL.json)
         "regressions_significant": regressions[:8],
         "n_regressions": len(regressions),
-        "queries_full": "BENCH_FULL.json",
+        "queries_full": full_name,
         **extras,
         "queries": {},
     }
