@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (the identical DuckDB compare).
 _DRIVER_PRIORITY = [
     # new in r10 — grade first
+    "textrank_keywords",
+    "kn_bigram_lm",
+    "scd2_user_state",
     "dedup_exact_substrings",
     "semdedup_prune",
     "dsir_importance_select",

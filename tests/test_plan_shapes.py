@@ -401,3 +401,43 @@ def test_bm25_single_scan_broadcast_joins(spark):
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
     assert n_exchanges(plan) <= 8
+
+
+def test_textrank_iterations_reuse_cached_graph(spark):
+    """textrank_keywords (r10): edges and nodes are cached — every
+    PageRank sweep reads InMemoryTableScan, never re-scans the corpus;
+    pr and wsum ride broadcasts into the edge join and the per-sweep
+    contribution agg broadcasts back into the node list, so NO
+    sort-merge legs exist and per-iteration shuffles key on the vocab
+    (contribution groupBy), not the corpus."""
+    plan = plan_of(spark, "textrank_keywords")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    # 2 broadcasts per sweep (wsum + pr) + the contribution joinback
+    assert plan.count("BroadcastExchange") >= 2 * Q.TEXTRANK_ITERS
+
+
+def test_kn_bigram_single_scan_broadcast_stats(spark):
+    """kn_bigram_lm (r10): the bigram table is cached (ONE parquet
+    scan); left/right/total stats all read the cache and broadcast back
+    (the one-row nbb join is a broadcast nest-loop, not a shuffle); no
+    sort-merge legs."""
+    plan = plan_of(spark, "kn_bigram_lm")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert n_exchanges(plan) <= 5
+
+
+def test_scd2_single_compute_exchange(spark):
+    """scd2_user_state (r10): lag -> running-sum -> run agg -> lead all
+    partition on user_id, so Catalyst plans them on ONE hash exchange;
+    the only other exchange is the presentation orderBy's range
+    partitioning."""
+    plan = plan_of(spark, "scd2_user_state")
+    exs = re.findall(r"\(\d+\) Exchange[^\n]*\n[^\n]*\n[^\n]*", plan)
+    assert n_exchanges(plan) <= 2, plan[:1500]
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) >= 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3

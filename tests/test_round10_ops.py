@@ -153,3 +153,90 @@ def test_bm25_duplicate_doc_ranks_first(spark, tmp_path):
     assert by_rank[1] == 10
     assert by_rank[2] == 11
     assert 12 not in dict(got)  # shares no term: absent, not ranked
+
+
+def test_textrank_hub_token_ranks_first(spark, tmp_path):
+    """A planted hub token co-occurring with every other token collects
+    the most PageRank mass; rank values are the exact fixed-point
+    integers (base + floored contributions), monotone in connectivity."""
+    # hub appears around every spoke: "hub a hub b ... hub f hub" — the
+    # trailing hub closes the chain so every spoke has identical (2-hub)
+    # adjacency and hub's weighted degree dominates
+    spokes = [f"spoke{i}" for i in range(6)]
+    text = " ".join(x for s in spokes for x in ("hub", s)) + " hub"
+    rows = [(1, text, "en")]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = Q.textrank_keywords(spark, sf).collect()
+    assert out[0]["token"] == "hub"
+    assert out[0]["rank"] == 1
+    # every spoke ties: identical pr, ranks broken by token name
+    spoke_rows = [r for r in out if r["token"].startswith("spoke")]
+    assert len({r["pr_scaled"] for r in spoke_rows}) == 1
+    assert [r["token"] for r in spoke_rows] == sorted(spokes)
+    # fixed-point sanity: every pr >= teleport base, hub strictly above
+    base = 3 * Q.TEXTRANK_SCALE // 20
+    assert all(r["pr_scaled"] >= base for r in out)
+    assert out[0]["pr_scaled"] > spoke_rows[0]["pr_scaled"]
+
+
+def test_kn_continuation_beats_raw_frequency(spark, tmp_path):
+    """Kneser-Ney's signature: a word frequent only in ONE context
+    ("francisco" after "san") gets a LOW continuation weight even though
+    its raw count is high — n1l drives the backoff term, not c."""
+    # "san francisco" x 6: francisco frequent, single left context.
+    # "the" follows 4 distinct words: low count per bigram, high n1l.
+    text = ("san francisco " * 6).strip() + (
+        " over the lazy the quick the brown the"
+    )
+    sf = _write_docs(spark, tmp_path, [(1, text, "en")])
+    rows = {(r["w1"], r["w2"]): r for r in Q.kn_bigram_lm(spark, sf).collect()}
+    sf_row = rows[("san", "francisco")]
+    assert sf_row["n1l"] == 1  # only ever follows "san"
+    the_rows = [r for (w1, w2), r in rows.items() if w2 == "the"]
+    assert the_rows and all(r["n1l"] >= 3 for r in the_rows)
+    # interpolation never zero, probability bounded in (0, 1]
+    for r in rows.values():
+        assert 0 < r["p_scaled"] <= Q.KN_SCALE
+    # per-context sanity: francisco|san dominates its context
+    assert sf_row["c"] == 6 and sf_row["c1"] >= 6
+
+
+def test_scd2_runs_collapse_and_intervals_chain(spark):
+    """Planted event stream: consecutive same-type runs collapse into
+    versioned rows whose [valid_from, valid_to) intervals chain exactly
+    (next run's start closes the previous), single open current row."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    evs = [
+        # user 1: view view click view -> 3 runs
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=2), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=3), 1, "view", 1.0, "{}"),
+        # user 2: single event -> one current run
+        (4, t0, 2, "error", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = Q.scd2_user_state(spark, d).collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [(r["version"], r["state"], r["n_events"]) for r in u1] == [
+        (1, "view", 2), (2, "click", 1), (3, "view", 1)
+    ]
+    # intervals chain: valid_to of run i == valid_from of run i+1
+    for a, b in zip(u1, u1[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    assert u1[-1]["valid_to"] is None and u1[-1]["is_current"] == 1
+    assert all(r["is_current"] == 0 for r in u1[:-1])
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] == 1

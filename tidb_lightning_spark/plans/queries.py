@@ -6832,3 +6832,416 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D._unpersist_on_gc(out, terms)
     D.cache_release(terms)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r10: TextRank keywords — unrolled fixed-point PageRank (iterative class)
+# ---------------------------------------------------------------------------
+
+TEXTRANK_ITERS = 3  # unrolled; convergence is geometric in d=17/20
+TEXTRANK_SCALE = 10**12  # fixed-point unit; divisible by 20 so the
+# (1-d) teleport base 3*S/20 is exact in both engines with no floor
+_TR_BASE = 3 * TEXTRANK_SCALE // 20
+TEXTRANK_TOPK = 20
+
+
+def _textrank_iter_sql(prev: str, nxt: str) -> str:
+    # one PageRank sweep: per-edge contribution is the SAME two-step
+    # integer floor the Spark side computes — t = (pr*w) // wsum, then
+    # (17*t) // 20 — every operand nonnegative so DuckDB's flooring //
+    # and Spark's truncating DIV agree
+    return f"""
+    {nxt} AS (
+      SELECT n.tok,
+             CAST({_TR_BASE} + coalesce(s.s, 0) AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS tok,
+               SUM((17 * ((p.pr * e.w) // ws.wsum)) // 20) AS s
+        FROM edges e
+        JOIN wsum ws ON ws.src = e.src
+        JOIN {prev} p ON p.tok = e.src
+        GROUP BY e.dst
+      ) s ON s.tok = n.tok
+    )"""
+
+
+def _textrank_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    s = TEXTRANK_SCALE
+    iters = ",".join(
+        _textrank_iter_sql(f"pr{i}", f"pr{i + 1}")
+        for i in range(TEXTRANK_ITERS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT {toks} AS t FROM documents
+    ), pairs AS (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), und AS (
+      SELECT a, b FROM pairs WHERE a <> b
+    ), edges AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT a AS src, b AS dst FROM und
+        UNION ALL
+        SELECT b AS src, a AS dst FROM und
+      ) GROUP BY src, dst
+    ), wsum AS (
+      SELECT src, SUM(w) AS wsum FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT unnest(t) AS tok FROM toks
+    ), pr0 AS (
+      SELECT tok, CAST({s} AS BIGINT) AS pr FROM nodes
+    ), {iters}
+    SELECT token, rank, pr_scaled,
+           CAST(pr_scaled AS DOUBLE) / {s} AS score
+    FROM (
+      SELECT tok AS token,
+             CAST(row_number() OVER (ORDER BY pr DESC, tok) AS INT)
+               AS rank,
+             pr AS pr_scaled
+      FROM pr{TEXTRANK_ITERS}
+    )
+    WHERE rank <= {TEXTRANK_TOPK}
+    ORDER BY rank
+    """
+
+
+@register("textrank_keywords", _textrank_oracle())
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau 2004): weighted
+    PageRank over the token co-occurrence graph (adjacent-token window,
+    undirected, self-loops dropped), damping d = 17/20, unrolled
+    TEXTRANK_ITERS sweeps in 10^12-unit fixed point so the iterative
+    algorithm is integer-exact and DuckDB-oracle-able — the registry's
+    first iterative-graph entry (near_dup_clusters' large/small-star is
+    iterative too but converges structurally; this one iterates a
+    numeric fixed point). pr_{{i+1}}(v) = 3S/20 + sum over in-edges of
+    (17 * ((pr_i(u) * w_uv) // wsum_u)) // 20; every operand is
+    nonnegative so Spark's truncating DIV and DuckDB's flooring //
+    agree, and the per-edge floor makes each sweep associative-sum
+    exact regardless of partition order.
+
+    Scale shape: text leaves the scan stage as adjacent-pair counts
+    (map-side partial agg to the vocab-squared-sparse edge list); pr
+    and wsum are vocab-sized so each sweep broadcasts them into a
+    map-side join against edges and shuffles ONLY the vocab-keyed
+    contribution sums — per-iteration cost is independent of corpus
+    size once edges are built. Edges AND the node list are
+    cache_acquire'd — every sweep reuses both, so the corpus is scanned
+    once, not once per iteration. Reference has no graph surface; this
+    extends the LLM-pipeline keyword/quality toolkit (SURVEY §2.N)."""
+    s = TEXTRANK_SCALE
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.slice(F.col("t"), i, 2),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p").getItem(0).alias("a"),
+            F.col("p").getItem(1).alias("b"),
+        )
+    )
+    und = pairs.filter(F.col("a") != F.col("b"))
+    edges = D.cache_acquire(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    nodes = D.cache_acquire(
+        toks.select(F.explode("t").alias("tok")).distinct()
+    )
+    pr = nodes.select("tok", F.lit(s).cast("long").alias("pr"))
+    for _ in range(TEXTRANK_ITERS):
+        contrib = (
+            edges.join(F.broadcast(wsum), "src")
+            .join(
+                F.broadcast(
+                    pr.select(
+                        F.col("tok").alias("src"),
+                        F.col("pr").alias("prs"),
+                    )
+                ),
+                "src",
+            )
+            .select(
+                "dst",
+                F.expr("(17 * ((prs * w) DIV wsum)) DIV 20").alias("ct"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("ct").alias("sc"))
+        )
+        pr = (
+            nodes.join(
+                F.broadcast(contrib), nodes["tok"] == contrib["dst"], "left"
+            )
+            .select(
+                "tok",
+                (F.lit(_TR_BASE) + F.coalesce(F.col("sc"), F.lit(0)))
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    w_rank = Window.orderBy(F.col("pr").desc(), F.asc("tok"))
+    out = (
+        pr.select(
+            F.col("tok").alias("token"),
+            F.row_number().over(w_rank).cast("int").alias("rank"),
+            F.col("pr").alias("pr_scaled"),
+            (F.col("pr").cast("double") / F.lit(s)).alias("score"),
+        )
+        .filter(F.col("rank") <= TEXTRANK_TOPK)
+        .orderBy("rank")
+    )
+    out = D._unpersist_on_gc(out, edges, nodes)
+    D.cache_release(edges)
+    D.cache_release(nodes)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r10: interpolated Kneser-Ney bigram LM — integer-exact smoothing
+# ---------------------------------------------------------------------------
+
+KN_SCALE = 10**12  # fixed-point unit for the smoothed probability
+KN_TOPK = 25
+
+
+def _kn_bigram_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    s = KN_SCALE
+    return f"""
+    WITH toks AS (
+      SELECT {toks} AS t FROM documents
+    ), pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY w1, w2
+    ), lft AS (
+      SELECT w1, SUM(c) AS c1, CAST(count(*) AS BIGINT) AS n1r
+      FROM big GROUP BY w1
+    ), rgt AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1l
+      FROM big GROUP BY w2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS nbb FROM big
+    ), scored AS (
+      SELECT big.w1, big.w2, big.c, lft.c1, lft.n1r, rgt.n1l,
+             CAST(
+               ({s} * (4 * big.c - 3)) // (4 * lft.c1)
+               + ({s} * 3 * lft.n1r * rgt.n1l)
+                 // (4 * lft.c1 * tot.nbb)
+               AS BIGINT) AS p_scaled
+      FROM big
+      JOIN lft USING (w1)
+      JOIN rgt USING (w2)
+      CROSS JOIN tot
+    )
+    SELECT w1, w2, c, c1, n1r, n1l, p_scaled,
+           CAST(p_scaled AS DOUBLE) / {s} AS p_kn,
+           rank
+    FROM (
+      SELECT *,
+             CAST(row_number() OVER (
+               ORDER BY p_scaled DESC, w1, w2) AS INT) AS rank
+      FROM scored
+    )
+    WHERE rank <= {KN_TOPK}
+    ORDER BY rank
+    """
+
+
+@register("kn_bigram_lm", _kn_bigram_oracle())
+def kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.25) over the document corpus — the
+    smoothing used by real n-gram LM pipelines (KenLM et al.) and the
+    natural next step after ccnet_perplexity_buckets' add-k reference
+    LM. With discount D = 3/4 in 10^12-unit fixed point:
+
+      p_kn(w2|w1) = max(c - D, 0)/c1 + D*(n1r/c1)*(n1l/nbb)
+
+    becomes two nonnegative integer floor-divisions per bigram —
+    (S*(4c-3)) // (4*c1)  +  (S*3*n1r*n1l) // (4*c1*nbb) — so Spark
+    DIV and DuckDB // agree bit-for-bit and the driver can hash-match
+    a smoothed LM. c = bigram count, c1 = left-context total, n1r =
+    distinct continuations of w1 (|{{w2: c(w1,w2)>0}}|), n1l = distinct
+    left contexts of w2 (the continuation count that makes KN KN), nbb
+    = total distinct bigrams.
+
+    Scale shape: adjacent pairs reduce map-side to the vocab-squared-
+    sparse bigram table; everything after is vocab-sized — lft/rgt are
+    broadcast into map-side joins, nbb rides a broadcast one-row
+    cross-join (bm25's stats pattern), and the final top-k is a
+    single-partition window over the already-tiny scored table. Text
+    never leaves the scan stage."""
+    s = KN_SCALE
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.slice(F.col("t"), i, 2),
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p").getItem(0).alias("w1"),
+            F.col("p").getItem(1).alias("w2"),
+        )
+    )
+    big = D.cache_acquire(
+        pairs.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    lft = big.groupBy("w1").agg(
+        F.sum("c").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1r"),
+    )
+    rgt = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1l")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("nbb"))
+    scored = (
+        big.join(F.broadcast(lft), "w1")
+        .join(F.broadcast(rgt), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c", "c1", "n1r", "n1l",
+            (
+                F.expr(f"({s} * (4 * c - 3)) DIV (4 * c1)")
+                + F.expr(f"({s} * 3 * n1r * n1l) DIV (4 * c1 * nbb)")
+            ).cast("long").alias("p_scaled"),
+        )
+    )
+    w_rank = Window.orderBy(
+        F.col("p_scaled").desc(), F.asc("w1"), F.asc("w2")
+    )
+    out = (
+        scored.withColumn(
+            "rank", F.row_number().over(w_rank).cast("int")
+        )
+        .filter(F.col("rank") <= KN_TOPK)
+        .select(
+            "w1", "w2", "c", "c1", "n1r", "n1l", "p_scaled",
+            (F.col("p_scaled").cast("double") / F.lit(s)).alias("p_kn"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+    out = D._unpersist_on_gc(out, big)
+    D.cache_release(big)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r10: SCD2 dimension build — gaps-and-islands state history
+# ---------------------------------------------------------------------------
+
+
+def _scd2_oracle() -> str:
+    return """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(brk) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS version
+      FROM ordered
+    ), grouped AS (
+      SELECT user_id, CAST(version AS INT) AS version,
+             MIN(event_type) AS state,
+             MIN(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current,
+           n_events
+    FROM grouped
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+    ORDER BY user_id, version
+    """
+
+
+@register("scd2_user_state", _scd2_oracle())
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (Kimball SCD2) from the
+    event stream: collapse each user's consecutive same-event_type runs
+    into versioned validity intervals — [valid_from, valid_to) with an
+    open-ended is_current row — the standard warehouse dimension-history
+    operator (the reference's warehouse surface stops at ingest; this is
+    the canonical downstream consumer shape). Gaps-and-islands: a break
+    flag via lag over (user_id; ts, event_id), a running SUM of breaks
+    numbers the runs, a group-by collapses them, and lead(valid_from)
+    closes each interval.
+
+    Scale shape: ONE hash exchange on user_id serves all three compute
+    steps — both window functions and the (user_id, version) aggregation
+    are partitioned by the same key, so Catalyst plans lag ->
+    running-sum -> agg -> lead on a single shuffle; the only other
+    exchange is the presentation orderBy's range partitioning (both
+    pinned in tests/test_plan_shapes.py). Event time-ordering within a
+    user is a sort within partitions, never global."""
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_u.rowsBetween(Window.unboundedPreceding, 0)
+    prev = F.lag("event_type").over(w_u)
+    brk = F.when(
+        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("brk", brk)
+        .withColumn("version", F.sum("brk").over(w_run).cast("int"))
+    )
+    grouped = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_v = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(w_v)
+    out = (
+        grouped.select(
+            "user_id", "version", "state", "valid_from",
+            nxt.alias("valid_to"),
+            F.when(nxt.isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+    return out

@@ -51,6 +51,14 @@ def read_table(spark: SparkSession, path: str | list[str]) -> DataFrame:
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(*paths)
+    # pyarrow reports INT96 timestamps as ns too, but Spark decodes
+    # INT96 natively to TIMESTAMP — only true int64-nano columns
+    # surface as LongType (via nanosAsLong) and need the convert
+    longs = {f.name for f in df.schema.fields
+             if f.dataType.simpleString() == "bigint"}
     for c in nanos:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if c in longs:
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
+            )
     return df
