@@ -42,6 +42,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (the identical DuckDB compare).
 _DRIVER_PRIORITY = [
     # new in r10 — grade first
+    "basket_lift_pairs",
+    "setjoin_prefix_jaccard",
+    "attribution_linear_touch",
     "textrank_keywords",
     "kn_bigram_lm",
     "scd2_user_state",

@@ -441,3 +441,42 @@ def test_scd2_single_compute_exchange(spark):
     assert n_exchanges(plan) <= 2, plan[:1500]
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) >= 1
     assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+
+
+def test_basket_lift_single_scan_cached_baskets(spark):
+    """basket_lift_pairs (r10): the distinct basket table is cached and
+    feeds all four readers (both self-join sides, item counts, basket
+    total) — lineitem is scanned ONCE; item counts and the one-row
+    total ride broadcasts; no cartesian legs."""
+    plan = plan_of(spark, "basket_lift_pairs")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 4
+    assert n_exchanges(plan) <= 8
+
+
+def test_setjoin_single_scan_no_cartesian(spark):
+    """setjoin_prefix_jaccard (r10): the distinct shingle-set table is
+    cached (ONE corpus scan feeds df ranking, prefixes, both verify
+    posting lists, and sizes); candidate generation and verification
+    are all equi-joins — a naive exact set-similarity join would be a
+    CartesianProduct, the prefix filter keeps it out of the plan."""
+    plan = plan_of(spark, "setjoin_prefix_jaccard")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 5
+    assert n_exchanges(plan) <= 10
+
+
+def test_attribution_single_scan_one_window(spark):
+    """attribution_linear_touch (r10): events is scanned ONCE (pruned
+    5-column base cached, purchases and touches both derive from it);
+    the per-purchase touch count is ONE purchase_id window, not a
+    second join; the attributed-pairs cache serves both the rollup and
+    the unattributed anti-join."""
+    plan = plan_of(spark, "attribution_linear_touch")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 3
+    assert n_exchanges(plan) <= 8

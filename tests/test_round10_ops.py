@@ -240,3 +240,95 @@ def test_scd2_runs_collapse_and_intervals_chain(spark):
     assert all(r["is_current"] == 0 for r in u1[:-1])
     u2 = [r for r in out if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"] == 1
+
+
+def test_basket_lift_planted_orders(spark, tmp_path):
+    """A part pair that always co-occurs ranks above pairs involving a
+    ubiquitous part, with exact fixed-point lift/confidence/support;
+    single-co-occurrence pairs are pruned by the min-co filter."""
+    rows = []
+    for ok in range(1, 7):  # orders 1-6: parts 10+20 together, plus 30
+        rows += [(ok, 10), (ok, 20), (ok, 30)]
+    for i, ok in enumerate(range(7, 13)):  # 30 + a one-off singleton
+        rows += [(ok, 30), (ok, 40 + i)]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(rows, "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/lineitem.parquet")
+    out = Q.basket_lift_pairs(spark, d).collect()
+    # singleton pairs (30, 40+i) have n_ab = 1 -> pruned
+    assert {(r["part_a"], r["part_b"]) for r in out} == {
+        (10, 20), (10, 30), (20, 30)
+    }
+    top = out[0]
+    # lift(10,20) = N * n_ab / (n_a * n_b) = 12*6/36 = 2.0 exactly
+    assert (top["part_a"], top["part_b"]) == (10, 20)
+    assert top["n_ab"] == 6 and top["n_a"] == 6 and top["n_b"] == 6
+    assert top["lift_scaled"] == 2 * Q.BASKET_SCALE
+    assert top["conf_ab_scaled"] == Q.BASKET_SCALE  # 6/6
+    assert top["support_scaled"] == Q.BASKET_SCALE // 2  # 6/12
+    # pairs with the ubiquitous part: lift exactly 1.0, ranked after
+    for r in out[1:]:
+        assert r["lift_scaled"] == Q.BASKET_SCALE
+        assert r["n_b"] == 12  # part 30 in every order
+
+
+def test_setjoin_prefix_finds_only_true_near_dup(spark, tmp_path):
+    """One-token-edit docs share 5 of 7 3-shingles (J = 5/7 >= 3/5) and
+    are the ONLY emitted pair, with exact intersection and fixed-point
+    Jaccard; a doc sharing one COMMON shingle with doc 1 is not even a
+    candidate because df-ascending prefixes hold its rarest shingles."""
+    rows = [
+        (1, "a b c d e f g h", "en"),
+        (2, "a b c d e f g x", "en"),
+        (3, "p q r s t u v w", "en"),
+        (4, "a b c z1 z2 z3 z4 z5", "en"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = Q.setjoin_prefix_jaccard(spark, sf).collect()
+    assert [(r["a"], r["b"]) for r in out] == [(1, 2)]
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (6, 6, 5)
+    assert r["jacc_scaled"] == 5 * Q.SSJ_SCALE // 7
+
+
+def test_attribution_linear_credit_split(spark, tmp_path):
+    """Each purchase's value splits equally across its window touches
+    (integer cents, floored); strict-before and 7-day bounds hold; un-
+    touched purchases land in the reconciling '(unattributed)' bucket."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    evs = [
+        # user 1: view + click, then TWO purchases (both see both touches)
+        (0, t0, 1, "view", 1.0, "{}"),
+        (1, t0 + m, 1, "click", 1.0, "{}"),
+        (2, t0 + 5 * m, 1, "purchase", 1.0, "{}"),   # 10000 -> 5000 each
+        (3, t0 + 10 * m, 1, "purchase", 3.0, "{}"),  # 30000 -> 15000 each
+        # user 2: no touches -> unattributed
+        (4, t0, 2, "purchase", 7.0, "{}"),
+        # user 3: touch 8 days earlier -> outside window -> unattributed
+        (5, t0 - dt.timedelta(days=8), 3, "view", 1.0, "{}"),
+        (6, t0, 3, "purchase", 2.0, "{}"),
+        # user 4: touch exactly AT purchase ts -> strict < excludes it
+        (7, t0, 4, "view", 1.0, "{}"),
+        (8, t0, 4, "purchase", 5.0, "{}"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["touch_type"]: r.asDict() for r in
+           Q.attribution_linear_touch(spark, d).collect()}
+    assert set(out) == {"view", "click", "(unattributed)"}
+    for t in ("view", "click"):
+        assert out[t]["n_touches"] == 2
+        assert out[t]["n_purchases"] == 2
+        assert out[t]["credit_cents"] == 5000 + 15000
+    un = out["(unattributed)"]
+    assert un["n_purchases"] == 3
+    assert un["credit_cents"] == 70000 + 20000 + 50000
+    assert un["credit_usd"] == 14.0

@@ -7245,3 +7245,413 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "version")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# r10: market-basket association rules — support / confidence / lift
+# ---------------------------------------------------------------------------
+
+BASKET_SCALE = 10**6
+BASKET_MIN_CO = 2  # min co-occurrence count (classic min-support prune)
+BASKET_TOPK = 30
+
+
+def _basket_oracle() -> str:
+    s = BASKET_SCALE
+    return f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), itm AS (
+      SELECT pk, CAST(count(*) AS BIGINT) AS n1 FROM b GROUP BY pk
+    ), tot AS (
+      SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b
+    ), pairs AS (
+      SELECT a.pk AS part_a, c.pk AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_CO}
+    ), scored AS (
+      SELECT part_a, part_b, n_ab, ia.n1 AS n_a, ib.n1 AS n_b,
+             CAST(({s} * n_ab * t.n_orders) // (ia.n1 * ib.n1) AS BIGINT)
+               AS lift_scaled,
+             CAST(({s} * n_ab) // ia.n1 AS BIGINT) AS conf_ab_scaled,
+             CAST(({s} * n_ab) // t.n_orders AS BIGINT) AS support_scaled
+      FROM pairs
+      JOIN itm ia ON ia.pk = part_a
+      JOIN itm ib ON ib.pk = part_b
+      CROSS JOIN tot t
+    )
+    SELECT part_a, part_b, n_ab, n_a, n_b, lift_scaled, conf_ab_scaled,
+           support_scaled, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        ORDER BY lift_scaled DESC, part_a, part_b) AS INT) AS rank
+      FROM scored
+    )
+    WHERE rank <= {BASKET_TOPK}
+    ORDER BY rank
+    """
+
+
+@register("basket_lift_pairs", _basket_oracle())
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant's support/
+    confidence frame) over order baskets: co-occurring part pairs with
+    support, confidence and lift, min-co-count pruned, top-k by lift —
+    the classic retail-OLAP co-occurrence operator the registry lacked.
+    All three measures are integer floor-divs in 10^6 fixed point
+    (counts are exact BIGINTs), so the ranking hash-matches DuckDB.
+
+    Scale shape: baskets = DISTINCT (order, part) — ONE shuffle, cached
+    and reused by all four readers (pair join both sides, item counts,
+    basket total), so lineitem is scanned once. The pair generator
+    self-joins the SAME cached exchange on ok (Catalyst plans a
+    ReusedExchange for the second side — zero extra shuffle) and
+    fan-out is bounded by basket size (TPC-H <= 7 items/order; real
+    deployments cap or sample oversized baskets first). Item counts and
+    the one-row total ride broadcasts into the scored join, and the
+    min-co filter runs ON the aggregated pair counts before any join,
+    so only repeat pairs reach scoring. Reference has no query surface;
+    this extends §2.J's OLAP analytics alongside cube/rollup."""
+    s = BASKET_SCALE
+    li = load(spark, sf_dir, "lineitem")
+    b = D.cache_acquire(
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        ).distinct()
+    )
+    itm = b.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    tot = b.agg(F.count_distinct("ok").cast("long").alias("n_orders"))
+    pairs = (
+        b.select("ok", F.col("pk").alias("part_a"))
+        .join(b.select("ok", F.col("pk").alias("part_b")), "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_CO)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(
+                itm.select(F.col("pk").alias("part_a"), F.col("n1").alias("n_a"))
+            ),
+            "part_a",
+        )
+        .join(
+            F.broadcast(
+                itm.select(F.col("pk").alias("part_b"), F.col("n1").alias("n_b"))
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            F.expr(f"({s} * n_ab * n_orders) DIV (n_a * n_b)")
+            .cast("long")
+            .alias("lift_scaled"),
+            F.expr(f"({s} * n_ab) DIV n_a").cast("long").alias("conf_ab_scaled"),
+            F.expr(f"({s} * n_ab) DIV n_orders")
+            .cast("long")
+            .alias("support_scaled"),
+        )
+    )
+    w = Window.orderBy(F.col("lift_scaled").desc(), "part_a", "part_b")
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BASKET_TOPK)
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b", "lift_scaled",
+            "conf_ab_scaled", "support_scaled", "rank",
+        )
+        .orderBy("rank")
+    )
+    out = D._unpersist_on_gc(out, b)
+    D.cache_release(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r10: exact set-similarity self-join with AllPairs prefix filtering
+# ---------------------------------------------------------------------------
+
+SSJ_TAU_NUM, SSJ_TAU_DEN = 3, 5  # Jaccard threshold tau = 3/5
+SSJ_SCALE = 10**6
+
+
+def _ssjoin_oracle() -> str:
+    t = f"list_filter(string_split_regex(text, '{TX.TOKEN_WS}'), x -> x != '')"
+    k = D.SHINGLE_K
+    parts = " || ' ' || ".join(f"t[i+{off}]" for off in range(k))
+    num, den = SSJ_TAU_NUM, SSJ_TAU_DEN
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, text AS txt, {t} AS t FROM documents
+    ), shl AS (
+      SELECT doc_id, CASE WHEN len(t) >= {k} THEN
+        list_transform(range(1, len(t) - {k - 2}), i -> {parts})
+        ELSE [txt] END AS sh FROM tk
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS tok FROM shl
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY tok
+    ), sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), ranked AS (
+      SELECT s.doc_id, s.tok,
+             row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY d.df, s.tok) AS rn,
+             count(*) OVER (PARTITION BY s.doc_id) AS n
+      FROM sh s JOIN dfreq d ON d.tok = s.tok
+    ), pfx AS (
+      SELECT doc_id, tok FROM ranked
+      WHERE rn <= n - (({num} * n + {den - 1}) // {den}) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ), inter AS (
+      SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.a
+      JOIN sh tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+      GROUP BY c.a, c.b
+    )
+    SELECT a, b, n_a, n_b, n_common, jacc_scaled
+    FROM (
+      SELECT i.a, i.b, za.n AS n_a, zb.n AS n_b, i.i AS n_common,
+             CAST(({SSJ_SCALE} * i.i) // (za.n + zb.n - i.i) AS BIGINT)
+               AS jacc_scaled
+      FROM inter i
+      JOIN sz za ON za.doc_id = i.a
+      JOIN sz zb ON zb.doc_id = i.b
+      WHERE {den} * i.i >= {num} * (za.n + zb.n - i.i)
+    )
+    ORDER BY jacc_scaled DESC, a, b
+    """
+
+
+@register("setjoin_prefix_jaccard", _ssjoin_oracle())
+def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard set-similarity self-join at tau = 3/5 over word
+    3-shingle sets (same shingling as the MinHash family — this is the
+    exact counterpart to near_dup_minhash_lsh's estimator) with AllPairs
+    prefix filtering (Bayardo, Ma & Srikant 2007; PPJoin's base filter):
+    order each doc's shingles by ascending global document frequency
+    (rarest first, ties by shingle), keep only the first
+    |s| - ceil(tau*|s|) + 1 as the prefix, and generate candidates ONLY
+    from docs sharing a prefix shingle — the prefix theorem guarantees
+    every pair with J >= tau shares one, and df-ascending order makes
+    prefixes the RAREST shingles, so candidate buckets stay tiny on
+    templated corpora (the hot-shingle problem LSH banding solves
+    probabilistically, solved exactly). ceil and the threshold test are
+    integer forms — rn <= n - ((3n+4) // 5) + 1 and 5*i >= 3*(na+nb-i)
+    — and the reported similarity is a 10^6 fixed-point floor-div, so
+    the whole join hash-matches DuckDB.
+
+    Scale shape: the shingle-set table is cached (ONE corpus scan feeds
+    its five readers); df ranking is a shuffle join on shingle followed
+    by ONE doc_id window exchange computing rn AND n together;
+    candidates shuffle on prefix-shingle then dedupe on the pair; the
+    verify stage joins posting lists pair-keyed. Nothing broadcasts
+    by hint — df and size tables are corpus-vocab/doc sized, so AQE
+    decides at runtime (broadcasting them by hand would OOM the driver
+    at 100 TB)."""
+    num, den = SSJ_TAU_NUM, SSJ_TAU_DEN
+    d = widen(spark, sf_dir, "documents")
+    sh = D.cache_acquire(
+        d.select(
+            "doc_id", F.explode(D.shingles(F.col("text"))).alias("tok")
+        ).distinct()
+    )
+    dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "tok")
+        .select(
+            "doc_id", "tok",
+            F.row_number()
+            .over(w_doc.orderBy("df", "tok"))
+            .alias("rn"),
+            F.count(F.lit(1)).over(w_doc).alias("n"),
+        )
+    )
+    pfx = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + 1
+    ).select("doc_id", "tok")
+    cand = (
+        pfx.select(F.col("doc_id").alias("a"), "tok")
+        .join(pfx.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("a"), "tok"), "a"
+        )
+        .join(sh.select(F.col("doc_id").alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    out = (
+        inter.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b")), "b")
+        .filter(
+            F.lit(den) * F.col("i")
+            >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("i"))
+        )
+        .select(
+            "a", "b", "n_a", "n_b",
+            F.col("i").alias("n_common"),
+            F.expr(f"({SSJ_SCALE} * i) DIV (n_a + n_b - i)")
+            .cast("long")
+            .alias("jacc_scaled"),
+        )
+        .orderBy(F.col("jacc_scaled").desc(), "a", "b")
+    )
+    out = D._unpersist_on_gc(out, sh)
+    D.cache_release(sh)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r10: linear multi-touch attribution — windowed credit assignment
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+ATTR_CENTS = 10**4  # fixed-point unit for purchase value (1/100 cent)
+
+
+def _attribution_oracle() -> str:
+    c = ATTR_CENTS
+    return f"""
+    WITH pur AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(floor(value * {c}) AS BIGINT) AS v_cents
+      FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+      SELECT user_id, ts, event_type AS touch_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT p.purchase_id, p.v_cents, t.touch_type,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM pur p JOIN tch t ON t.user_id = p.user_id
+        AND t.ts < p.ts
+        AND t.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ), att AS (
+      SELECT touch_type,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+             CAST(sum(v_cents // n) AS BIGINT) AS credit_cents
+      FROM pairs GROUP BY touch_type
+    ), un AS (
+      SELECT '(unattributed)' AS touch_type,
+             CAST(0 AS BIGINT) AS n_touches,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(coalesce(sum(v_cents), 0) AS BIGINT) AS credit_cents
+      FROM pur
+      WHERE purchase_id NOT IN (SELECT purchase_id FROM pairs)
+    )
+    SELECT touch_type, n_touches, n_purchases, credit_cents,
+           CAST(credit_cents AS DOUBLE) / {c} AS credit_usd
+    FROM (SELECT * FROM att UNION ALL SELECT * FROM un)
+    ORDER BY credit_cents DESC, touch_type
+    """
+
+
+@register("attribution_linear_touch", _attribution_oracle())
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits its value
+    equally across the same user's view/click touches in the preceding
+    ATTR_WINDOW_DAYS, credit rolls up per touch type, and purchases with
+    no qualifying touch land in an explicit '(unattributed)' bucket so
+    total credited value reconciles against revenue — the standard
+    marketing-attribution operator (asof_latest_order_per_event is the
+    LAST-touch point lookup; this is the distributive multi-touch form).
+    Purchase value enters fixed point as floor(value * 10^4) — floor of
+    the SAME IEEE double product in both engines — and each touch's
+    share is an integer floor-div v_cents // n, so credit sums are exact
+    BIGINTs and hash-match DuckDB.
+
+    Scale shape: events is scanned ONCE — the pruned+filtered base
+    (5 columns, 3 event types) is cached and both join sides derive
+    from it. The touch window is a user-keyed equi-join with the time
+    range as a residual predicate — state per key is bounded by one
+    user's 7-day activity, and a hot user splits under AQE skew
+    handling because nothing downstream needs per-user ordering. The
+    per-purchase touch count rides ONE purchase_id window exchange (no
+    second join against a counts table); the attributed pair table is
+    cached too, so the rollup and the unattributed left-anti remainder
+    share it instead of re-running the join; the rollup groups on the
+    tiny touch_type key (AQE decides join strategies — nothing is
+    hand-broadcast)."""
+    c = ATTR_CENTS
+    e = load(spark, sf_dir, "events")
+    base = D.cache_acquire(
+        e.filter(
+            F.col("event_type").isin("purchase", "view", "click")
+        ).select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    pur = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id", "ts",
+        F.floor(F.col("value") * F.lit(c)).cast("long").alias("v_cents"),
+    )
+    tch = base.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = D.cache_acquire(
+        pur.join(tch, "user_id")
+        .filter(
+            (F.col("tts") < F.col("ts"))
+            & (
+                F.col("tts")
+                >= F.expr(f"ts - INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+            )
+        )
+        .select(
+            "purchase_id", "v_cents", "touch_type",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("purchase_id"))
+            .alias("n"),
+        )
+    )
+    att = pairs.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.count_distinct("purchase_id").cast("long").alias("n_purchases"),
+        F.sum(F.expr("v_cents DIV n")).cast("long").alias("credit_cents"),
+    )
+    un = (
+        pur.join(
+            pairs.select("purchase_id").distinct(), "purchase_id", "left_anti"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.coalesce(F.sum("v_cents"), F.lit(0))
+            .cast("long")
+            .alias("credit_cents"),
+        )
+        .select(
+            F.lit("(unattributed)").alias("touch_type"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_purchases", "credit_cents",
+        )
+    )
+    out = (
+        att.unionByName(un)
+        .select(
+            "touch_type", "n_touches", "n_purchases", "credit_cents",
+            (F.col("credit_cents").cast("double") / F.lit(c)).alias(
+                "credit_usd"
+            ),
+        )
+        .orderBy(F.col("credit_cents").desc(), "touch_type")
+    )
+    out = D._unpersist_on_gc(out, base, pairs)
+    D.cache_release(base)
+    D.cache_release(pairs)
+    return out
