@@ -7448,23 +7448,36 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and the reported similarity is a 10^6 fixed-point floor-div, so
     the whole join hash-matches DuckDB.
 
-    Scale shape: the shingle-set table is cached (ONE corpus scan feeds
-    its five readers); df ranking is a shuffle join on shingle followed
-    by ONE doc_id window exchange computing rn AND n together;
+    Scale shape: per-doc sets dedupe IN the scan task (array_distinct —
+    a global DISTINCT would shuffle the exploded corpus to dedupe rows
+    already co-partitioned by doc) and the per-doc sorted set ARRAY is
+    cached (ONE corpus scan feeds its four readers); df ranking is a
+    shuffle join on shingle followed by ONE doc_id window exchange
+    computing rn AND n together;
     candidates shuffle on prefix-shingle then dedupe on the pair; the
-    verify stage joins posting lists pair-keyed. Nothing broadcasts
-    by hint — df and size tables are corpus-vocab/doc sized, so AQE
-    decides at runtime (broadcasting them by hand would OOM the driver
-    at 100 TB)."""
+    verify stage joins each candidate pair against the two collected
+    set ARRAYS (doc-bounded) and intersects per pair in-task — a
+    posting-list re-explode would shuffle |cand| x |set| rows, this
+    shuffles |cand|. Nothing broadcasts by hint — df and set tables are
+    corpus-vocab/doc sized, so AQE decides at runtime (broadcasting
+    them by hand would OOM the driver at 100 TB)."""
     num, den = SSJ_TAU_NUM, SSJ_TAU_DEN
     d = widen(spark, sf_dir, "documents")
-    sh = D.cache_acquire(
+    # per-doc set dedup is array_distinct IN the scan task — a global
+    # DISTINCT on (doc_id, shingle) would shuffle the whole exploded
+    # corpus just to dedupe rows that already share a partition (it was
+    # the dominant stage measured at sf0.1); the cached base holds one
+    # sorted set array per doc and feeds every downstream reader
+    base = D.cache_acquire(
         d.select(
-            "doc_id", F.explode(D.shingles(F.col("text"))).alias("tok")
-        ).distinct()
+            "doc_id",
+            F.sort_array(
+                F.array_distinct(D.shingles(F.col("text")))
+            ).alias("s"),
+        )
     )
+    sh = base.select("doc_id", F.explode("s").alias("tok"))
     dfreq = sh.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     w_doc = Window.partitionBy("doc_id")
     ranked = (
         sh.join(dfreq, "tok")
@@ -7487,18 +7500,29 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
+    # verify per candidate PAIR against the two cached set ARRAYS
+    # instead of re-exploding posting lists through a shuffle: a
+    # candidate x posting-list join materializes |cand| * |set| rows;
+    # set sizes are doc-bounded, so size(array_intersect) is O(|set|)
+    # JVM work per pair with no extra exchange — and it carries n free
     inter = (
         cand.join(
-            sh.select(F.col("doc_id").alias("a"), "tok"), "a"
+            base.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")),
+            "a",
         )
-        .join(sh.select(F.col("doc_id").alias("b"), "tok"), ["b", "tok"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+        .join(
+            base.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")),
+            "b",
+        )
+        .select(
+            "a", "b",
+            F.size("sa").cast("long").alias("n_a"),
+            F.size("sb").cast("long").alias("n_b"),
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("i"),
+        )
     )
     out = (
-        inter.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("n_a")), "a")
-        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("n_b")), "b")
-        .filter(
+        inter.filter(
             F.lit(den) * F.col("i")
             >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("i"))
         )
@@ -7511,8 +7535,8 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jacc_scaled").desc(), "a", "b")
     )
-    out = D._unpersist_on_gc(out, sh)
-    D.cache_release(sh)
+    out = D._unpersist_on_gc(out, base)
+    D.cache_release(base)
     return out
 
 
