@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_oracle_parity.py (the identical DuckDB compare).
 _DRIVER_PRIORITY = [
     # new in r10 — grade first
+    "profile_orders",
+    "events_grouping_sets",
     "basket_lift_pairs",
     "setjoin_prefix_jaccard",
     "attribution_linear_touch",

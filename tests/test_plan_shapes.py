@@ -480,3 +480,24 @@ def test_attribution_single_scan_one_window(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 3
     assert n_exchanges(plan) <= 8
+
+
+def test_profile_single_scan_expand_agg(spark):
+    """profile_orders (r10): one parquet scan, the 6-way distinct
+    profile is ONE Expand-based aggregate (single shuffle of partial
+    aggregates), and the per-column unpivot explodes the single
+    aggregated row — no per-column re-scans, no join."""
+    plan = plan_of(spark, "profile_orders")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert n_exchanges(plan) <= 3
+
+
+def test_grouping_sets_single_pass(spark):
+    """events_grouping_sets (r10): the three sets share ONE Expand +
+    aggregate over a single scan — not three unioned aggregations."""
+    plan = plan_of(spark, "events_grouping_sets")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+    assert "Union" not in plan

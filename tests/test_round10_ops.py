@@ -332,3 +332,66 @@ def test_attribution_linear_credit_split(spark, tmp_path):
     assert un["n_purchases"] == 3
     assert un["credit_cents"] == 70000 + 20000 + 50000
     assert un["credit_usd"] == 14.0
+
+
+def test_profile_orders_planted_stats(spark, tmp_path):
+    """Planted orders table: exact null/distinct counts per column,
+    BIGINT/VARCHAR bounds stringified, DOUBLE/TIMESTAMP bounds NULL."""
+    import datetime as dt
+
+    rows = [
+        (1, 10, "O", 5.5, dt.datetime(2024, 1, 1), "1-URGENT"),
+        (2, 10, "F", 7.5, dt.datetime(2024, 1, 2), None),
+        (3, None, "O", None, None, "2-HIGH"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = {r["col_name"]: r.asDict() for r in
+           Q.profile_orders(spark, d).collect()}
+    assert len(out) == 6 and all(r["n_rows"] == 3 for r in out.values())
+    ck = out["o_custkey"]
+    assert (ck["n_nulls"], ck["n_distinct"]) == (1, 1)
+    assert (ck["min_str"], ck["max_str"]) == ("10", "10")
+    st = out["o_orderstatus"]
+    assert (st["n_nulls"], st["n_distinct"]) == (0, 2)
+    assert (st["min_str"], st["max_str"]) == ("F", "O")
+    tp = out["o_totalprice"]
+    assert (tp["n_nulls"], tp["n_distinct"]) == (1, 2)
+    assert tp["min_str"] is None and tp["max_str"] is None
+    assert out["o_orderpriority"]["n_nulls"] == 1
+
+
+def test_grouping_sets_members_and_grand_total(spark, tmp_path):
+    """Three grouping sets in one pass: gid 1 = per-type, gid 2 =
+    per-hour, gid 3 = grand total; member sums reconcile to the total."""
+    import datetime as dt
+
+    evs = [
+        (0, dt.datetime(2024, 1, 1, 10, 5), 1, "view", 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 10, 35), 1, "click", 2.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11, 5), 2, "view", 4.0, "{}"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = Q.events_grouping_sets(spark, d).collect()
+    by_gid = {}
+    for r in out:
+        by_gid.setdefault(r["gid"], []).append(r)
+    assert set(by_gid) == {1, 2, 3}
+    types = {r["etype"]: (r["n"], r["sum_value"]) for r in by_gid[1]}
+    assert types == {"view": (2, 5.0), "click": (1, 2.0)}
+    hours = {r["hr"]: r["n"] for r in by_gid[2]}
+    assert hours == {10: 2, 11: 1}
+    (g,) = by_gid[3]
+    assert (g["etype"], g["hr"], g["n"], g["sum_value"]) == (
+        "(all)", -1, 3, 7.0
+    )

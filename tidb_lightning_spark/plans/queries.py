@@ -7679,3 +7679,142 @@ def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.cache_release(base)
     D.cache_release(pairs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r10: table profiling — ANALYZE-style per-column statistics
+# ---------------------------------------------------------------------------
+
+# (column, whether min/max are cross-engine-stable as strings): BIGINT
+# stringifies identically in both engines, VARCHAR is verbatim; DOUBLE
+# and TIMESTAMP stringification is engine-specific, so their min/max are
+# profiled as NULL (their null/distinct counts are still exact)
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", True),
+    ("o_totalprice", False),
+    ("o_orderdate", False),
+    ("o_orderpriority", True),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, mm in _PROFILE_COLS:
+        mn = f"CAST(min({c}) AS VARCHAR)" if mm else "NULL"
+        mx = f"CAST(max({c}) AS VARCHAR)" if mm else "NULL"
+        parts.append(f"""
+      SELECT '{c}' AS col_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             {mn} AS min_str, {mx} AS max_str
+      FROM orders""")
+    u = " UNION ALL ".join(parts)
+    return f"SELECT * FROM ({u}) ORDER BY col_name"
+
+
+@register("profile_orders", _profile_oracle())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of a table: per column, row count,
+    null count, EXACT distinct count, and min/max (stringified only for
+    types whose text form is engine-stable — BIGINT/VARCHAR; DOUBLE and
+    TIMESTAMP stringification differs between engines, so their bounds
+    profile as NULL while null/distinct stay exact). This is the query
+    face of the pipeline's post-import ANALYZE step (SURVEY §2.L3 —
+    reference runs ANALYZE TABLE after import, restore.go; our files
+    sink already persists these stats, files_sink.py:262).
+
+    Scale shape: ONE scan, one aggregate — the multi-distinct agg plans
+    as Catalyst's Expand (6 distinct branches share a single two-phase
+    aggregation; map-side partials shrink each branch to its distinct
+    values, so the shuffle carries ~sum-of-distincts, not 6x the rows).
+    The unpivot to one-row-per-column happens on the SINGLE aggregated
+    row (explode of a 6-element struct array — driver-trivial). At 100
+    TB you would swap count_distinct for approx_count_distinct and keep
+    the identical plan shape; exact is kept here so the profile is
+    oracle-checkable."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c, mm in _PROFILE_COLS:
+        aggs.append(F.count(c).cast("long").alias(f"cnt__{c}"))
+        aggs.append(F.count_distinct(c).cast("long").alias(f"nd__{c}"))
+        if mm:
+            aggs.append(F.min(c).cast("string").alias(f"mn__{c}"))
+            aggs.append(F.max(c).cast("string").alias(f"mx__{c}"))
+    one = o.agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt__{c}")).alias("n_nulls"),
+            F.col(f"nd__{c}").alias("n_distinct"),
+            (F.col(f"mn__{c}") if mm else F.lit(None).cast("string")).alias(
+                "min_str"
+            ),
+            (F.col(f"mx__{c}") if mm else F.lit(None).cast("string")).alias(
+                "max_str"
+            ),
+        )
+        for c, mm in _PROFILE_COLS
+    ]
+    return (
+        one.select(F.explode(F.array(*entries)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r10: GROUPING SETS — the explicit-sets grouping surface
+# ---------------------------------------------------------------------------
+
+
+def _grouping_sets_oracle() -> str:
+    return """
+    SELECT coalesce(event_type, '(all)') AS etype,
+           coalesce(CAST(hour(ts) AS INT), -1) AS hr,
+           CAST(GROUPING(event_type) * 2 + GROUPING(hour(ts)) AS INT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+    ORDER BY gid, etype, hr
+    """
+
+
+@register("events_grouping_sets", _grouping_sets_oracle())
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the third grouping surface alongside the
+    registry's cube (cube_orders_status_priority) and rollup
+    (rollup_events_daily): per-event-type totals, per-hour totals, and
+    the grand total in ONE pass, disambiguated by the standard
+    grouping-bits id. Sums are decimal-exact then one final cast to
+    double (header contract). Expressed through Spark SQL because
+    GROUPING SETS is a SQL-surface feature (the DataFrame API only
+    exposes cube/rollup); Catalyst plans it as the same Expand +
+    single-shuffle aggregate cube uses — each input row fans to its 2-3
+    member sets map-side, so the shuffle carries partial aggregates per
+    set, never N copies of the table.
+
+    Reference has no query surface (SURVEY §2.J: grouping supplied by
+    Spark)."""
+    e = load(spark, sf_dir, "events")
+    e.createOrReplaceTempView("tls_events_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '(all)') AS etype,
+               coalesce(CAST(hour(ts) AS INT), -1) AS hr,
+               CAST(grouping(event_type) * 2 + grouping(hour(ts)) AS INT)
+                 AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,4)))
+                    AS DECIMAL(38,4)) AS DOUBLE) AS sum_value
+        FROM tls_events_gs
+        GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+        ORDER BY gid, etype, hr
+        """
+    )
