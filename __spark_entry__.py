@@ -35,11 +35,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds old), stalest first, prepending anything whose
 # implementation changed this round. The union of any two consecutive
 # rounds then covers the full registry with no entry older than one
-# round. Current window (r10): queries whose implementation's streaming
-# siblings changed get no special slot (no registry query changed in
-# r10 so far); the 49 below are exactly the registry minus
-# CORRECTNESS_r09's 50 — all last driver-checked in r8, all green in
-# tests/test_oracle_parity.py (the identical DuckDB compare).
+# round. Current window (r10): the 14 NEW r10 operators first, then the
+# registry minus CORRECTNESS_r09's 50 — all last driver-checked in r8,
+# all green in tests/test_oracle_parity.py (the identical DuckDB
+# compare). 14 + 49 > the ~50-slot window, so the ~13 tail names stay
+# at r8 vintage until r11 — with a growing registry the two-round union
+# can no longer cover everything; the rule degrades to "new first, then
+# stalest", which is the right priority order.
 _DRIVER_PRIORITY = [
     # new in r10 — grade first
     "profile_orders",
