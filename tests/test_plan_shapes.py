@@ -501,3 +501,14 @@ def test_grouping_sets_single_pass(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" in plan
     assert "Union" not in plan
+
+
+def test_trailing_window_single_exchange(spark):
+    """events_trailing_1h (r10): the RANGE frame evaluates on ONE
+    user_id hash exchange + in-partition sort; the only other exchange
+    is the presentation orderBy."""
+    plan = plan_of(spark, "events_trailing_1h")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert n_exchanges(plan) <= 2
+    assert "hashpartitioning(user_id" in plan

@@ -395,3 +395,33 @@ def test_grouping_sets_members_and_grand_total(spark, tmp_path):
     assert (g["etype"], g["hr"], g["n"], g["sum_value"]) == (
         "(all)", -1, 3, 7.0
     )
+
+
+def test_trailing_range_frame_peers_and_bounds(spark, tmp_path):
+    """RANGE semantics: equal-timestamp events are frame PEERS (both
+    include both, regardless of event_id order); an event exactly 1h
+    earlier is inside the closed lower bound; 1h+1us is outside."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    h = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    evs = [
+        (0, t0 - h - us, 1, "view", 1.0, "{}"),   # just outside for e3
+        (1, t0 - h, 1, "view", 2.0, "{}"),        # exactly on the bound
+        (2, t0, 1, "view", 4.0, "{}"),            # tied pair...
+        (3, t0, 1, "view", 8.0, "{}"),            # ...peer of e2
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        evs,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = {r["event_id"]: r.asDict() for r in
+           Q.events_trailing_1h(spark, d).collect()}
+    # tied events see each other (RANGE peers) + the on-bound event
+    assert out[2]["n_1h"] == 3 and out[3]["n_1h"] == 3
+    assert out[2]["sum_value_1h"] == out[3]["sum_value_1h"] == 14.0
+    # the 1h+1us event is excluded from their frame but sees only itself
+    assert out[0]["n_1h"] == 1 and out[1]["n_1h"] == 2

@@ -7818,3 +7818,71 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, etype, hr
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: RANGE-frame trailing window — time-interval frames, not row counts
+# ---------------------------------------------------------------------------
+
+TRAIL_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def _trailing_window_oracle() -> str:
+    return f"""
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w
+                AS DECIMAL(38,4)) AS DOUBLE) AS sum_value_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN {TRAIL_US} PRECEDING AND CURRENT ROW
+    )
+    ORDER BY event_id
+    """
+
+
+@register("events_trailing_1h", _trailing_window_oracle())
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity via a RANGE window frame — the
+    time-interval frame class (RANGE over an epoch-microsecond order
+    key) that none of the registry's other windows exercise (they are
+    ROWS frames or unbounded). RANGE is the determinism-correct choice
+    for trailing-time aggregates: events with EQUAL timestamps are
+    frame peers and always aggregate together, so the result is
+    independent of intra-timestamp ordering — a ROWS frame would be
+    nondeterministic under ties and could never hash-match an oracle.
+    Sums are decimal-exact then one final cast to double.
+
+    Scale shape: ONE hash exchange on user_id + an in-partition sort;
+    Spark evaluates the sliding frame with two pointers over the sorted
+    run (O(n) amortized per partition, state bounded by one user's
+    1-hour burst). The presentation orderBy adds the only other
+    exchange. Reference has no window surface (SURVEY §2.J)."""
+    e = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: unix_micros() rejects it and casting through
+    # TIMESTAMP would inject the session timezone (DST makes that a
+    # non-constant shift that could re-shape frames near transitions).
+    # timestampdiff from the NTZ epoch is pure calendar arithmetic —
+    # exactly DuckDB's epoch_us(naive ts)
+    us = F.expr(
+        "timestampdiff(MICROSECOND,"
+        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-TRAIL_US, 0)
+    )
+    return (
+        e.select(
+            "event_id", "user_id", "ts",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .over(w)
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("sum_value_1h"),
+        )
+        .orderBy("event_id")
+    )
