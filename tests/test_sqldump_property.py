@@ -290,3 +290,36 @@ def test_vector_tier_differential_property(rows):
     finally:
         S._SQL_VECTOR = True
     assert got.equals(want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(rows=rows_strategy, n_stmts=st.integers(1, 4))
+def test_vector_tier_multi_statement_noise_differential(rows, n_stmts):
+    """Generated dumps with mysqldump noise BETWEEN statements through
+    _row_frames, vector tier on vs off: identical frames (the vector
+    tier must either skip the noise exactly like the scanner or bail —
+    never mis-attribute rows across statement boundaries)."""
+    from tidb_lightning_spark.sources import sqldump_source as S
+
+    n_cols = len(rows[0])
+    if any(len(r) != n_cols for r in rows):
+        return
+    noise = (
+        "-- mysqldump noise\n/*!40101 SET NAMES utf8mb4 */;\n"
+        "SET @saved_cs_client = @@character_set_client;\n"
+    )
+    text = noise + noise.join(
+        render_insert("t", rows) for _ in range(n_stmts)
+    )
+    S._SQL_VECTOR = True
+    try:
+        got = _frames_concat(S, text, n_cols)
+    finally:
+        S._SQL_VECTOR = True
+    S._SQL_VECTOR = False
+    try:
+        want = _frames_concat(S, text, n_cols)
+    finally:
+        S._SQL_VECTOR = True
+    assert got.equals(want)
+    assert len(got) == n_stmts * len(rows)
