@@ -725,7 +725,13 @@ _VBAD_FIELD = r"^(?i:null|true|false|0b[01]*$)|^(?i:0x)|^[+`\"]"
 
 def _vector_rows_table(content: str, n_columns: int):
     """Whole-chunk strict-grammar parse -> pyarrow Table of n_columns
-    string columns, or None to bail to the scanner tiers."""
+    string columns, or None to bail to the scanner tiers.
+
+    Peak task memory is ~2.5x the chunk text (bodies list + joined blob
+    + Arrow table coexist) — <=160 MB at the 64 MiB chunk cap, a
+    deliberate trade: yielding before the whole chunk validates would
+    break the all-or-nothing bail contract (a mid-chunk bail after a
+    yield would re-emit rows through the scanner)."""
     if not _SQL_VECTOR or "\\" in content or "''" in content:
         return None
     bodies: list[str] = []
