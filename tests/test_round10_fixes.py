@@ -300,3 +300,26 @@ def test_fresh_checkpoint_against_folded_plain_table_raises(
     fresh = C.TieredCompactor(spark, [tbl], compact_every=2)
     with pytest.raises(IngestError, match="AHEAD"):
         fresh.run(0)
+
+
+def test_cli_sql_explain_prints_plan(spark, tmp_path, capsys):
+    """`cli sql --explain` prints the formatted physical plan (scan +
+    pushed filters visible) and does NOT execute the query."""
+    import os
+
+    from tidb_lightning_spark import cli
+
+    wh = tmp_path / "wh"
+    os.makedirs(wh / "db1" / "t1")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "i long, s string"
+    ).write.mode("overwrite").parquet(str(wh / "db1" / "t1"))
+    rc = cli.main([
+        "sql", "--target", str(wh), "--explain",
+        "SELECT s FROM `db1.t1` WHERE i > 1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Scan parquet" in out
+    assert "PushedFilters" in out and "GreaterThan(i,1)" in out
+    assert "ReadSchema" in out

@@ -118,6 +118,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--format", choices=["json", "csv", "table"], default="table")
     q.add_argument("--limit", type=int, default=1000,
                    help="max rows printed (the plan itself is unlimited)")
+    q.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plan (pushed "
+                        "filters, join strategies, exchanges) instead "
+                        "of executing")
 
     st = sub.add_parser(
         "stream",
@@ -520,6 +524,14 @@ def _sql(args) -> int:
         if rewritten == args.query:
             raise
         out = spark.sql(rewritten)
+    if args.explain:
+        # same ExplainMode the plan-shape tests assert against — shows
+        # PushedFilters / ReadSchema / join strategies / Exchange count
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        print(out._jdf.queryExecution().explainString(mode))
+        return 0
     rows = out.limit(args.limit).collect()
     if args.format == "json":
         for r in rows:
