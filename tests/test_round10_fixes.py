@@ -323,3 +323,68 @@ def test_cli_sql_explain_prints_plan(spark, tmp_path, capsys):
     assert "Scan parquet" in out
     assert "PushedFilters" in out and "GreaterThan(i,1)" in out
     assert "ReadSchema" in out
+
+
+def test_upsert_merges_by_key(spark, tmp_path, capsys):
+    """cli upsert: existing keys take the update's row, new keys insert,
+    untouched rows survive; the key defaults to _tls_meta primary_key;
+    a batch with duplicate keys is rejected (nondeterministic winner)."""
+    import json as _json
+    import os
+
+    from tidb_lightning_spark import cli
+
+    wh = tmp_path / "wh"
+    tdir = wh / "db1" / "t1"
+    os.makedirs(tdir)
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, s string, v double",
+    ).write.mode("overwrite").parquet(str(tdir))
+    with open(tdir / "_tls_meta.json", "w") as f:
+        _json.dump({"primary_key": ["id"], "rows": 3}, f)
+    upd = tmp_path / "updates.parquet"
+    spark.createDataFrame(
+        [(2, "B2", 22.0), (4, "d", 40.0)], "id long, s string, v double"
+    ).write.mode("overwrite").parquet(str(upd))
+
+    rc = cli.main([
+        "upsert", "--target", str(wh), "--table", "db1.t1",
+        "--source", str(upd),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "upserted 2 rows" in out and "key=id" in out
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(str(tdir)).collect()
+    )
+    assert got == [
+        (1, "a", 10.0), (2, "B2", 22.0), (3, "c", 30.0), (4, "d", 40.0)
+    ]
+    # meta survives the swap
+    assert _json.load(open(tdir / "_tls_meta.json"))["primary_key"] == ["id"]
+
+    # duplicate keys in the batch: refused with a remedy, table unchanged
+    dup = tmp_path / "dup.parquet"
+    spark.createDataFrame(
+        [(5, "x", 1.0), (5, "y", 2.0)], "id long, s string, v double"
+    ).write.mode("overwrite").parquet(str(dup))
+    rc = cli.main([
+        "upsert", "--target", str(wh), "--table", "db1.t1",
+        "--source", str(dup),
+    ])
+    assert rc == 1
+    assert "duplicate keys" in capsys.readouterr().err
+    assert spark.read.parquet(str(tdir)).count() == 4
+
+    # schema mismatch: refused
+    bad = tmp_path / "bad.parquet"
+    spark.createDataFrame([(6, "z")], "id long, s string").write.mode(
+        "overwrite"
+    ).parquet(str(bad))
+    rc = cli.main([
+        "upsert", "--target", str(wh), "--table", "db1.t1",
+        "--source", str(bad),
+    ])
+    assert rc == 1
+    assert "schema mismatch" in capsys.readouterr().err

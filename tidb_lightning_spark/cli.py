@@ -177,6 +177,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="print only; don't write _tls_datacard.json")
     rp.add_argument("--log-level", default="INFO")
 
+    up = sub.add_parser(
+        "upsert",
+        help="MERGE a batch of updated rows into an ingested table by "
+             "primary key (copy-on-write, staged-swap atomic): existing "
+             "keys take the update's row, new keys insert",
+    )
+    up.add_argument("--target", required=True, help="warehouse directory")
+    up.add_argument("--table", required=True, metavar="DB.TBL")
+    up.add_argument("--source", required=True,
+                    help="parquet file/dir of update rows (same schema)")
+    up.add_argument("--key", default=None,
+                    help="comma-separated key columns (default: the "
+                         "table's primary key from _tls_meta.json)")
+    up.add_argument("--log-level", default="INFO")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level.upper() if hasattr(args, "log_level") else "INFO",
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
@@ -192,6 +207,8 @@ def main(argv: list[str] | None = None) -> int:
             return _sql(args)
         if args.cmd == "report":
             return _report(args)
+        if args.cmd == "upsert":
+            return _upsert(args)
         if args.cmd == "serve":
             from tidb_lightning_spark.server import serve
 
@@ -915,6 +932,51 @@ def _report(args) -> int:
             json.dump(card, f, indent=2, sort_keys=True, default=str)
     return 0
 
+
+
+
+def _upsert(args) -> int:
+    import json as _json
+
+    from tidb_lightning_spark.pipeline import IngestError
+    from tidb_lightning_spark.session import get_spark
+    from tidb_lightning_spark.sinks.files_sink import FilesSink, upsert_table
+
+    db, _, tbl = args.table.partition(".")
+    if not tbl:
+        print("error: --table must be DB.TBL", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="tls-upsert")
+    spark.sparkContext.setLogLevel("ERROR")
+    path = os.path.join(args.target, db, tbl)
+    fmt = "orc" if os.path.isdir(path) and any(
+        f.endswith(".orc") for f in os.listdir(path)
+    ) else "parquet"
+    sink = FilesSink(args.target, fmt=fmt)
+    meta_path = os.path.join(path, "_tls_meta.json")
+    meta = (
+        _json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    )
+    keys = (
+        [k.strip() for k in args.key.split(",") if k.strip()]
+        if args.key
+        else (meta.get("primary_key") or [])
+    )
+    updates = spark.read.parquet(args.source)
+    n_updates = updates.count()
+    try:
+        commit = upsert_table(sink, updates, db, tbl, keys)
+    except IngestError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+    if meta:
+        sink.write_meta(db, tbl, meta)
+    print(
+        f"upserted {n_updates} rows into `{db}`.`{tbl}` "
+        f"(key={','.join(keys)}): {commit.n_files} files "
+        f"in {commit.seconds:.1f}s"
+    )
+    return 0
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -476,3 +476,77 @@ def write_zordered(
     return sink.write_table(
         out, db, table, sort_columns=None, source_bytes=source_bytes
     )
+
+
+def upsert_table(
+    sink: FilesSink,
+    updates: DataFrame,
+    db: str,
+    table: str,
+    key_columns: list[str],
+) -> CommitResult:
+    """MERGE-by-key into an existing files-backend table, copy-on-write:
+    rows whose key exists take the update's values, new keys insert,
+    untouched rows survive verbatim — the warehouse-side face of the
+    duplicate policies (K4/K4b resolve dups WITHIN one import; this
+    merges a later batch INTO the committed table). Crash-safe via the
+    same staged-swap write_table commit: the merged plan reads the live
+    table while writing to staging, and the atomic rename pair means a
+    crash leaves either the old table or the new one, never a mix.
+
+    Updates must be unique on the key (checked) — a nondeterministic
+    dropDuplicates winner could never be re-derived on retry; callers
+    with multi-version batches pre-reduce (e.g. max-by ingest sequence)
+    before calling.
+
+    Scale shape: ONE anti-join keyed on the PK (both sides hash-
+    partition on the key; the update side is usually broadcast-sized
+    and AQE does so at runtime) + the standard range-partitioned sorted
+    rewrite. Copy-on-write rewrites the whole table — the 100 TB
+    refinement is partition-level COW (prune PK-sorted files whose
+    footer [min,max] intersects no update key and rename them through
+    unchanged), which this layout's sorted, range-split files are
+    already shaped for."""
+    from tidb_lightning_spark.pipeline import IngestError
+
+    final = sink.table_path(db, table)
+    spark = updates.sparkSession
+    if not os.path.isdir(final):
+        return sink.write_table(updates, db, table, key_columns or None)
+    existing = spark.read.format(sink.fmt).load(final)
+    missing = set(existing.columns) ^ set(updates.columns)
+    if missing:
+        raise IngestError(
+            f"upsert schema mismatch on `{db}`.`{table}`: columns "
+            f"{sorted(missing)} not on both sides"
+        )
+    if not key_columns:
+        raise IngestError(
+            f"upsert into `{db}`.`{table}` needs key columns — the table "
+            "has no primary key in _tls_meta.json; pass --key explicitly"
+        )
+    dup = (
+        updates.groupBy(*key_columns)
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise IngestError(
+            "upsert batch has duplicate keys — the merge winner would be "
+            "nondeterministic; pre-reduce the batch to one row per key "
+            "(e.g. max-by ingest sequence) first"
+        )
+    size = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(final)
+        for f in fs
+    )
+    kept = existing.join(
+        updates.select(*key_columns), key_columns, "left_anti"
+    )
+    merged = kept.unionByName(updates.select(*existing.columns))
+    return sink.write_table(
+        merged, db, table, key_columns, source_bytes=size
+    )
