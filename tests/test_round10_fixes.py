@@ -388,3 +388,29 @@ def test_upsert_merges_by_key(spark, tmp_path, capsys):
     ])
     assert rc == 1
     assert "schema mismatch" in capsys.readouterr().err
+
+
+def test_upsert_cdc_deletes(spark, tmp_path):
+    """A `_deleted` marker column makes the batch a full CDC changeset:
+    marked keys are removed, unmarked rows upsert, and the marker never
+    reaches the table."""
+    import json as _json
+    import os
+
+    from tidb_lightning_spark.sinks.files_sink import FilesSink, upsert_table
+
+    wh = tmp_path / "wh"
+    tdir = wh / "db1" / "t1"
+    os.makedirs(tdir)
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    ).write.mode("overwrite").parquet(str(tdir))
+    batch = spark.createDataFrame(
+        [(2, "B2", False), (3, None, True), (4, "d", False)],
+        "id long, s string, _deleted boolean",
+    )
+    sink = FilesSink(str(wh))
+    upsert_table(sink, batch, "db1", "t1", ["id"])
+    got = sorted(tuple(r) for r in spark.read.parquet(str(tdir)).collect())
+    assert got == [(1, "a"), (2, "B2"), (4, "d")]
+    assert "_deleted" not in spark.read.parquet(str(tdir)).columns

@@ -489,7 +489,10 @@ def upsert_table(
     rows whose key exists take the update's values, new keys insert,
     untouched rows survive verbatim — the warehouse-side face of the
     duplicate policies (K4/K4b resolve dups WITHIN one import; this
-    merges a later batch INTO the committed table). Crash-safe via the
+    merges a later batch INTO the committed table). A boolean `_deleted`
+    column makes the batch a full CDC changeset: marked keys are removed
+    instead of replaced (the column never reaches the table). Crash-safe
+    via the
     same staged-swap write_table commit: the merged plan reads the live
     table while writing to staging, and the atomic rename pair means a
     crash leaves either the old table or the new one, never a mix.
@@ -509,12 +512,19 @@ def upsert_table(
     already shaped for."""
     from tidb_lightning_spark.pipeline import IngestError
 
+    from pyspark.sql import functions as F
+
     final = sink.table_path(db, table)
     spark = updates.sparkSession
+    upserts = updates
+    if "_deleted" in updates.columns:
+        upserts = updates.filter(
+            ~F.coalesce(F.col("_deleted").cast("boolean"), F.lit(False))
+        ).drop("_deleted")
     if not os.path.isdir(final):
-        return sink.write_table(updates, db, table, key_columns or None)
+        return sink.write_table(upserts, db, table, key_columns or None)
     existing = spark.read.format(sink.fmt).load(final)
-    missing = set(existing.columns) ^ set(updates.columns)
+    missing = set(existing.columns) ^ (set(updates.columns) - {"_deleted"})
     if missing:
         raise IngestError(
             f"upsert schema mismatch on `{db}`.`{table}`: columns "
@@ -543,10 +553,12 @@ def upsert_table(
         for r, _, fs in os.walk(final)
         for f in fs
     )
+    # anti-join on EVERY changed key (updates and deletes both retire
+    # the old row); only non-deleted rows union back in
     kept = existing.join(
         updates.select(*key_columns), key_columns, "left_anti"
     )
-    merged = kept.unionByName(updates.select(*existing.columns))
+    merged = kept.unionByName(upserts.select(*existing.columns))
     return sink.write_table(
         merged, db, table, key_columns, source_bytes=size
     )
