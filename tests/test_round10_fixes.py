@@ -414,3 +414,75 @@ def test_upsert_cdc_deletes(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(str(tdir)).collect())
     assert got == [(1, "a"), (2, "B2"), (4, "d")]
     assert "_deleted" not in spark.read.parquet(str(tdir)).columns
+
+
+def test_upsert_partition_cow_prunes_clean_files(spark, tmp_path):
+    """Partition-level COW: an upsert touching one range file rewrites
+    ONLY that range — every other file survives as the SAME inode
+    (hardlinked through, never read or rewritten) and the merged table
+    reads back exactly right."""
+    import os
+
+    from tidb_lightning_spark.sinks.files_sink import FilesSink, upsert_table
+
+    wh = tmp_path / "wh"
+    sink = FilesSink(str(wh))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1000)], "id long, s string"
+    )
+    # force several range files
+    sink.write_table(base, "db1", "t1", ["id"], n_ranges=5)
+    tdir = wh / "db1" / "t1"
+    before = {
+        f: os.stat(tdir / f).st_ino
+        for f in os.listdir(tdir)
+        if f.endswith(".parquet")
+    }
+    assert len(before) == 5
+    # one update inside a single file's range + one brand-new key
+    upd = spark.createDataFrame(
+        [(42, "UPDATED"), (5000, "new")], "id long, s string"
+    )
+    upsert_table(sink, upd, "db1", "t1", ["id"])
+    after = {
+        f: os.stat(tdir / f).st_ino
+        for f in os.listdir(tdir)
+        if f.endswith(".parquet")
+    }
+    linked = {f: i for f, i in after.items() if f.startswith("linked-")}
+    # >=3 of the 5 original files survive by inode (the dirty range and
+    # possibly a neighbor rewrite; new-key rows go to the rewritten part)
+    surviving = {
+        f.removeprefix("linked-"): i for f, i in linked.items()
+    }
+    assert len(surviving) >= 3
+    for f, ino in surviving.items():
+        assert before[f] == ino  # same inode: moved by rename, never read
+    got = {r["id"]: r["s"] for r in spark.read.parquet(str(tdir)).collect()}
+    assert len(got) == 1001
+    assert got[42] == "UPDATED" and got[5000] == "new" and got[41] == "v41"
+
+
+def test_upsert_cow_delete_only_batch(spark, tmp_path):
+    """A pure-delete CDC batch through the COW path removes exactly the
+    marked keys and leaves clean range files linked through."""
+    import os
+
+    from tidb_lightning_spark.sinks.files_sink import FilesSink, upsert_table
+
+    wh = tmp_path / "wh"
+    sink = FilesSink(str(wh))
+    base = spark.createDataFrame(
+        [(i, i * 1.5) for i in range(400)], "id long, v double"
+    )
+    sink.write_table(base, "db1", "t2", ["id"], n_ranges=4)
+    tdir = wh / "db1" / "t2"
+    batch = spark.createDataFrame(
+        [(7, None, True)], "id long, v double, _deleted boolean"
+    )
+    upsert_table(sink, batch, "db1", "t2", ["id"])
+    ids = {r["id"] for r in spark.read.parquet(str(tdir)).collect()}
+    assert len(ids) == 399 and 7 not in ids
+    assert any(
+        f.startswith("linked-") for f in os.listdir(tdir)
+    )

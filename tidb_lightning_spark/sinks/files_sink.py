@@ -548,6 +548,11 @@ def upsert_table(
             "nondeterministic; pre-reduce the batch to one row per key "
             "(e.g. max-by ingest sequence) first"
         )
+    cow = _upsert_partition_cow(
+        sink, updates, upserts, existing, db, table, key_columns
+    )
+    if cow is not None:
+        return cow
     size = sum(
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(final)
@@ -562,3 +567,132 @@ def upsert_table(
     return sink.write_table(
         merged, db, table, key_columns, source_bytes=size
     )
+
+
+def _upsert_partition_cow(
+    sink: FilesSink,
+    updates: DataFrame,
+    upserts: DataFrame,
+    existing: DataFrame,
+    db: str,
+    table: str,
+    key_columns: list[str],
+) -> CommitResult | None:
+    """Partition-level copy-on-write: rewrite ONLY the files whose
+    parquet-footer [min,max] range of the leading key column contains
+    some changed key; every untouched file HARDLINKS into the staging
+    dir unread. This is what makes upsert O(changed data) instead of
+    O(table) — at 100 TB a CDC batch touches a handful of 96 MiB
+    range files, and the other million files move by rename.
+
+    Correctness under truncated string statistics: parquet may store
+    widened (truncated) min/max bounds — widening only marks MORE files
+    dirty, never fewer, so pruning stays conservative. Files with
+    missing stats or key nulls are treated as dirty. New keys beyond
+    every dirty range land in the rewritten (sorted) portion — file
+    ranges may then overlap, which no reader requires (footer pruning
+    is per-file); `ctl --compact` restores strict range clustering.
+
+    Returns None to fall back to full COW: non-parquet tables,
+    partitioned dir layouts, unreadable stats, or when every file is
+    dirty anyway."""
+    import pyarrow.parquet as _pq
+    from pyspark.sql import functions as F
+
+    if sink.fmt != "parquet":
+        return None
+    final = sink.table_path(db, table)
+    entries = sorted(os.listdir(final))
+    files = [e for e in entries if e.endswith(".parquet")]
+    if not files or any(
+        os.path.isdir(os.path.join(final, e)) for e in entries
+    ):
+        return None  # partitioned layout (subdirs): full COW handles it
+    k = key_columns[0]
+    ranges: list[tuple[str, object, object]] = []
+    dirty: set[str] = set()
+    for name in files:
+        try:
+            md = _pq.ParquetFile(os.path.join(final, name)).metadata
+            idx = md.schema.names.index(k)
+            lo = hi = None
+            ok = md.num_rows == 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max or st.null_count:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+                ok = True
+            if not ok or lo is None:
+                dirty.add(name)
+            else:
+                ranges.append((name, lo, hi))
+        except Exception:
+            return None
+    if ranges:
+        try:
+            rdf = updates.sparkSession.createDataFrame(
+                ranges, ["__file", "__lo", "__hi"]
+            )
+            hits = (
+                updates.select(F.col(k).alias("__k"))
+                .join(
+                    F.broadcast(rdf),
+                    (F.col("__k") >= F.col("__lo"))
+                    & (F.col("__k") <= F.col("__hi")),
+                )
+                .select("__file")
+                .distinct()
+                .collect()
+            )
+        except Exception:
+            return None  # stats type Spark can't carry/compare: full COW
+        dirty |= {r["__file"] for r in hits}
+    clean = [n for n in files if n not in dirty]
+    if not clean:
+        return None  # nothing to prune: full COW is the same work
+    t0 = time.time()
+    spark = updates.sparkSession
+    cols = existing.columns
+    if dirty:
+        dirty_df = spark.read.parquet(
+            *[os.path.join(final, n) for n in sorted(dirty)]
+        )
+        kept = dirty_df.join(
+            updates.select(*key_columns), key_columns, "left_anti"
+        )
+        merged = kept.unionByName(upserts.select(*cols))
+    else:
+        merged = upserts.select(*cols)
+    staging = final + f"._staging_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    dirty_bytes = sum(
+        os.path.getsize(os.path.join(final, n)) for n in dirty
+    )
+    n = max(1, (dirty_bytes + TARGET_FILE_BYTES - 1) // TARGET_FILE_BYTES)
+    out = merged
+    if n > 1:
+        out = out.repartitionByRange(n, *key_columns)
+    out.sortWithinPartitions(*key_columns).write.mode("overwrite").parquet(
+        staging
+    )
+    # hardlink the pruned files in (collision-proof names: Spark's new
+    # part files never carry the linked- prefix)
+    for name in clean:
+        os.link(
+            os.path.join(final, name),
+            os.path.join(staging, f"linked-{name}"),
+        )
+    # same atomic rename pair as write_table: old aside, staging in,
+    # trash removed last — a crash leaves old or new, never a mix
+    trash = final + f"._trash_{uuid.uuid4().hex[:8]}"
+    os.replace(final, trash)
+    os.replace(staging, final)
+    shutil.rmtree(trash, ignore_errors=True)
+    n_files = sum(
+        1 for f in os.listdir(final) if f.endswith((".parquet", ".orc"))
+    )
+    return CommitResult(final, n_files, None, time.time() - t0)
