@@ -595,7 +595,10 @@ def _upsert_partition_cow(
 
     Returns None to fall back to full COW: non-parquet tables,
     partitioned dir layouts, unreadable stats, or when every file is
-    dirty anyway."""
+    dirty anyway. A Z-ordered table's key ranges overlap heavily, so
+    most files test dirty and the rewrite comes out PK-sorted — run
+    `ctl --zorder` again to restore Morton clustering after upserting
+    such a table."""
     import pyarrow.parquet as _pq
     from pyspark.sql import functions as F
 
