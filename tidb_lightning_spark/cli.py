@@ -4,6 +4,8 @@
         [--config cfg.toml] [--no-schema] [--strict] [--checksum off|optional|required]
     python -m tidb_lightning_spark.cli ctl --checkpoint-dump --target DIR
     python -m tidb_lightning_spark.cli ctl --checkpoint-remove 'db.tbl' --target DIR
+    python -m tidb_lightning_spark.cli sql --target DIR [--explain] 'SELECT ...'
+    python -m tidb_lightning_spark.cli upsert --target DIR --table db.tbl --source updates.parquet
 """
 
 from __future__ import annotations
