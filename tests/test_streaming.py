@@ -322,3 +322,77 @@ def test_cli_stream_table_name_prefix_isolation(spark, tmp_path, capsys):
     ev2 = spark.read.parquet(f"{target}/s/ev2")
     assert sorted(r["v"] for r in ev.collect()) == ["a", "b"]
     assert [r["v"] for r in ev2.collect()] == ["Z"]
+
+
+def test_stream_cdc_apply_merges_and_is_idempotent(spark, tmp_path):
+    """CDC change stream -> warehouse MERGE: latest-per-key wins within
+    a batch (seq order), deletes retire keys, a second drain with no new
+    files is a no-op, and re-applying the last batch by hand leaves the
+    table bit-identical (the crash-replay idempotence the sink's
+    exactly-once story rests on)."""
+    import os
+
+    from tidb_lightning_spark.sinks.files_sink import (
+        FilesSink, upsert_table,
+    )
+
+    wh = str(tmp_path / "wh")
+    sink = FilesSink(wh)
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    )
+    sink.write_table(base, "db1", "t", ["id"], n_ranges=2)
+
+    cdir = str(tmp_path / "changes")
+    os.makedirs(cdir)
+    schema = "id long, s string, _deleted boolean, seq long"
+    # batch files: two changes to key 2 (seq 2 wins), delete 3, insert 4
+    spark.createDataFrame(
+        [
+            (2, "stale", False, 1),
+            (2, "B2", False, 2),
+            (3, None, True, 1),
+            (4, "d", False, 1),
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(f"{cdir}/c0.parquet")
+
+    changes = spark.readStream.schema(schema).parquet(f"{cdir}/*.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    S.stream_cdc_apply(
+        changes, wh, "db1", "t", ["id"], ckpt, seq_column="seq"
+    )
+    tdir = os.path.join(wh, "db1", "t")
+    got = {r["id"]: r["s"] for r in spark.read.parquet(tdir).collect()}
+    assert got == {1: "a", 2: "B2", 4: "d"}
+
+    # drain again with nothing new: checkpoint skips, table unchanged
+    changes2 = spark.readStream.schema(schema).parquet(f"{cdir}/*.parquet")
+    S.stream_cdc_apply(
+        changes2, wh, "db1", "t", ["id"], ckpt, seq_column="seq"
+    )
+    assert {
+        r["id"]: r["s"] for r in spark.read.parquet(tdir).collect()
+    } == {1: "a", 2: "B2", 4: "d"}
+
+    # crash-replay idempotence: re-apply the reduced last batch by hand
+    replay = spark.createDataFrame(
+        [(2, "B2", False), (3, None, True), (4, "d", False)],
+        "id long, s string, _deleted boolean",
+    )
+    upsert_table(sink, replay, "db1", "t", ["id"])
+    assert {
+        r["id"]: r["s"] for r in spark.read.parquet(tdir).collect()
+    } == {1: "a", 2: "B2", 4: "d"}
+
+    # incremental: a later file updates 4 and deletes 1
+    spark.createDataFrame(
+        [(4, "D4", False, 3), (1, None, True, 3)], schema
+    ).write.mode("overwrite").parquet(f"{cdir}/c1.parquet")
+    changes3 = spark.readStream.schema(schema).parquet(f"{cdir}/*.parquet")
+    S.stream_cdc_apply(
+        changes3, wh, "db1", "t", ["id"], ckpt, seq_column="seq"
+    )
+    assert {
+        r["id"]: r["s"] for r in spark.read.parquet(tdir).collect()
+    } == {2: "B2", 4: "D4"}

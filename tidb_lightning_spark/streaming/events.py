@@ -396,3 +396,75 @@ def streaming_distinct_users(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_cdc_apply(
+    changes: DataFrame,
+    warehouse: str,
+    db: str,
+    table: str,
+    key_columns: list[str],
+    checkpoint_dir: str,
+    seq_column: str | None = None,
+    available_now: bool = True,
+):
+    """Apply a CDC change stream to a warehouse table: every micro-batch
+    pre-reduces to the LATEST change per key, then MERGEs through
+    `files_sink.upsert_table` — updates replace, inserts add, rows with
+    a true `_deleted` column retire their key. The partition-level
+    copy-on-write inside upsert keeps each batch O(changed data).
+
+    Exactly-once WITHOUT a transaction log: upsert is a pure function
+    of (table state, batch) AND idempotent on its own output — replayed
+    updates rewrite identical values, replayed deletes anti-join
+    nothing, replayed inserts hit keys that now exist and rewrite the
+    same rows — so Structured Streaming's crash-replay of the last
+    uncommitted batch (same batch content, post-batch table state)
+    commits the identical table. That idempotence is what lets a plain
+    directory swap stand in for Delta-style MERGE transactionality.
+
+    `seq_column` orders multiple changes to one key within a batch
+    (latest wins; ties broken by the remaining columns so the winner is
+    total-order deterministic). Without it, batches must already be
+    unique per key — upsert_table rejects violations rather than pick a
+    nondeterministic winner."""
+    from pyspark.sql import Window
+    from tidb_lightning_spark.sinks.files_sink import FilesSink, upsert_table
+
+    sink = FilesSink(warehouse)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        reduced = batch_df
+        if seq_column is not None:
+            others = [
+                c for c in batch_df.columns
+                if c not in key_columns and c != seq_column
+            ]
+            w = Window.partitionBy(*key_columns).orderBy(
+                F.col(seq_column).desc(),
+                *[F.col(c).desc_nulls_last() for c in others],
+            )
+            reduced = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", seq_column)
+            )
+        if not reduced.isEmpty():
+            upsert_table(sink, reduced, db, table, key_columns)
+
+    writer = (
+        changes.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    import time as _time
+
+    spark = changes.sparkSession
+    for _ in range(200):
+        if all(a.id != q.id for a in spark.streams.active):
+            break
+        _time.sleep(0.05)
+    return q
