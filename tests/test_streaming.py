@@ -396,3 +396,55 @@ def test_stream_cdc_apply_merges_and_is_idempotent(spark, tmp_path):
     assert {
         r["id"]: r["s"] for r in spark.read.parquet(tdir).collect()
     } == {2: "B2", 4: "D4"}
+
+
+def test_cli_cdc_drains_change_dir(spark, tmp_path, capsys):
+    """`cli cdc` applies a change dir to an ingested table and a second
+    drain with no new files is a checkpointed no-op."""
+    import json as _json
+    import os
+
+    from tidb_lightning_spark import cli
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    wh = tmp_path / "wh"
+    sink = FilesSink(str(wh))
+    sink.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        "db1", "t", ["id"],
+    )
+    with open(wh / "db1" / "t" / "_tls_meta.json", "w") as f:
+        _json.dump({"primary_key": ["id"]}, f)
+    cdir = tmp_path / "changes"
+    os.makedirs(cdir)
+    spark.createDataFrame(
+        [(2, "B2", False, 1), (3, "c", False, 1)],
+        "id long, s string, _deleted boolean, seq long",
+    ).write.mode("overwrite").parquet(str(cdir / "c0.parquet"))
+    rc = cli.main([
+        "cdc", "--source", str(cdir), "--target", str(wh),
+        "--table", "db1.t", "--seq", "seq",
+    ])
+    assert rc == 0
+    assert "cdc drain applied" in capsys.readouterr().out
+    got = {r["id"]: r["s"]
+           for r in spark.read.parquet(str(wh / "db1" / "t")).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+    rc = cli.main([
+        "cdc", "--source", str(cdir), "--target", str(wh),
+        "--table", "db1.t", "--seq", "seq",
+    ])
+    assert rc == 0
+    assert {
+        r["id"]: r["s"]
+        for r in spark.read.parquet(str(wh / "db1" / "t")).collect()
+    } == {1: "a", 2: "B2", 3: "c"}
+    # the stream checkpoint must not pollute table discovery: cli sql
+    # over the same warehouse still works (regression: a checkpoint dir
+    # named like a table broke every subsequent sql run)
+    rc = cli.main([
+        "sql", "--target", str(wh), "--format", "csv",
+        "SELECT count(*) AS n FROM `db1.t`",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "3"

@@ -194,6 +194,25 @@ def main(argv: list[str] | None = None) -> int:
                          "table's primary key from _tls_meta.json)")
     up.add_argument("--log-level", default="INFO")
 
+    cd = sub.add_parser(
+        "cdc",
+        help="apply a growing directory of CDC change files (parquet "
+             "rows + optional _deleted marker + sequence column) to an "
+             "ingested table by MERGE; re-run or cron — per-table "
+             "stream checkpoints make each drain incremental",
+    )
+    cd.add_argument("--source", "-d", required=True,
+                    help="directory of change parquet files")
+    cd.add_argument("--target", required=True, help="warehouse directory")
+    cd.add_argument("--table", required=True, metavar="DB.TBL")
+    cd.add_argument("--key", default=None,
+                    help="comma-separated key columns (default: the "
+                         "table's primary key from _tls_meta.json)")
+    cd.add_argument("--seq", default=None,
+                    help="sequence column ordering multiple changes to "
+                         "one key within a batch (latest wins)")
+    cd.add_argument("--log-level", default="INFO")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level.upper() if hasattr(args, "log_level") else "INFO",
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
@@ -211,6 +230,8 @@ def main(argv: list[str] | None = None) -> int:
             return _report(args)
         if args.cmd == "upsert":
             return _upsert(args)
+        if args.cmd == "cdc":
+            return _cdc(args)
         if args.cmd == "serve":
             from tidb_lightning_spark.server import serve
 
@@ -979,6 +1000,59 @@ def _upsert(args) -> int:
         f"in {commit.seconds:.1f}s"
     )
     return 0
+
+def _cdc(args) -> int:
+    import json as _json
+
+    from tidb_lightning_spark.session import get_spark
+    from tidb_lightning_spark.streaming.events import stream_cdc_apply
+
+    db, _, tbl = args.table.partition(".")
+    if not tbl:
+        print("error: --table must be DB.TBL", file=sys.stderr)
+        return 1
+    spark = get_spark(app_name="tls-cdc")
+    spark.sparkContext.setLogLevel("ERROR")
+    meta_path = os.path.join(args.target, db, tbl, "_tls_meta.json")
+    meta = (
+        _json.load(open(meta_path)) if os.path.exists(meta_path) else {}
+    )
+    keys = (
+        [k.strip() for k in args.key.split(",") if k.strip()]
+        if args.key
+        else (meta.get("primary_key") or [])
+    )
+    if not keys:
+        print("error: no key columns (no primary key in _tls_meta.json; "
+              "pass --key)", file=sys.stderr)
+        return 1
+    # schema from the first change file (a stream needs one declared)
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(args.source, "**", "*.parquet"),
+                              recursive=True))
+    if not files:
+        print(f"error: no change parquet under {args.source}",
+              file=sys.stderr)
+        return 1
+    schema = spark.read.parquet(files[0]).schema
+    changes = spark.readStream.schema(schema).parquet(
+        os.path.join(args.source, "*.parquet")
+    )
+    # underscore prefix: cli sql's table discovery skips _-prefixed
+    # entries, so the checkpoint can live next to its table without
+    # being read as one
+    ckpt = os.path.join(args.target, db, f"_cdc_checkpoint_{tbl}")
+    stream_cdc_apply(
+        changes, args.target, db, tbl, keys, ckpt, seq_column=args.seq
+    )
+    if meta:
+        from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+        FilesSink(args.target).write_meta(db, tbl, meta)
+    print(f"cdc drain applied to `{db}`.`{tbl}` (key={','.join(keys)})")
+    return 0
+
 
 if __name__ == "__main__":
     sys.exit(main())
