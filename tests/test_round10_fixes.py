@@ -486,3 +486,30 @@ def test_upsert_cow_delete_only_batch(spark, tmp_path):
     assert any(
         f.startswith("linked-") for f in os.listdir(tdir)
     )
+
+
+def test_upsert_repeated_batches_stable_filenames(spark, tmp_path):
+    """Many successive COW upserts must not grow linked- prefixes one
+    per batch (a long-running CDC feed would hit the filesystem's
+    filename length limit); names stay bounded and content stays right."""
+    import os
+
+    from tidb_lightning_spark.sinks.files_sink import FilesSink, upsert_table
+
+    wh = tmp_path / "wh"
+    sink = FilesSink(str(wh))
+    base = spark.createDataFrame(
+        [(i, "v") for i in range(300)], "id long, s string"
+    )
+    sink.write_table(base, "db1", "t3", ["id"], n_ranges=3)
+    tdir = wh / "db1" / "t3"
+    for r in range(4):  # repeated narrow batches hitting one range
+        upd = spark.createDataFrame(
+            [(5 + r, f"u{r}")], "id long, s string"
+        )
+        upsert_table(sink, upd, "db1", "t3", ["id"])
+    names = [f for f in os.listdir(tdir) if f.endswith(".parquet")]
+    assert names and all(not n.startswith("linked-linked-") for n in names)
+    got = {r["id"]: r["s"] for r in spark.read.parquet(str(tdir)).collect()}
+    assert len(got) == 300
+    assert [got[5 + r] for r in range(4)] == ["u0", "u1", "u2", "u3"]

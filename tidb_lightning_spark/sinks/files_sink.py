@@ -683,12 +683,21 @@ def _upsert_partition_cow(
         staging
     )
     # hardlink the pruned files in (collision-proof names: Spark's new
-    # part files never carry the linked- prefix)
+    # part files never carry the linked- prefix). Strip prior linked-
+    # prefixes first — re-linking a linked file must not grow the name
+    # by one prefix per CDC batch until it hits the filesystem's
+    # filename limit; the UUID part names make stripped-name collisions
+    # practically impossible, and the counter guards the impossible.
     for name in clean:
-        os.link(
-            os.path.join(final, name),
-            os.path.join(staging, f"linked-{name}"),
-        )
+        base = name
+        while base.startswith("linked-"):
+            base = base[len("linked-"):]
+        dst = os.path.join(staging, f"linked-{base}")
+        i = 0
+        while os.path.exists(dst):
+            i += 1
+            dst = os.path.join(staging, f"linked-{i}-{base}")
+        os.link(os.path.join(final, name), dst)
     # same atomic rename pair as write_table: old aside, staging in,
     # trash removed last — a crash leaves old or new, never a mix
     trash = final + f"._trash_{uuid.uuid4().hex[:8]}"
