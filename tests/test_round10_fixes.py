@@ -513,3 +513,26 @@ def test_upsert_repeated_batches_stable_filenames(spark, tmp_path):
     got = {r["id"]: r["s"] for r in spark.read.parquet(str(tdir)).collect()}
     assert len(got) == 300
     assert [got[5 + r] for r in range(4)] == ["u0", "u1", "u2", "u3"]
+
+
+def test_upsert_recovers_stranded_trash_first(spark, tmp_path):
+    """A crash between the commit's two renames leaves the table only at
+    its ._trash_ path; the next upsert must restore it before reading
+    (the pipeline sweeps at startup, but upsert is reachable straight
+    from the CLI/stream where no pipeline ran)."""
+    import os
+
+    from tidb_lightning_spark.sinks.files_sink import FilesSink, upsert_table
+
+    wh = tmp_path / "wh"
+    sink = FilesSink(str(wh))
+    sink.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        "db1", "t4", ["id"],
+    )
+    tdir = str(wh / "db1" / "t4")
+    os.replace(tdir, tdir + "._trash_deadbeef")  # simulate the crash window
+    upd = spark.createDataFrame([(2, "B2")], "id long, s string")
+    upsert_table(sink, upd, "db1", "t4", ["id"])
+    got = {r["id"]: r["s"] for r in spark.read.parquet(tdir).collect()}
+    assert got == {1: "a", 2: "B2"}

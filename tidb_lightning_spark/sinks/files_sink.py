@@ -514,6 +514,11 @@ def upsert_table(
 
     from pyspark.sql import functions as F
 
+    # resolve any ._trash_ stranded by a crash between a previous
+    # commit's two renames BEFORE reading the table — the pipeline
+    # sweeps at startup, but upsert is also reachable straight from the
+    # CLI/stream where no pipeline ran
+    sink.sweep_trash()
     final = sink.table_path(db, table)
     spark = updates.sparkSession
     upserts = updates
