@@ -44,6 +44,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # stalest", which is the right priority order.
 _DRIVER_PRIORITY = [
     # new in r10 — grade first
+    "weighted_sample_ares",
     "events_trailing_1h",
     "profile_orders",
     "events_grouping_sets",

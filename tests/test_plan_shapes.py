@@ -512,3 +512,13 @@ def test_trailing_window_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert n_exchanges(plan) <= 2
     assert "hashpartitioning(user_id" in plan
+
+
+def test_ares_topk_no_global_sort(spark):
+    """weighted_sample_ares (r10): key computation is map-side on the
+    scan; selection is TakeOrderedAndProject (O(k) per partition, no
+    full sort, no corpus shuffle)."""
+    plan = plan_of(spark, "weighted_sample_ares")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(plan) <= 1

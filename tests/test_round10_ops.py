@@ -425,3 +425,24 @@ def test_trailing_range_frame_peers_and_bounds(spark, tmp_path):
     assert out[2]["sum_value_1h"] == out[3]["sum_value_1h"] == 14.0
     # the 1h+1us event is excluded from their frame but sees only itself
     assert out[0]["n_1h"] == 1 and out[1]["n_1h"] == 2
+
+
+def test_ares_weighting_and_determinism(spark, tmp_path):
+    """A-Res semantics: inclusion is weight-biased (heavy docs vastly
+    overrepresented at the same hash draw), the sample is exactly k,
+    and re-running yields the identical sample (replay-stable keys)."""
+    # 200 docs: ids 0-99 weight 10000 (long docs), 100-199 weight 10
+    rows = [
+        (i, "x" * (10000 if i < 100 else 10), "en") for i in range(200)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out1 = Q.weighted_sample_ares(spark, sf).collect()
+    out2 = Q.weighted_sample_ares(spark, sf).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert len(out1) == Q.ARES_K
+    heavy = sum(1 for r in out1 if r["doc_id"] < 100)
+    # weight ratio 1000:1 -> essentially every heavy doc beats every
+    # light doc; all 100 heavy docs must be in the k=100 sample
+    assert heavy >= 95
+    assert [r["rank"] for r in out1] == list(range(1, Q.ARES_K + 1))
+    assert all(r["key_scaled"] >= 0 for r in out1)

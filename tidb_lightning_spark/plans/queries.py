@@ -7886,3 +7886,83 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: A-Res weighted sampling without replacement — one-pass, k-bounded
+# ---------------------------------------------------------------------------
+
+ARES_K = 100
+ARES_LN_CAP = 41588830  # floor(1e6 * ln(2^60)): max of the lnh ladder
+
+
+def _ares_oracle() -> str:
+    h = TX.sql_hash60("concat('ares_', CAST(doc_id AS VARCHAR))")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+             CAST((
+               ({ARES_LN_CAP} -
+                CAST(floor(ln(CAST(({h}) + 1 AS DOUBLE)) * 1000000.0)
+                     AS BIGINT)) * 1000000
+             ) // greatest(n_chars, 1) AS BIGINT) AS key_scaled
+      FROM documents
+    )
+    SELECT doc_id, source, w, key_scaled, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        ORDER BY key_scaled, doc_id) AS INT) AS rank
+      FROM keyed
+    )
+    WHERE rank <= {ARES_K}
+    ORDER BY rank
+    """
+
+
+@register("weighted_sample_ares", _ares_oracle())
+def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via A-Res exponential keys
+    (Efraimidis & Spirakis 2006): every doc draws key u^(1/w) from a
+    deterministic salted hash and the k largest keys win — inclusion
+    probability proportional to weight (doc length here), the one-pass
+    mergeable scheme data-mixing pipelines use when quotas must come
+    out exact-k rather than Bernoulli-thresholded
+    (corpus_temperature_sample / domain_quota_sample are the rate
+    samplers; this is the reservoir). Integer form: with u = (h+1)/2^60
+    from hash60, maximizing u^(1/w) == minimizing (-ln u)/w ==
+    minimizing ((C - floor(1e6*ln(h+1))) * 1e6) // w where C =
+    floor(1e6*ln(2^60)) caps the ladder — every operand nonnegative, so
+    Spark DIV and DuckDB // agree and the sample is replay-stable and
+    oracle-exact (the DSIR fixed-point-ln contract).
+
+    Scale shape: the key is map-side arithmetic on the scan; selection
+    is a global top-k (TakeOrderedAndProject — O(k) memory per
+    partition, one k-row merge at the driver, NO full sort, NO
+    shuffle of the corpus). A-Res keys are merge-associative, so the
+    same operator distributes over any partitioning — that is the
+    reason this scheme, not sequential reservoir sampling, is the
+    100 TB form."""
+    d = load(spark, sf_dir, "documents")
+    h = TX.hash60(
+        F.concat(F.lit("ares_"), F.col("doc_id").cast("string"))
+    )
+    lnh = F.floor(
+        F.log((h + F.lit(1)).cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    keyed = d.select(
+        "doc_id", "source", w.alias("w"), lnh.alias("__lnh")
+    ).withColumn(
+        "key_scaled",
+        F.expr(f"(({ARES_LN_CAP} - __lnh) * 1000000) DIV w").cast("long"),
+    )
+    w_rank = Window.orderBy(F.col("key_scaled"), F.asc("doc_id"))
+    return (
+        keyed.withColumn(
+            "rank", F.row_number().over(w_rank).cast("int")
+        )
+        .filter(F.col("rank") <= ARES_K)
+        .select("doc_id", "source", "w", "key_scaled", "rank")
+        .orderBy("rank")
+    )
