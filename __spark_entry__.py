@@ -35,10 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds old), stalest first, prepending anything whose
 # implementation changed this round. The union of any two consecutive
 # rounds then covers the full registry with no entry older than one
-# round. Current window (r10): the 14 NEW r10 operators first, then the
+# round. Current window (r10): the 16 NEW r10 operators first, then the
 # registry minus CORRECTNESS_r09's 50 — all last driver-checked in r8,
 # all green in tests/test_oracle_parity.py (the identical DuckDB
-# compare). 14 + 49 > the ~50-slot window, so the ~13 tail names stay
+# compare). 16 + 49 > the ~50-slot window, so the ~15 tail names stay
 # at r8 vintage until r11 — with a growing registry the two-round union
 # can no longer cover everything; the rule degrades to "new first, then
 # stalest", which is the right priority order.
