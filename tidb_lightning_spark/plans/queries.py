@@ -7054,9 +7054,7 @@ def _kn_bigram_oracle() -> str:
       JOIN rgt USING (w2)
       CROSS JOIN tot
     )
-    SELECT w1, w2, c, c1, n1r, n1l, p_scaled,
-           CAST(p_scaled AS DOUBLE) / {s} AS p_kn,
-           rank
+    SELECT w1, w2, c, c1, n1r, n1l, p_scaled, rank
     FROM (
       SELECT *,
              CAST(row_number() OVER (
@@ -7081,7 +7079,11 @@ def kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes two nonnegative integer floor-divisions per bigram —
     (S*(4c-3)) // (4*c1)  +  (S*3*n1r*n1l) // (4*c1*nbb) — so Spark
     DIV and DuckDB // agree bit-for-bit and the driver can hash-match
-    a smoothed LM. c = bigram count, c1 = left-context total, n1r =
+    a smoothed LM. Output is integer-exact end to end (bm25's
+    contract): the r10 driver hash-mismatched on the engine-formatted
+    raw double p_kn even though the integers matched, so only
+    p_scaled is emitted; divide by KN_SCALE client-side for the
+    probability. c = bigram count, c1 = left-context total, n1r =
     distinct continuations of w1 (|{{w2: c(w1,w2)>0}}|), n1l = distinct
     left contexts of w2 (the continuation count that makes KN KN), nbb
     = total distinct bigrams.
@@ -7144,9 +7146,7 @@ def kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= KN_TOPK)
         .select(
-            "w1", "w2", "c", "c1", "n1r", "n1l", "p_scaled",
-            (F.col("p_scaled").cast("double") / F.lit(s)).alias("p_kn"),
-            "rank",
+            "w1", "w2", "c", "c1", "n1r", "n1l", "p_scaled", "rank"
         )
         .orderBy("rank")
     )
