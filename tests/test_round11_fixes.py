@@ -1,0 +1,98 @@
+"""Round-11 fixes: upsert create-path validation parity and the
+partition-COW hardlink fallback (driver ADVICE items 3 and 4)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+
+def _write_base(spark, wh, n=1000, n_ranges=5):
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    sink = FilesSink(str(wh))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], "id long, s string"
+    )
+    sink.write_table(base, "db1", "t1", ["id"], n_ranges=n_ranges)
+    return sink, wh / "db1" / "t1"
+
+
+def test_upsert_create_path_validates_like_merge(spark, tmp_path):
+    """The FIRST batch against a not-yet-existing table enforces the
+    same duplicate-key and key-required contract as later merges —
+    regression: the early write_table return skipped both checks and
+    could seed a table violating the uniqueness invariant."""
+    from tidb_lightning_spark.pipeline import IngestError
+    from tidb_lightning_spark.sinks.files_sink import FilesSink, upsert_table
+
+    sink = FilesSink(str(tmp_path / "wh"))
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "id long, s string"
+    )
+    with pytest.raises(IngestError, match="duplicate keys"):
+        upsert_table(sink, dup, "db1", "fresh", ["id"])
+    with pytest.raises(IngestError, match="needs key columns"):
+        upsert_table(sink, dup, "db1", "fresh", [])
+    # neither attempt may have created the table
+    assert not os.path.isdir(tmp_path / "wh" / "db1" / "fresh")
+    # a valid first batch still creates it
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    upsert_table(sink, ok, "db1", "fresh", ["id"])
+    assert spark.read.parquet(
+        str(tmp_path / "wh" / "db1" / "fresh")
+    ).count() == 2
+
+
+def test_upsert_cow_hardlink_fallback_copies(spark, tmp_path, monkeypatch):
+    """On filesystems without hardlink support (os.link raises OSError)
+    the partition-COW path falls back to byte copies: the upsert still
+    commits, clean files survive by content, and no ._staging_* is
+    stranded."""
+    from tidb_lightning_spark.sinks.files_sink import upsert_table
+
+    sink, tdir = _write_base(spark, tmp_path / "wh")
+
+    def no_link(*a, **k):
+        raise OSError(38, "Function not implemented")
+
+    monkeypatch.setattr(os, "link", no_link)
+    upd = spark.createDataFrame(
+        [(42, "UPDATED"), (5000, "new")], "id long, s string"
+    )
+    upsert_table(sink, upd, "db1", "t1", ["id"])
+    got = {r["id"]: r["s"] for r in spark.read.parquet(str(tdir)).collect()}
+    assert len(got) == 1001
+    assert got[42] == "UPDATED" and got[5000] == "new" and got[41] == "v41"
+    # the copy fallback still prunes: linked- files exist (as copies)
+    assert any(f.startswith("linked-") for f in os.listdir(tdir))
+    parent = tdir.parent
+    assert not [d for d in os.listdir(parent) if "._staging_" in d]
+
+
+def test_upsert_cow_link_and_copy_fail_full_cow(spark, tmp_path, monkeypatch):
+    """If the byte-copy fallback ALSO fails, the staged partial is
+    removed and the upsert completes through the full-COW rewrite —
+    never a stranded ._staging_* or a half-merged table."""
+    from tidb_lightning_spark.sinks.files_sink import upsert_table
+
+    sink, tdir = _write_base(spark, tmp_path / "wh")
+
+    def no_os(*a, **k):
+        raise OSError(38, "Function not implemented")
+
+    monkeypatch.setattr(os, "link", no_os)
+    monkeypatch.setattr(shutil, "copy2", no_os)
+    upd = spark.createDataFrame(
+        [(42, "UPDATED"), (5000, "new")], "id long, s string"
+    )
+    upsert_table(sink, upd, "db1", "t1", ["id"])
+    got = {r["id"]: r["s"] for r in spark.read.parquet(str(tdir)).collect()}
+    assert len(got) == 1001
+    assert got[42] == "UPDATED" and got[5000] == "new"
+    # full COW: nothing linked through, and nothing stranded
+    assert not any(f.startswith("linked-") for f in os.listdir(tdir))
+    parent = tdir.parent
+    assert not [d for d in os.listdir(parent) if "._staging_" in d]

@@ -251,6 +251,14 @@ def test_vector_tier_bails_to_scanner_on_transforming_literals():
         "INSERT INTO t VALUES (null,'x'),(NuLL,'y');",
         "INSERT INTO t VALUES ( 1 , 'x' ),(2,'y');",
         "INSERT INTO t VALUES (1,'x'), -- c\n(2,'y');",
+        # sign-prefixed transformed literals: _VFIELD's word alternative
+        # accepts '[+-]?' so these reach the _VBAD_FIELD screen, which
+        # must bail (scanner: -TRUE -> '-1', -FALSE -> '-0', -0x/-0b ->
+        # sign-folded decode)
+        "INSERT INTO t VALUES (-TRUE,'x'),(2,'y');",
+        "INSERT INTO t VALUES (-FALSE,'x'),(2,'y');",
+        "INSERT INTO t VALUES (-0x41,'x'),(2,'y');",
+        "INSERT INTO t VALUES (-0b11,'x'),(2,'y');",
     ]
     old = S._SQL_VECTOR
     for text in cases:
@@ -265,6 +273,24 @@ def test_vector_tier_bails_to_scanner_on_transforming_literals():
         finally:
             S._SQL_VECTOR = old
         assert got.equals(want), text
+
+
+def test_vector_tier_signed_null_raises_like_scanner():
+    """'-NULL' must surface the scanner's 'sign before NULL' error, not
+    be emitted as the string '-NULL' by the vector tier."""
+    import pytest
+
+    from tidb_lightning_spark.sources import sqldump_source as S
+
+    text = "INSERT INTO t VALUES (-NULL,'x'),(2,'y');"
+    old = S._SQL_VECTOR
+    for vec in (True, False):
+        S._SQL_VECTOR = vec
+        try:
+            with pytest.raises(Exception, match="(?i)sign.*null"):
+                _frames_concat(S, text, 2)
+        finally:
+            S._SQL_VECTOR = old
 
 
 @settings(max_examples=200, deadline=None)

@@ -448,3 +448,20 @@ def test_cli_cdc_drains_change_dir(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert capsys.readouterr().out.strip().splitlines()[-1] == "3"
+    # date-partitioned layout: change files in a SUBDIRECTORY must be
+    # applied, not just schema-sampled (regression: schema discovery
+    # globbed recursively but the stream read only source/*.parquet, so
+    # nested changes were silently dropped)
+    spark.createDataFrame(
+        [(4, "d", False, 2), (1, None, True, 2)],
+        "id long, s string, _deleted boolean, seq long",
+    ).write.mode("overwrite").parquet(str(cdir / "dt=2024-01-02" / "c1.parquet"))
+    rc = cli.main([
+        "cdc", "--source", str(cdir), "--target", str(wh),
+        "--table", "db1.t", "--seq", "seq",
+    ])
+    assert rc == 0
+    assert {
+        r["id"]: r["s"]
+        for r in spark.read.parquet(str(wh / "db1" / "t")).collect()
+    } == {2: "B2", 3: "c", 4: "d"}

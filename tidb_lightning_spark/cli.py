@@ -1036,8 +1036,15 @@ def _cdc(args) -> int:
               file=sys.stderr)
         return 1
     schema = spark.read.parquet(files[0]).schema
-    changes = spark.readStream.schema(schema).parquet(
-        os.path.join(args.source, "*.parquet")
+    # recursiveFileLookup matches the recursive schema-discovery glob
+    # above: date-partitioned CDC layouts (changes in subdirectories)
+    # must be applied, not just schema-sampled. pathGlobFilter keeps
+    # stray non-parquet files (_SUCCESS, manifests) out of the stream.
+    changes = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(args.source)
     )
     # underscore prefix: cli sql's table discovery skips _-prefixed
     # entries, so the checkpoint can live next to its table without

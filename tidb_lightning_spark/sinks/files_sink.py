@@ -526,15 +526,10 @@ def upsert_table(
         upserts = updates.filter(
             ~F.coalesce(F.col("_deleted").cast("boolean"), F.lit(False))
         ).drop("_deleted")
-    if not os.path.isdir(final):
-        return sink.write_table(upserts, db, table, key_columns or None)
-    existing = spark.read.format(sink.fmt).load(final)
-    missing = set(existing.columns) ^ (set(updates.columns) - {"_deleted"})
-    if missing:
-        raise IngestError(
-            f"upsert schema mismatch on `{db}`.`{table}`: columns "
-            f"{sorted(missing)} not on both sides"
-        )
+    # key + duplicate validation runs BEFORE the create-table early
+    # return: the first batch against a missing table must enforce the
+    # same uniqueness contract as every later merge, or it can silently
+    # seed a table that violates the invariant the merges rely on
     if not key_columns:
         raise IngestError(
             f"upsert into `{db}`.`{table}` needs key columns — the table "
@@ -552,6 +547,15 @@ def upsert_table(
             "upsert batch has duplicate keys — the merge winner would be "
             "nondeterministic; pre-reduce the batch to one row per key "
             "(e.g. max-by ingest sequence) first"
+        )
+    if not os.path.isdir(final):
+        return sink.write_table(upserts, db, table, key_columns)
+    existing = spark.read.format(sink.fmt).load(final)
+    missing = set(existing.columns) ^ (set(updates.columns) - {"_deleted"})
+    if missing:
+        raise IngestError(
+            f"upsert schema mismatch on `{db}`.`{table}`: columns "
+            f"{sorted(missing)} not on both sides"
         )
     cow = _upsert_partition_cow(
         sink, updates, upserts, existing, db, table, key_columns
@@ -693,16 +697,29 @@ def _upsert_partition_cow(
     # by one prefix per CDC batch until it hits the filesystem's
     # filename limit; the UUID part names make stripped-name collisions
     # practically impossible, and the counter guards the impossible.
-    for name in clean:
-        base = name
-        while base.startswith("linked-"):
-            base = base[len("linked-"):]
-        dst = os.path.join(staging, f"linked-{base}")
-        i = 0
-        while os.path.exists(dst):
-            i += 1
-            dst = os.path.join(staging, f"linked-{i}-{base}")
-        os.link(os.path.join(final, name), dst)
+    try:
+        for name in clean:
+            base = name
+            while base.startswith("linked-"):
+                base = base[len("linked-"):]
+            dst = os.path.join(staging, f"linked-{base}")
+            i = 0
+            while os.path.exists(dst):
+                i += 1
+                dst = os.path.join(staging, f"linked-{i}-{base}")
+            src = os.path.join(final, name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                # filesystems without hardlink support (NFS/object-store
+                # mounts): a byte copy preserves the commit semantics at
+                # copy cost for this file only
+                shutil.copy2(src, dst)
+    except OSError:
+        # copy also failed: clean the staged partial and fall back to
+        # the full-COW rewrite rather than stranding ._staging_*
+        shutil.rmtree(staging, ignore_errors=True)
+        return None
     # same atomic rename pair as write_table: old aside, staging in,
     # trash removed last — a crash leaves old or new, never a mix
     trash = final + f"._trash_{uuid.uuid4().hex[:8]}"

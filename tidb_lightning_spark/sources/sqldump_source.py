@@ -719,8 +719,12 @@ _VWORD = _re.compile(r"[A-Za-z0-9_$.]+")
 # Exact-case unquoted NULL is already null by then (null_values), so a
 # match here is an exotic casing, a bool, a hex/bit literal, a stripped
 # '+', a backquoted ident, or an ANSI string -> bail. Quoted 'NULL'/'+x'
-# strings false-positive into a bail — correct, just slower.
-_VBAD_FIELD = r"^(?i:null|true|false|0b[01]*$)|^(?i:0x)|^[+`\"]"
+# strings false-positive into a bail — correct, just slower. The
+# optional leading '-' matters: _VFIELD's word alternative accepts
+# '[+-]?' prefixes, so '-TRUE'/'-0x41'/'-0b11' (scanner: '-1'/decoded)
+# and '-NULL' (scanner: raises "sign before NULL") survive to this
+# screen and must bail to keep tier-0 output identical to the scanner.
+_VBAD_FIELD = r"^[+-]?(?i:null|true|false|0b[01]*$|0x)|^[+`\"]"
 
 
 def _vector_rows_table(content: str, n_columns: int):
