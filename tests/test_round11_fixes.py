@@ -96,3 +96,82 @@ def test_upsert_cow_link_and_copy_fail_full_cow(spark, tmp_path, monkeypatch):
     assert not any(f.startswith("linked-") for f in os.listdir(tdir))
     parent = tdir.parent
     assert not [d for d in os.listdir(parent) if "._staging_" in d]
+
+
+def test_config_rejects_unknown_keys(tmp_path):
+    """Reference parity (config.go:448-476 metaData.Undecoded();
+    tests/unused_config_keys): startup fails naming every TOML key no
+    consumer recognizes — a typo'd knob must never silently default."""
+    from tidb_lightning_spark.config import Config
+
+    p = tmp_path / "bad.toml"
+    p.write_text(
+        "[mydumper]\n"
+        'data-source-dir = "/x"\n'
+        "strict_format = true\n"          # typo: underscore
+        "[tikv-importer]\n"
+        'backedn = "local"\n'             # typo'd key
+    )
+    with pytest.raises(ValueError) as ei:
+        Config.from_toml(str(p))
+    msg = str(ei.value)
+    assert "unknown configuration options" in msg
+    assert "mydumper.strict_format" in msg
+    assert "tikv-importer.backedn" in msg
+
+    # nested tables and arrays of tables are checked too
+    p2 = tmp_path / "bad2.toml"
+    p2.write_text(
+        "[mydumper]\n"
+        'data-source-dir = "/x"\n'
+        "[mydumper.csv]\n"
+        'seperator = ","\n'               # typo inside [mydumper.csv]
+        "[[routes]]\n"
+        'schema-pattern = "a"\n'
+        'target-scheme = "b"\n'           # typo inside [[routes]]
+    )
+    with pytest.raises(ValueError) as ei:
+        Config.from_toml(str(p2))
+    msg = str(ei.value)
+    assert "mydumper.csv.seperator" in msg
+    assert "routes.target-scheme" in msg
+
+
+def test_config_accepts_full_reference_surface(tmp_path):
+    """A config using the reference's whole TOML surface (including
+    Spark-obsolete knobs we accept-but-ignore) still parses."""
+    from tidb_lightning_spark.config import Config
+
+    p = tmp_path / "ref.toml"
+    p.write_text(
+        "[lightning]\n"
+        "table-concurrency = 6\nindex-concurrency = 2\n"
+        "region-concurrency = 16\nio-concurrency = 5\n"
+        "check-requirements = true\n"
+        "[tidb]\n"
+        'host = "127.0.0.1"\nport = 4000\nuser = "root"\n'
+        'sql-mode = "STRICT_TRANS_TABLES"\n'
+        "[tidb.security]\n"
+        'ca-path = "/certs/ca.pem"\n'
+        "[checkpoint]\n"
+        'enable = true\ndriver = "file"\n'
+        "[mydumper]\n"
+        'data-source-dir = "/x"\nstrict-format = true\n'
+        'character-set = "utf8mb4"\nbatch-size = "100GiB"\n'
+        "[mydumper.csv]\n"
+        'separator = ","\nheader = true\n'
+        "[[mydumper.files]]\n"
+        'pattern = ".*\\\\.csv"\nschema = "db"\ntable = "t"\ntype = "csv"\n'
+        "[tikv-importer]\n"
+        'backend = "local"\nsorted-kv-dir = "/tmp/skv"\n'
+        'disk-quota = "10GiB"\n'
+        "[post-restore]\n"
+        'checksum = "required"\nanalyze = "optional"\n'
+        "[cron]\n"
+        'switch-mode = "5m"\nlog-progress = "5m"\n'
+        "[security]\n"
+        'cert-path = "/certs/l.pem"\n'
+    )
+    cfg = Config.from_toml(str(p))
+    assert cfg.source_dir == "/x"
+    assert cfg.csv.strict_format is True

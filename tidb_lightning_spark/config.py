@@ -64,6 +64,16 @@ class Config:
         if path:
             with open(path, "rb") as f:
                 raw = tomllib.load(f)
+            unknown = _unknown_keys(raw)
+            if unknown:
+                # reference parity: lightning refuses to start when a
+                # TOML key is not consumed (config.go:448-476
+                # metaData.Undecoded(); tests/unused_config_keys) — a
+                # typo'd knob must fail loudly, never silently default
+                raise ValueError(
+                    "config file contained unknown configuration "
+                    "options: " + ", ".join(unknown)
+                )
         cfg = cls(raw=raw)
         my = raw.get("mydumper", {})
         cfg.source_dir = my.get("data-source-dir", cfg.source_dir)
@@ -169,6 +179,92 @@ class Config:
             )
         if self.table_concurrency < 1:
             raise ValueError("lightning.table-concurrency must be >= 1")
+
+
+# the full reference TOML surface (config.go + global.go toml tags) plus
+# this repo's extensions (output-format, duplicate-resolution, jdbc-*).
+# Spark-obsolete reference knobs stay listed so existing configs parse —
+# "known but ignored" is parity; "unknown" is a startup error. Schema:
+# key -> None (scalar leaf or free-form subtree) | dict (checked table;
+# applied to each item when the value is an array of tables).
+_KNOWN_KEYS: dict[str, Any] = {
+    "lightning": dict.fromkeys([
+        "table-concurrency", "index-concurrency", "region-concurrency",
+        "io-concurrency", "check-requirements", "status-addr",
+        "server-mode", "pprof-port", "log-level", "log-file",
+        "max-size", "max-days", "max-backups",
+    ]),
+    "tidb": dict.fromkeys([
+        "host", "port", "user", "password", "status-port", "pd-addr",
+        "sql-mode", "tls", "security", "max-allowed-packet",
+        "distsql-scan-concurrency", "build-stats-concurrency",
+        "index-serial-scan-concurrency", "checksum-table-concurrency",
+        "log-level", "jdbc-url", "jdbc-driver", "jdbc-table-prefix",
+    ]),
+    "checkpoint": dict.fromkeys([
+        "enable", "schema", "dsn", "driver", "keep-after-success",
+    ]),
+    "mydumper": {
+        **dict.fromkeys([
+            "read-block-size", "batch-size", "batch-import-ratio",
+            "data-source-dir", "no-schema", "character-set",
+            "case-sensitive", "strict-format", "max-region-size",
+            "filter", "default-file-rules",
+        ]),
+        "csv": dict.fromkeys([
+            "separator", "delimiter", "header", "trim-last-separator",
+            "not-null", "null", "backslash-escape",
+        ]),
+        # list items: FileRouteRule (config.go:270-277)
+        "files": dict.fromkeys([
+            "pattern", "path", "schema", "table", "type", "key",
+            "compression",
+        ]),
+    },
+    "tikv-importer": dict.fromkeys([
+        "addr", "backend", "on-duplicate", "max-kv-pairs",
+        "send-kv-pairs", "region-split-size", "sorted-kv-dir",
+        "disk-quota", "range-concurrency", "output-format",
+        "duplicate-resolution",
+    ]),
+    "post-restore": dict.fromkeys([
+        "level-1-compact", "compact", "checksum", "analyze",
+        "post-process-at-last",
+    ]),
+    "cron": dict.fromkeys([
+        "switch-mode", "log-progress", "check-disk-quota",
+    ]),
+    # list items: router.TableRule
+    "routes": dict.fromkeys([
+        "schema-pattern", "table-pattern", "target-schema",
+        "target-table",
+    ]),
+    "security": None,
+    "black-white-list": None,
+}
+
+
+def _unknown_keys(raw: dict[str, Any]) -> list[str]:
+    """Dotted paths of every TOML key no consumer recognizes."""
+
+    def walk(node: Any, schema: Any, prefix: str, out: list[str]) -> None:
+        if schema is None or not isinstance(schema, dict):
+            return  # leaf / free-form subtree
+        if isinstance(node, list):  # array of tables: check each item
+            for item in node:
+                walk(item, schema, prefix, out)
+            return
+        if not isinstance(node, dict):
+            return
+        for k, v in node.items():
+            if k not in schema:
+                out.append(f"{prefix}{k}")
+            else:
+                walk(v, schema[k], f"{prefix}{k}.", out)
+
+    out: list[str] = []
+    walk(raw, _KNOWN_KEYS, "", out)
+    return out
 
 
 def _charset(name: str) -> str:
