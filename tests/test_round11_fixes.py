@@ -175,3 +175,39 @@ def test_config_accepts_full_reference_surface(tmp_path):
     cfg = Config.from_toml(str(p))
     assert cfg.source_dir == "/x"
     assert cfg.csv.strict_format is True
+
+
+def test_ln_ladder_exhaustive_20bit(spark):
+    """EXHAUSTIVE cross-engine proof for the fixed-point ln ladders:
+    floor(ln(k)*1e6) agrees between the JVM (Spark/Math.log) and DuckDB
+    (glibc ln) for EVERY k in [1, 2^20] — the full input domain of
+    weighted_sample_ares' quantized u, and a superset of every count
+    the DSIR/BM25/CCNet ladders see at driver-gate scale (total grams
+    at sf0.01 << 2^20). Context: the r11 boundary probe found 2 of 18k
+    adversarially near-grid integers ABOVE 2^20 where the two libms
+    disagree across a floor boundary, so this agreement is a property
+    to pin per environment, not an assumption."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n = 1 << 20
+    pdf = (
+        spark.range(1, n + 1)
+        .select(
+            F.floor(
+                F.log(F.col("id").cast("double")) * F.lit(1000000.0)
+            ).cast("long").alias("f")
+        )
+        .toPandas()
+    )
+    jvm = pdf["f"].to_numpy()
+    duck = duckdb.connect().execute(
+        "SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        f" AS f FROM range(1, {n + 1}) t(r) ORDER BY r"
+    ).fetchnumpy()["f"]
+    diffs = np.nonzero(jvm != duck)[0]
+    assert diffs.size == 0, (
+        f"{diffs.size} cross-libm floor flips in [1, 2^20], first k="
+        f"{diffs[:5] + 1}"
+    )

@@ -6217,7 +6217,14 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(ln(k)*1e6) BIGINT, so per-doc sums are order-independent
     integer arithmetic — Spark's partition-parallel aggregation equals
     DuckDB's serial one exactly, and the only doubles in the output are
-    exact BIGINT/1e6 conversions.
+    exact BIGINT/1e6 conversions. Ladder boundary audit (r11): for
+    k <= 2^20 — a superset of every count this query sees at the
+    driver gate — JVM-vs-DuckDB agreement of floor(ln(k)*1e6) is
+    verified EXHAUSTIVELY (test_ln_ladder_exhaustive_20bit); above
+    2^20 the two libms can disagree across a floor boundary (measured
+    2/18k on near-grid adversarial integers), so an oracle compare at
+    corpus scales past ~1M grams carries a ~1e-5 per-run flip risk —
+    the Spark-side math itself stays deterministic at any scale.
 
     Scale shape: grams reduce map-side to (doc, bucket) counts — the
     per-doc feature vector never materializes wider than the doc's
@@ -7893,7 +7900,18 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ARES_K = 100
-ARES_LN_CAP = 41588830  # floor(1e6 * ln(2^60)): max of the lnh ladder
+# u is quantized to 20 bits ((h >> 40) + 1), so the lnh ladder's whole
+# input domain is [1, 2^20] — small enough that JVM-vs-DuckDB agreement
+# of floor(1e6*ln(k)) is EXHAUSTIVELY verified over every possible
+# input (tests/test_round11_fixes.py::test_ln_ladder_exhaustive_20bit),
+# turning the cross-libm floor-boundary hazard from probabilistic to
+# proven. (The r11 boundary probe CONFIRMED the hazard above 2^20: 2 of
+# 18k near-grid integers flip between Math.log and glibc ln.) The
+# 2^-20 u-resolution costs the sampler O(2^-20) inclusion-probability
+# bias — far below any statistical use — and ties stay deterministic
+# via the doc_id tie-break.
+ARES_LN_CAP = 13862943  # floor(1e6 * ln(2^20)): max of the lnh ladder
+ARES_U_SHIFT = 1 << 40  # 60-bit hash -> 20-bit u quantization
 
 
 def _ares_oracle() -> str:
@@ -7904,7 +7922,8 @@ def _ares_oracle() -> str:
              CAST(greatest(n_chars, 1) AS BIGINT) AS w,
              CAST((
                ({ARES_LN_CAP} -
-                CAST(floor(ln(CAST(({h}) + 1 AS DOUBLE)) * 1000000.0)
+                CAST(floor(ln(CAST(({h}) // {ARES_U_SHIFT} + 1 AS DOUBLE))
+                           * 1000000.0)
                      AS BIGINT)) * 1000000
              ) // greatest(n_chars, 1) AS BIGINT) AS key_scaled
       FROM documents
@@ -7929,12 +7948,15 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable scheme data-mixing pipelines use when quotas must come
     out exact-k rather than Bernoulli-thresholded
     (corpus_temperature_sample / domain_quota_sample are the rate
-    samplers; this is the reservoir). Integer form: with u = (h+1)/2^60
-    from hash60, maximizing u^(1/w) == minimizing (-ln u)/w ==
-    minimizing ((C - floor(1e6*ln(h+1))) * 1e6) // w where C =
-    floor(1e6*ln(2^60)) caps the ladder — every operand nonnegative, so
-    Spark DIV and DuckDB // agree and the sample is replay-stable and
-    oracle-exact (the DSIR fixed-point-ln contract).
+    samplers; this is the reservoir). Integer form: with
+    u = ((h >> 40) + 1)/2^20 from hash60 (20-bit quantization — see
+    ARES_LN_CAP for why that makes the ln floor-boundary EXHAUSTIVELY
+    provable instead of probabilistically safe), maximizing u^(1/w) ==
+    minimizing (-ln u)/w == minimizing
+    ((C - floor(1e6*ln((h>>40)+1))) * 1e6) // w with C =
+    floor(1e6*ln(2^20)) capping the ladder — every operand nonnegative,
+    so Spark DIV and DuckDB // agree and the sample is replay-stable
+    and oracle-exact (the DSIR fixed-point-ln contract).
 
     Scale shape: the key is map-side arithmetic on the scan; selection
     is a global top-k (TakeOrderedAndProject — O(k) memory per
@@ -7948,7 +7970,9 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("ares_"), F.col("doc_id").cast("string"))
     )
     lnh = F.floor(
-        F.log((h + F.lit(1)).cast("double")) * F.lit(1000000.0)
+        F.log(
+            (F.shiftright(h, 40) + F.lit(1)).cast("double")
+        ) * F.lit(1000000.0)
     ).cast("long")
     w = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
     keyed = d.select(
