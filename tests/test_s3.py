@@ -143,32 +143,75 @@ def test_remote_sqldump_restore_end_to_end(spark, tmp_path):
     assert len(set(rowids)) == 5, rowids
 
 
-def test_remote_compressed_sqldump_fails_fast_with_remedy(spark, tmp_path):
-    """Compressed remote dumps can't reserve row-id ranges (the divisor
-    bound needs the DECOMPRESSED size) — the driver must fail with the
-    remedy, not mid-scan."""
+def test_remote_gzip_sqldump_restores_via_spool(spark, tmp_path):
+    """r10 verdict item 6: a compressed REMOTE dump no longer fails
+    fast — it spools to the local cache through one driver stream
+    (reference reader.go parity) and restores through the local
+    machinery, with row-id bases from the DECOMPRESSED size."""
     import gzip
 
     d = str(tmp_path / "dump")
     write(f"{d}/rz-schema-create.sql", "CREATE DATABASE rz;")
     write(
         f"{d}/rz.t-schema.sql",
-        "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a));",
+        "CREATE TABLE t (a INT, b VARCHAR(10), PRIMARY KEY (a, b));",
     )
     write(
-        f"{d}/rz.t.sql.gz",
-        gzip.compress(b"INSERT INTO t VALUES (1, 'x');"),
+        f"{d}/rz.t.000.sql.gz",
+        gzip.compress(
+            b"INSERT INTO t VALUES (1, 'x'), (2, 'y');\n"
+            b"INSERT INTO t VALUES (3, NULL);\n"
+        ),
     )
+    # a second, PLAIN remote file keeps the mixed spooled+remote union
+    # and cross-file row-id disjointness honest
+    write(f"{d}/rz.t.001.sql", "INSERT INTO t VALUES (4, 'w');\n")
     src = _mount(spark, "tlssqlz", d)
     target = str(tmp_path / "wh")
     cfg = Config.from_toml(
         None, source_dir=src, target_dir=target, checkpoint_enable=False
     )
     rep = Restorer(spark, cfg).run()
-    (trep,) = [t for t in rep.tables if t.table == "t"]
-    assert trep.error is not None
-    assert "compressed SQL dumps on remote storage" in trep.error
-    assert "Decompress in place" in trep.error
+    assert rep.ok, [t.error for t in rep.tables]
+    out = spark.read.parquet(f"{target}/rz/t")
+    rows = {r["a"]: r["b"] for r in out.collect()}
+    assert rows == {1: "x", 2: "y", 3: None, 4: "w"}
+    rowids = [r["_tidb_rowid"] for r in out.collect()]
+    assert len(set(rowids)) == 4, rowids
+
+
+def test_remote_oversized_gb18030_dump_restores_via_spool(
+    spark, tmp_path, monkeypatch
+):
+    """r10 verdict item 6: an over-cap remote dump in a LEGACY charset
+    (the ranged reader is utf-8-only) spools + transcodes instead of
+    failing fast, and multi-byte values survive bit-exactly."""
+    from tidb_lightning_spark.sources import sqldump_source as M
+
+    d = str(tmp_path / "dump")
+    write(f"{d}/rg-schema-create.sql", "CREATE DATABASE rg;")
+    write(
+        f"{d}/rg.t-schema.sql",
+        "CREATE TABLE t (a INT, b VARCHAR(40), PRIMARY KEY (a));",
+    )
+    rows = {i: f"值{i}中文" for i in range(1, 31)}
+    body = "".join(
+        f"INSERT INTO t VALUES ({a}, '{b}');\n" for a, b in rows.items()
+    ).encode("gb18030")
+    write(f"{d}/rg.t.000.sql", body)
+    assert len(body) > 64
+    monkeypatch.setattr(M, "REMOTE_SQL_MAX_BYTES", 64)
+    src = _mount(spark, "tlssqlgb", d)
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=src, target_dir=target,
+        checkpoint_enable=False, character_set="gb18030",
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    out = spark.read.parquet(f"{target}/rg/t")
+    got = {r["a"]: r["b"] for r in out.collect()}
+    assert got == rows
 
 
 def test_remote_compressed_peek_is_explicit_error(spark, tmp_path):

@@ -1554,34 +1554,47 @@ class Restorer:
                 f.path for f in sql_files
                 if "://" in f.path and not f.path.startswith("file:")
             }
-            bad = sorted(
-                p for p in remote_set if sqldump_source._is_compressed(p)
-            )
-            if bad:
-                # fail FAST on the driver with the remedy: row-id range
-                # reservation needs the DECOMPRESSED text size (the
-                # divisor bound below), which only a full driver-side
-                # stream of the remote object could provide
-                raise IngestError(
-                    f"compressed SQL dumps on remote storage are not "
-                    f"supported ({bad[0]!r}): row-id reservation needs "
-                    "the decompressed size. Decompress in place, or copy "
-                    "the dump to shared/local storage (where compressed "
-                    "dumps are fully supported)."
-                )
-            # the Spark text reader is UTF-8-only: legacy-charset LOCAL
-            # dumps are stream-transcoded driver-side first (A10 — same
-            # contract as the CSV path; reader.go:39-69). Remote dumps
-            # skip the transcode: their content is decoded with the
-            # configured charset directly in the executor parser.
             import codecs as _codecs
 
             charset = _codecs.lookup(self.cfg.character_set or "utf-8").name
-            local_sql = [f for f in sql_files if f.path not in remote_set]
+            # Remote dumps the distributed readers can't take are
+            # SPOOLED to the local cache (one driver stream per file —
+            # the reference's own per-file reader pass,
+            # mydump/reader.go:39-118,140-179) and then flow through
+            # the local machinery, which handles any size, charset and
+            # compression:
+            #   - compressed remote dumps (row-id reservation needs the
+            #     DECOMPRESSED size, and compressed streams aren't
+            #     range-splittable anyway)
+            #   - legacy-charset remote dumps past the whole-file cap
+            #     (the ranged reader's Hadoop Text decode is utf-8-only)
+            spool = sorted(
+                p for p in remote_set if sqldump_source._is_compressed(p)
+            )
+            if charset not in ("utf-8", "ascii"):
+                cap = sqldump_source.REMOTE_SQL_MAX_BYTES
+                sizes = {f.path: f.file_size for f in sql_files}
+                spool += sorted(
+                    p for p in remote_set - set(spool)
+                    if sizes.get(p, 0) > cap
+                )
             actual = {f.path: f.path for f in sql_files}
+            if spool:
+                copies = csv_source.spool_remote_to_local(
+                    spool, self.spark
+                )
+                actual.update(zip(spool, copies))
+                remote_set -= set(spool)
+            # the Spark text reader is UTF-8-only: legacy-charset LOCAL
+            # dumps (including freshly spooled ones) are stream-
+            # transcoded driver-side first (A10 — same contract as the
+            # CSV path; reader.go:39-69). Remote dumps skip the
+            # transcode: their content is decoded with the configured
+            # charset directly in the executor parser.
+            local_sql = [f for f in sql_files if f.path not in remote_set]
             if charset not in ("utf-8", "ascii") and local_sql:
                 transcoded = csv_source.transcode_to_utf8(
-                    [f.path for f in local_sql], charset
+                    [actual[f.path] for f in local_sql], charset
                 )
                 actual.update(
                     zip((f.path for f in local_sql), transcoded)

@@ -200,6 +200,48 @@ def user_cache_dir(name: str) -> str:
     return d
 
 
+def spool_remote_to_local(paths: list[str], spark) -> list[str]:
+    """Driver-side byte-copy of remote objects into the per-user cache,
+    keyed by (path, length, mtime) via Hadoop FileStatus — the bridge
+    that lets remote dumps the distributed readers can't take (legacy
+    charsets past the whole-file cap, compressed SQL dumps) flow
+    through the LOCAL machinery (stream decompress, transcode,
+    statement-aligned splitting), which supports any size and charset.
+
+    Reference parity: lightning streams every remote file through one
+    storage-abstraction reader per file regardless of size or charset
+    (mydump/reader.go:39-118,140-179) — this is the same single-stream
+    pass, materialized so the local splitter can then do better than
+    the reference (it never splits .sql mid-file; our local path
+    does). Cost: one driver download per file, so pre-splitting dumps
+    (mydumper -F 256) or storing them uncompressed/utf-8 remains the
+    100 TB-preferred layout — those take the fully-distributed paths."""
+    import hashlib
+
+    cache = user_cache_dir("tls_remote_spool")
+    jvm = spark._jvm
+    out = []
+    for p in paths:
+        jpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        st = fs.getFileStatus(jpath)
+        key = hashlib.md5(
+            f"v1:{p}:{st.getLen()}:{st.getModificationTime()}".encode()
+        ).hexdigest()[:16]
+        dst = os.path.join(cache, f"{key}_{os.path.basename(p)}")
+        if not os.path.exists(dst):
+            tmp = dst + ".part"
+            with _HadoopStream(spark, p) as fin, open(tmp, "wb") as fout:
+                while True:
+                    chunk = fin.read(8 << 20)
+                    if not chunk:
+                        break
+                    fout.write(chunk)
+            os.replace(tmp, dst)
+        out.append(dst)
+    return out
+
+
 def materialize_lz4(paths: list[str]) -> list[str]:
     """Driver-side decompress fallback for .lz4 data files (A9 departure
     table: the reference rejects ALL compressed inputs, router.go:256-273;
