@@ -211,3 +211,48 @@ def test_ln_ladder_exhaustive_20bit(spark):
         f"{diffs.size} cross-libm floor flips in [1, 2^20], first k="
         f"{diffs[:5] + 1}"
     )
+
+
+def test_bpe_sampled_trainer_contract(spark, tmp_path):
+    """Sample-then-train BPE (the 100 TB steering contract): on a
+    margin-separated corpus — pair counts strictly ordered with gaps a
+    ~50% doc sample cannot erase — the sampled trainer reproduces the
+    full trainer's merge table EXACTLY. On the repo's synthetic fixture
+    (near-uniform pair counts, the adversarial case) the merge SET
+    still matches, with order swaps only at near-ties."""
+    from tidb_lightning_spark.plans import queries as Q
+
+    # every doc carries the same strictly-separated pair hierarchy:
+    # 'zq' (x8 per doc) > 'xw' (x4) > 'vk' (x2) ... any doc subset
+    # preserves the ranking, so sampled == full must hold exactly.
+    text = " ".join(["zq"] * 8 + ["xw"] * 4 + ["vk"] * 2 + ["jb"])
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, text + f" unique{i}", "en", "src", 1) for i in range(40)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def table(fn):
+        return [
+            (r["step"], r["left"], r["right"], r["merged"])
+            for r in fn(spark, d).collect()
+        ]
+
+    full = table(Q.bpe_train_merges)
+    samp = table(Q.bpe_train_merges_sampled)
+    assert full == samp, (full, samp)
+    # the separated pairs dominate the merge order
+    assert [m[3] for m in full][:3] == ["zq", "xw", "vk"]
+
+    # fixture corpus: set-equality (order may swap at count near-ties)
+    sf = "/root/testdata/sf0.001"
+    full_fx = [
+        (r["left"], r["right"])
+        for r in Q.bpe_train_merges(spark, sf).collect()
+    ]
+    samp_fx = [
+        (r["left"], r["right"])
+        for r in Q.bpe_train_merges_sampled(spark, sf).collect()
+    ]
+    assert set(full_fx) == set(samp_fx), (full_fx, samp_fx)
