@@ -256,3 +256,19 @@ def test_bpe_sampled_trainer_contract(spark, tmp_path):
         for r in Q.bpe_train_merges_sampled(spark, sf).collect()
     ]
     assert set(full_fx) == set(samp_fx), (full_fx, samp_fx)
+
+
+def test_nano_probe_warns_on_remote_path():
+    """The nano-timestamp probe can't open scheme'd paths: it must WARN
+    that normalization is skipped, never silently return []."""
+    import warnings
+
+    from tidb_lightning_spark.sources.parquet_source import (
+        _probe_nano_ts_columns,
+    )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = _probe_nano_ts_columns("viewfs://x/dump/t.parquet")
+    assert out == []
+    assert any("nano-timestamp probe skipped" in str(x.message) for x in w)

@@ -27,6 +27,26 @@ def _probe_nano_ts_columns(path: str) -> list[str]:
     import pyarrow.parquet as pq
     import pyarrow.types as pt
 
+    if "://" in path and not path.startswith("file:"):
+        # pyarrow can't open scheme'd (s3a/viewfs/hdfs) paths here, so
+        # the nano-timestamp probe is skipped — a remote table with
+        # int64-nano columns would read them as raw longs. Warn loudly
+        # instead of silently returning [] (r10 verdict hygiene nit);
+        # remedy: copy one footer locally or pre-normalize to micros.
+        import warnings
+
+        warnings.warn(
+            f"nano-timestamp probe skipped for remote parquet {path!r}: "
+            "TIMESTAMP(NANOS) columns there would surface as raw longs; "
+            "pre-normalize the table to microsecond timestamps or read "
+            "it from local/shared storage",
+            stacklevel=3,
+        )
+        return []
+    if path.startswith("file:"):
+        import re as _re
+
+        path = _re.sub("^file:/+", "/", path)
     probe = path
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
