@@ -8035,3 +8035,482 @@ def weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "w", "key_scaled", "rank")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: PMI collocations — integer-exact pointwise mutual information
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # noise floor: rare pairs have unstable PMI
+PMI_SCALE = 10**6
+PMI_TOPK = 25
+
+
+def _pmi_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    s = PMI_SCALE
+    return f"""
+    WITH tok AS (
+      SELECT {toks} AS t FROM documents
+    ), bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM tok, UNNEST(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+      FROM bg GROUP BY w1, w2
+    ), lft AS (
+      SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a FROM big GROUP BY w1
+    ), rgt AS (
+      SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b FROM big GROUP BY w2
+    ), tot AS (
+      SELECT CAST(sum(n_ab) AS BIGINT) AS nbb FROM big
+    ), scored AS (
+      SELECT big.w1, big.w2, big.n_ab, lft.n_a, rgt.n_b,
+             CAST(({s} * big.n_ab * tot.nbb) // (lft.n_a * rgt.n_b)
+                  AS BIGINT) AS lift_scaled
+      FROM big
+      JOIN lft USING (w1)
+      JOIN rgt USING (w2)
+      CROSS JOIN tot
+      WHERE big.n_ab >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, n_ab, n_a, n_b, lift_scaled, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        ORDER BY lift_scaled DESC, w1, w2) AS INT) AS rank
+      FROM scored
+    )
+    WHERE rank <= {PMI_TOPK}
+    ORDER BY rank
+    """
+
+
+@register("pmi_top_pairs", _pmi_oracle())
+def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the
+    association statistic (Church & Hanks 1990) that ranks "san
+    francisco" above "of the" where raw bigram frequency (top_bigrams)
+    cannot: PMI = log p(a,b)/(p(a)p(b)). Ranking is monotone in the
+    lift ratio, so the log never needs evaluating (vocab_top_df's
+    trick): lift_scaled = (1e6 * n_ab * Nbb) DIV (n_a * n_b) with
+    bigram-margin counts n_a/n_b (rows starting/ending with the word,
+    KN's lft/rgt shape) — pure nonnegative integer arithmetic, Spark
+    DIV == DuckDB //. Pairs under PMI_MIN_COUNT occurrences are
+    dropped (rare-pair PMI is noise — standard practice).
+
+    Overflow headroom: 1e6 * n_ab * Nbb needs n_ab * Nbb < 9.2e12; at
+    corpus scales beyond ~3e6 bigrams with hot pairs, swap the scored
+    expression for the equivalent two-step
+    ((1e6 * n_ab) DIV n_a) * Nbb DIV n_b (monotone enough for ranking)
+    or a DECIMAL(38) intermediate — the plan shape is unchanged.
+
+    Scale shape: text dies at the scan; the bigram table is the only
+    corpus-sized shuffle (map-side combinable); margins are vocab-sized
+    broadcasts; Nbb rides a broadcast one-row cross join; the top-k
+    window sorts the already-filtered scored table."""
+    s = PMI_SCALE
+    d = widen(spark, sf_dir, "documents")
+    t = TX.tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
+        ),
+    )
+    bg = d.select(
+        F.explode(
+            F.when(n >= 2, grams).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = D.cache_acquire(
+        bg.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).cast("long").alias("n_ab")
+        )
+    )
+    lft = big.groupBy("w1").agg(F.sum("n_ab").alias("n_a"))
+    rgt = big.groupBy("w2").agg(F.sum("n_ab").alias("n_b"))
+    tot = big.agg(F.sum("n_ab").alias("nbb"))
+    scored = (
+        big.filter(F.col("n_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(lft), "w1")
+        .join(F.broadcast(rgt), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n_ab", "n_a", "n_b",
+            F.expr(f"({s} * n_ab * nbb) DIV (n_a * n_b)")
+            .cast("long").alias("lift_scaled"),
+        )
+    )
+    w_rank = Window.orderBy(
+        F.col("lift_scaled").desc(), F.asc("w1"), F.asc("w2")
+    )
+    out = (
+        scored.withColumn(
+            "rank", F.row_number().over(w_rank).cast("int")
+        )
+        .filter(F.col("rank") <= PMI_TOPK)
+        .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_scaled", "rank")
+        .orderBy("rank")
+    )
+    out = D._unpersist_on_gc(out, big)
+    D.cache_release(big)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r11: KMV (k-minimum-values) distinct sketch with set operations
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+# 40-bit hash domain: (k-1) * M must fit int64 headroom in BOTH engines
+# (63 * 2^60 overflows; 63 * 2^40 is 7e13). KMV precision is governed
+# by k, not hash width — 40 bits leaves collision odds ~n^2/2^41,
+# negligible for any group a 64-value sketch summarizes meaningfully.
+KMV_M = 1 << 40
+
+
+def _kmv_oracle() -> str:
+    h = (
+        "("
+        + TX.sql_hash60("concat(CAST(user_id AS VARCHAR), ':kmv-v1')")
+        + ") // 1048576"
+    )
+    k, m = KMV_K, KMV_M
+    return f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type AS t, {h} AS h FROM events
+    ), sk AS (
+      SELECT t, h FROM (
+        SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+        FROM dh
+      ) WHERE rn <= {k}
+    ), est AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS k_used,
+             CAST(CASE WHEN count(*) < {k} THEN count(*)
+                  ELSE ({k} - 1) * {m} // max(h) END AS BIGINT) AS est
+      FROM sk GROUP BY t
+    ), pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b
+      FROM est a, est b WHERE a.t < b.t
+    ), u AS (
+      SELECT p.type_a, p.type_b, s.h,
+             max(CASE WHEN s.t = p.type_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN s.t = p.type_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.t IN (p.type_a, p.type_b)
+      GROUP BY p.type_a, p.type_b, s.h
+    ), uk AS (
+      SELECT type_a, type_b, h, in_a, in_b FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY type_a, type_b ORDER BY h) AS rn
+        FROM u
+      ) WHERE rn <= {k}
+    ), agg AS (
+      SELECT type_a, type_b,
+             CAST(count(*) AS BIGINT) AS k_used,
+             CAST(sum(in_a * in_b) AS BIGINT) AS inter_hits,
+             CAST(CASE WHEN count(*) < {k} THEN count(*)
+                  ELSE ({k} - 1) * {m} // max(h) END AS BIGINT)
+               AS est_union
+      FROM uk GROUP BY type_a, type_b
+    )
+    SELECT agg.type_a, agg.type_b, ea.est AS est_a, eb.est AS est_b,
+           agg.est_union, agg.inter_hits,
+           CAST(agg.inter_hits * agg.est_union // agg.k_used AS BIGINT)
+             AS est_inter
+    FROM agg
+    JOIN est ea ON ea.t = agg.type_a
+    JOIN est eb ON eb.t = agg.type_b
+    ORDER BY type_a, type_b
+    """
+
+
+@register("kmv_distinct_setops", _kmv_oracle())
+def kmv_distinct_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-style distinct sketches per event type WITH set
+    operations — the capability HLL (events_distinct_users_hll) lacks:
+    k-minimum-values sketches compose under union (the k smallest of
+    K(A) ∪ K(B) IS the union's sketch, Beyer et al. 2007), and the
+    Jaccard estimator |K(∪) ∩ K(A) ∩ K(B)| / k turns that into
+    intersection cardinalities — "how many users both viewed AND
+    clicked" from two 64-value summaries instead of a user-level join.
+    Everything is hash-deterministic integer arithmetic:
+    est = (k-1) * 2^40 DIV h_(k) (exact count when under k; the hash
+    is hash60 >> 20 so (k-1)*M keeps int64 headroom in both engines).
+
+    Scale shape: the only corpus-sized stage is the DISTINCT
+    (event_type, hash) aggregation — map-side combinable, one
+    exchange. The per-type k-min window partitions by event_type (few
+    groups; at true 100 TB skew, swap for a two-level partial k-min:
+    per-partition k smallest via sortWithinPartitions + limit, then
+    merge — the sketch property that makes that exact is the same
+    union-composability this query demonstrates). Everything after
+    operates on k·|types| rows — broadcast-sized."""
+    k, m = KMV_K, KMV_M
+    ev = load(spark, sf_dir, "events")
+    h = F.shiftright(
+        TX.hash60(
+            F.concat(F.col("user_id").cast("string"), F.lit(":kmv-v1"))
+        ),
+        20,
+    )
+    dh = ev.select(
+        F.col("event_type").alias("t"), h.alias("h")
+    ).distinct()
+    w_t = Window.partitionBy("t").orderBy("h")
+    sk = D.cache_acquire(
+        dh.withColumn("rn", F.row_number().over(w_t))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    est = sk.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("h").alias("kth"),
+    ).select(
+        "t",
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"({k} - 1) * {m} DIV kth"))
+        .cast("long")
+        .alias("est"),
+    )
+    types = sk.select("t").distinct()
+    pairs = (
+        types.alias("a")
+        .crossJoin(types.alias("b"))
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(
+            F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b")
+        )
+    )
+    u = (
+        pairs.join(
+            F.broadcast(sk),
+            (F.col("t") == F.col("type_a"))
+            | (F.col("t") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("t") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("t") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w_p = Window.partitionBy("type_a", "type_b").orderBy("h")
+    uk = (
+        u.withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= k)
+    )
+    agg = uk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias(
+            "inter_hits"
+        ),
+        F.max("h").alias("kth"),
+    ).select(
+        "type_a", "type_b", "k_used", "inter_hits",
+        F.when(F.col("k_used") < k, F.col("k_used"))
+        .otherwise(F.expr(f"({k} - 1) * {m} DIV kth"))
+        .cast("long")
+        .alias("est_union"),
+    )
+    ea = est.select(
+        F.col("t").alias("type_a"), F.col("est").alias("est_a")
+    )
+    eb = est.select(
+        F.col("t").alias("type_b"), F.col("est").alias("est_b")
+    )
+    out = (
+        agg.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .select(
+            "type_a", "type_b", "est_a", "est_b", "est_union",
+            "inter_hits",
+            F.expr("inter_hits * est_union DIV k_used")
+            .cast("long")
+            .alias("est_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+    out = D._unpersist_on_gc(out, sk)
+    D.cache_release(sk)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r11: PII detection / redaction audit
+# ---------------------------------------------------------------------------
+
+# patterns deliberately restricted to the Java-regex ∩ RE2 common subset
+# (no backrefs, no lookaround, explicit classes) so Spark and DuckDB
+# match identically
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_IDRUN_RE = "[0-9]{6,}"  # long digit runs: account/customer ids
+
+
+def _pii_oracle() -> str:
+    return f"""
+    WITH scrubbed AS (
+      SELECT c_mktsegment,
+             len(regexp_extract_all(c_name, '{PII_EMAIL_RE}'))
+               AS email_hits,
+             len(regexp_extract_all(c_name, '{PII_IPV4_RE}'))
+               AS ipv4_hits,
+             len(regexp_extract_all(c_name, '{PII_IDRUN_RE}'))
+               AS id_hits,
+             length(c_name)
+               - length(regexp_replace(regexp_replace(regexp_replace(
+                   c_name, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{PII_IPV4_RE}', '<IP>', 'g'),
+                   '{PII_IDRUN_RE}', '<ID>', 'g'))
+               AS delta
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(email_hits) AS BIGINT) AS email_hits,
+           CAST(sum(ipv4_hits) AS BIGINT) AS ipv4_hits,
+           CAST(sum(id_hits) AS BIGINT) AS id_hits,
+           CAST(sum(CASE WHEN email_hits + ipv4_hits + id_hits > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rows_with_pii,
+           CAST(sum(delta) AS BIGINT) AS chars_delta
+    FROM scrubbed
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """
+
+
+@register("pii_scrub_stats", _pii_oracle())
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit — the pre-training scrub pass
+    every serious corpus pipeline runs (C4/CCNet strip emails, IPs and
+    long identifier runs before anything trains on the text): counts
+    per pattern class, rows carrying any hit, and the exact character
+    delta the replacement (<EMAIL>/<IP>/<ID>) would apply, grouped by
+    segment. Patterns live in the Java-regex ∩ RE2 common subset so
+    both engines tokenize identically; on this fixture only the
+    digit-run class fires (customer ids) — the email/ipv4 counters are
+    the same surface with zero hits, which the oracle verifies rather
+    than assumes.
+
+    Scale shape: pure map-side regexp work fused into the scan
+    (whole-stage codegen), one exchange for the segment rollup with
+    map-side partial sums. Redaction itself is the same expressions
+    minus the aggregation — a map-only rewrite at any scale."""
+    c = load(spark, sf_dir, "customer")
+    hits = lambda pat: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("c_name"), F.lit(pat), F.lit(0))
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("c_name"), PII_EMAIL_RE, "<EMAIL>"
+            ),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_IDRUN_RE,
+        "<ID>",
+    )
+    per = c.select(
+        "c_mktsegment",
+        hits(PII_EMAIL_RE).alias("email_hits"),
+        hits(PII_IPV4_RE).alias("ipv4_hits"),
+        hits(PII_IDRUN_RE).alias("id_hits"),
+        (F.length("c_name") - F.length(scrub)).alias("delta"),
+    )
+    return (
+        per.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("email_hits").cast("long").alias("email_hits"),
+            F.sum("ipv4_hits").cast("long").alias("ipv4_hits"),
+            F.sum("id_hits").cast("long").alias("id_hits"),
+            F.sum(
+                F.when(
+                    F.col("email_hits")
+                    + F.col("ipv4_hits")
+                    + F.col("id_hits")
+                    > 0,
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("rows_with_pii"),
+            F.sum("delta").cast("long").alias("chars_delta"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: tokenizer fertility by source — BPE evaluation rollup
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle() -> str:
+    return f"""
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e.n_words) AS BIGINT) AS n_words,
+           CAST(sum(e.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN sum(e.n_words) > 0
+                THEN 1000 * sum(e.n_tokens) // sum(e.n_words)
+                ELSE 0 END AS BIGINT) AS fertility_x1000,
+           CAST(CASE WHEN sum(e.n_tokens) > 0
+                THEN 1000 * sum(e.n_chars) // sum(e.n_tokens)
+                ELSE 0 END AS BIGINT) AS chars_per_token_x1000
+    FROM ({_bpe_encode_oracle()}) e
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """
+
+
+@register("bpe_fertility_by_source", _bpe_fertility_oracle())
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit — the evaluation every tokenizer change
+    ships with: per corpus source, BPE tokens per word (fertility) and
+    characters per BPE token (compression), in exact x1000 fixed point.
+    High fertility on a source means the vocabulary undertrains on it
+    (the classic multilingual-tokenizer failure); pipelines use exactly
+    this rollup to rebalance training mixes or grow merges. Composes
+    bpe_encode_corpus (train + encode, fuzz-proven replace semantics)
+    with a source join — the oracle nests the full encode oracle the
+    same way, so the whole lifecycle is hash-verified end to end.
+
+    Scale shape: adds one broadcast-sized (doc_id, source) join and a
+    |sources|-row rollup on top of the encode plan; all the heavy
+    lifting is the encode chain's k map-only replaces."""
+    enc = bpe_encode_corpus(spark, sf_dir)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    j = enc.join(src, "doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source", "n_docs", "n_words", "n_chars", "n_tokens",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("1000 * n_tokens DIV n_words"),
+            ).otherwise(F.lit(0)).cast("long").alias("fertility_x1000"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("1000 * n_chars DIV n_tokens"),
+            ).otherwise(F.lit(0)).cast("long").alias(
+                "chars_per_token_x1000"
+            ),
+        )
+        .orderBy("source")
+    )
