@@ -272,3 +272,67 @@ def test_nano_probe_warns_on_remote_path():
         out = _probe_nano_ts_columns("viewfs://x/dump/t.parquet")
     assert out == []
     assert any("nano-timestamp probe skipped" in str(x.message) for x in w)
+
+
+def test_langid_trigram_discriminates_planted_languages(spark, tmp_path):
+    """Trainable trigram language ID: on genuinely different languages
+    the learned profiles classify every doc correctly (perfect
+    confusion-matrix diagonal), including held-out-style docs that
+    share vocabulary with their language's training mates."""
+    from tidb_lightning_spark.plans import queries as Q
+
+    en = "the quick brown fox jumps over the lazy dog and runs away"
+    de = "der schnelle braune fuchs springt über den faulen hund weg"
+    fr = "le renard brun rapide saute par dessus le chien paresseux"
+    rows = []
+    i = 0
+    for lang, base in (("en", en), ("de", de), ("fr", fr)):
+        for k in range(4):
+            rows.append((i, (base + " ") * 3 + base.split()[k], lang))
+            i += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, lang, "src", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        (r["lang"], r["predicted"]): r["n_docs"]
+        for r in Q.langid_trigram_vote(spark, d).collect()
+    }
+    assert out == {("en", "en"): 4, ("de", "de"): 4, ("fr", "fr"): 4}, out
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
+    """Directional containment: a short excerpt embedded in a much
+    longer article passes the containment join (C = 1) in exactly one
+    direction while the SAME pair fails the Jaccard join (J small as
+    the container grows) — the asymmetric-duplicate class this
+    operator exists for."""
+    from tidb_lightning_spark.plans import queries as Q
+
+    excerpt = " ".join(f"quote{i}" for i in range(12))
+    filler = " ".join(f"body{i}" for i in range(60))
+    rows = [
+        (1, excerpt, "en"),
+        (2, filler + " " + excerpt + " " + filler, "en"),
+        (3, " ".join(f"other{i}" for i in range(30)), "en"),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, lang, "src", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    cont = {
+        (r["contained"], r["container"]): r["cont_scaled"]
+        for r in Q.containment_join_pairs(spark, d).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == Q.CONT_SCALE  # fully inside
+    assert (2, 1) not in cont  # direction matters
+    assert not any(3 in p for p in cont)
+    jacc = {
+        (r["a"], r["b"])
+        for r in Q.setjoin_prefix_jaccard(spark, d).collect()
+    }
+    assert (1, 2) not in jacc and (2, 1) not in jacc

@@ -8514,3 +8514,278 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: trainable character-trigram language ID
+# ---------------------------------------------------------------------------
+
+LANGID_TOP_M = 40  # profile size: top trigrams kept per language
+
+
+def _langid_oracle() -> str:
+    m = LANGID_TOP_M
+    return f"""
+    WITH tri AS (
+      SELECT doc_id, lang, substr(lower(text), i, 3) AS g
+      FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)
+      WHERE length(text) >= 3
+    ), prof AS (
+      SELECT lang AS plang, g,
+             CAST({m} + 1 - rnk AS BIGINT) AS wgt
+      FROM (
+        SELECT lang, g, row_number() OVER (
+          PARTITION BY lang ORDER BY count(*) DESC, g) AS rnk
+        FROM tri GROUP BY lang, g
+      ) WHERE rnk <= {m}
+    ), dg AS (
+      SELECT DISTINCT doc_id, g FROM tri
+    ), score AS (
+      SELECT dg.doc_id, prof.plang,
+             CAST(sum(prof.wgt) AS BIGINT) AS s
+      FROM dg JOIN prof USING (g)
+      GROUP BY dg.doc_id, prof.plang
+    ), pred AS (
+      SELECT doc_id, plang AS predicted FROM (
+        SELECT doc_id, plang, row_number() OVER (
+          PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+        FROM score
+      ) WHERE rn = 1
+    )
+    SELECT d.lang, coalesce(p.predicted, 'und') AS predicted,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN pred p USING (doc_id)
+    GROUP BY d.lang, coalesce(p.predicted, 'und')
+    ORDER BY lang, predicted
+    """
+
+
+@register("langid_trigram_vote", _langid_oracle())
+def langid_trigram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINABLE character-trigram language ID (Cavnar & Trenkle 1994
+    n-gram profiles — the langid.py/CLD family's core), train + apply
+    in one plan: per-language profiles are the top-M trigrams by count
+    from the corpus's own labeled docs, each doc votes by rank-weighted
+    profile overlap (integer weights M+1-rank over its DISTINCT
+    trigrams, ties to the alphabetically first language), and the
+    output is the confusion matrix against the given labels — the
+    audit that tells a pipeline whether its lang metadata can be
+    trusted. Complements functions.text.lang_id (fixed stopword lists):
+    this one learns its profiles from the data, so it works for any
+    label set. tests/test_round11_fixes.py proves real discrimination
+    on planted multilingual text; the synthetic fixture's single-
+    vocabulary corpus exercises determinism, not accuracy.
+
+    Scale shape: trigrams reduce map-side to (lang, g) and (doc, g)
+    counts; profiles are |langs|*M rows — broadcast into the scoring
+    join; the per-doc argmax window partitions by doc_id. Text never
+    leaves the scan stage."""
+    m = LANGID_TOP_M
+    d = load(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    tri = d.filter(F.length("text") >= 3).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(lower) - 2),
+                lambda i: F.substr(lower, i, F.lit(3)),
+            )
+        ).alias("g"),
+    )
+    tri = D.cache_acquire(tri)
+    w_l = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.asc("g")
+    )
+    prof = (
+        tri.groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rnk", F.row_number().over(w_l))
+        .filter(F.col("rnk") <= m)
+        .select(
+            F.col("lang").alias("plang"),
+            "g",
+            (F.lit(m + 1) - F.col("rnk")).cast("long").alias("wgt"),
+        )
+    )
+    dg = tri.select("doc_id", "g").distinct()
+    score = (
+        dg.join(F.broadcast(prof), "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.sum("wgt").cast("long").alias("s"))
+    )
+    w_d = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.asc("plang")
+    )
+    pred = (
+        score.withColumn("rn", F.row_number().over(w_d))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("predicted"))
+    )
+    out = (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id", "left")
+        .select(
+            "lang",
+            F.coalesce(F.col("predicted"), F.lit("und")).alias(
+                "predicted"
+            ),
+        )
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+    out = D._unpersist_on_gc(out, tri)
+    D.cache_release(tri)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# r11: exact containment self-join — asymmetric near-dup detection
+# ---------------------------------------------------------------------------
+
+CONT_TAU_NUM, CONT_TAU_DEN = 4, 5  # containment threshold tau = 4/5
+CONT_SCALE = 10**6
+
+
+def _containment_oracle() -> str:
+    t = f"list_filter(string_split_regex(text, '{TX.TOKEN_WS}'), x -> x != '')"
+    k = D.SHINGLE_K
+    parts = " || ' ' || ".join(f"t[i+{off}]" for off in range(k))
+    num, den = CONT_TAU_NUM, CONT_TAU_DEN
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, text AS txt, {t} AS t FROM documents
+    ), shl AS (
+      SELECT doc_id, CASE WHEN len(t) >= {k} THEN
+        list_transform(range(1, len(t) - {k - 2}), i -> {parts})
+        ELSE [txt] END AS sh FROM tk
+    ), sh AS (
+      SELECT DISTINCT doc_id, unnest(sh) AS tok FROM shl
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY tok
+    ), ranked AS (
+      SELECT s.doc_id, s.tok,
+             row_number() OVER (
+               PARTITION BY s.doc_id ORDER BY d.df, s.tok) AS rn,
+             count(*) OVER (PARTITION BY s.doc_id) AS n
+      FROM sh s JOIN dfreq d ON d.tok = s.tok
+    ), pfx AS (
+      SELECT doc_id, tok FROM ranked
+      WHERE rn <= n - (({num} * n + {den - 1}) // {den}) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM pfx a JOIN sh b ON a.tok = b.tok AND a.doc_id != b.doc_id
+    ), sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS i
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.a
+      JOIN sh tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+      GROUP BY c.a, c.b
+    )
+    SELECT contained, container, n_a, n_b, n_common, cont_scaled
+    FROM (
+      SELECT i.a AS contained, i.b AS container,
+             za.n AS n_a, zb.n AS n_b, i.i AS n_common,
+             CAST(({CONT_SCALE} * i.i) // za.n AS BIGINT) AS cont_scaled
+      FROM inter i
+      JOIN sz za ON za.doc_id = i.a
+      JOIN sz zb ON zb.doc_id = i.b
+      WHERE {den} * i.i >= {num} * za.n
+    )
+    ORDER BY cont_scaled DESC, contained, container
+    """
+
+
+@register("containment_join_pairs", _containment_oracle())
+def containment_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directional containment self-join at tau = 4/5 over word
+    3-shingle sets: pairs where |A ∩ B| / |A| >= tau — doc A's content
+    is mostly INSIDE doc B. This catches the asymmetric duplicates a
+    Jaccard join (setjoin_prefix_jaccard) structurally misses: a quote
+    embedded in a longer article, a page plus boilerplate, an excerpt
+    — J = |∩|/|∪| dives as B grows while containment stays at 1.
+    Candidate generation uses the ASYMMETRIC prefix theorem: if B holds
+    >= ceil(tau*|A|) of A's elements, B intersects EVERY
+    (|A| - ceil(tau*|A|) + 1)-subset of A — so A's df-rarest prefix
+    joins against B's FULL shingle set and no qualifying pair is
+    missed. Integer forms throughout (rn <= n - ((4n+4) // 5) + 1;
+    5*i >= 4*n_a; 10^6 fixed-point containment), so the join
+    hash-matches DuckDB.
+
+    Scale shape: same cached per-doc sorted-set base as the Jaccard
+    join (array_distinct in the scan, one doc_id window for df ranks);
+    candidates shuffle on A's RAREST shingles against the full posting
+    list — the prefix-vs-full join is containment's inherent extra
+    cost over prefix-vs-prefix, bounded by the prefix shingles' df
+    (rare by construction); verification intersects the two cached
+    arrays per pair, shuffling |cand| rows. AQE decides broadcasts."""
+    num, den = CONT_TAU_NUM, CONT_TAU_DEN
+    d = widen(spark, sf_dir, "documents")
+    base = D.cache_acquire(
+        d.select(
+            "doc_id",
+            F.sort_array(
+                F.array_distinct(D.shingles(F.col("text")))
+            ).alias("s"),
+        )
+    )
+    sh = base.select("doc_id", F.explode("s").alias("tok"))
+    dfreq = sh.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w_doc = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "tok").select(
+        "doc_id", "tok",
+        F.row_number().over(w_doc.orderBy("df", "tok")).alias("rn"),
+        F.count(F.lit(1)).over(w_doc).alias("n"),
+    )
+    pfx = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + 1
+    ).select("doc_id", "tok")
+    cand = (
+        pfx.select(F.col("doc_id").alias("a"), "tok")
+        .join(sh.select(F.col("doc_id").alias("b"), "tok"), "tok")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            base.select(
+                F.col("doc_id").alias("a"), F.col("s").alias("sa")
+            ),
+            "a",
+        )
+        .join(
+            base.select(
+                F.col("doc_id").alias("b"), F.col("s").alias("sb")
+            ),
+            "b",
+        )
+        .select(
+            "a", "b",
+            F.size("sa").cast("long").alias("n_a"),
+            F.size("sb").cast("long").alias("n_b"),
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("i"),
+        )
+    )
+    out = (
+        inter.filter(F.lit(den) * F.col("i") >= F.lit(num) * F.col("n_a"))
+        .select(
+            F.col("a").alias("contained"),
+            F.col("b").alias("container"),
+            "n_a", "n_b",
+            F.col("i").alias("n_common"),
+            F.expr(f"({CONT_SCALE} * i) DIV n_a")
+            .cast("long")
+            .alias("cont_scaled"),
+        )
+        .orderBy(F.col("cont_scaled").desc(), "contained", "container")
+    )
+    out = D._unpersist_on_gc(out, base)
+    D.cache_release(base)
+    return out
