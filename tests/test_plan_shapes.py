@@ -522,3 +522,61 @@ def test_ares_topk_no_global_sort(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "TakeOrderedAndProject" in plan
     assert n_exchanges(plan) <= 1
+
+
+def test_pmi_single_scan_broadcast_stats(spark):
+    """pmi_top_pairs (r11): the bigram table is cached (ONE parquet
+    scan feeds it); margins broadcast; the one-row total is a broadcast
+    nest-loop, never a SortMergeJoin or cartesian shuffle."""
+    plan = plan_of(spark, "pmi_top_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert n_exchanges(plan) <= 5
+
+
+def test_kmv_single_distinct_exchange_then_tiny(spark):
+    """kmv_distinct_setops (r11): the only corpus-sized work is the
+    DISTINCT (type, hash) agg (map-side combinable); everything after
+    operates on k*|types| cached rows with broadcast joins."""
+    plan = plan_of(spark, "kmv_distinct_setops")
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+
+
+def test_pii_scrub_is_map_side_plus_one_exchange(spark):
+    """pii_scrub_stats (r11): regexp work fuses into the scan inside
+    whole-stage codegen; the segment rollup is the only exchange pair
+    (partial + final)."""
+    plan = plan_of(spark, "pii_scrub_stats")
+    assert "Join" not in plan, "pii scrub must be join-free map work"
+    assert n_exchanges(plan) <= 2, plan
+    schema_line = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "c_acctbal" not in schema_line, (
+        "column pruning lost: only c_name + c_mktsegment are read"
+    )
+
+
+def test_langid_profiles_broadcast(spark):
+    """langid_trigram_vote (r11): the trigram explode is cached (one
+    corpus scan feeds profile training AND doc scoring); the
+    |langs|*M profile broadcasts into the scoring join — no
+    sort-merge legs on the corpus-sized side."""
+    plan = plan_of(spark, "langid_trigram_vote")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_containment_no_posting_list_reexplode(spark):
+    """containment_join_pairs (r11): verification joins candidate pairs
+    against the two cached set ARRAYS (array_intersect in-task), never
+    re-exploding posting lists; one parquet scan feeds the cached
+    base."""
+    plan = plan_of(spark, "containment_join_pairs")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "InMemoryTableScan" in plan
+    assert "array_intersect" in plan
