@@ -35,66 +35,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds old), stalest first, prepending anything whose
 # implementation changed this round. The union of any two consecutive
 # rounds then covers the full registry with no entry older than one
-# round. Current window (r10): the 16 NEW r10 operators first, then the
-# registry minus CORRECTNESS_r09's 50 — all last driver-checked in r8,
-# all green in tests/test_oracle_parity.py (the identical DuckDB
-# compare). 16 + 49 > the ~50-slot window, so the ~15 tail names stay
-# at r8 vintage until r11 — with a growing registry the two-round union
-# can no longer cover everything; the rule degrades to "new first, then
-# stalest", which is the right priority order.
+# round. Current window (r11): the 10 new/changed r11 entries first,
+# then the 15 r8-vintage names the r10 verdict called out, then 25 of
+# the 50 r9-vintage names — all green in tests/test_oracle_parity.py
+# (the identical DuckDB compare). The remaining ~25 r9-vintage names
+# rotate in at r12; with a 122-entry registry the rule is "new first,
+# then stalest", the right priority order.
 _DRIVER_PRIORITY = [
-    # new in r10 — grade first
-    "weighted_sample_ares",
-    "events_trailing_1h",
-    "profile_orders",
-    "events_grouping_sets",
-    "basket_lift_pairs",
-    "setjoin_prefix_jaccard",
-    "attribution_linear_touch",
-    "textrank_keywords",
+    # r11 NEW or CHANGED this round — grade first (kn_bigram_lm was
+    # the r10 red row, now integer-exact; weighted_sample_ares moved
+    # to the 20-bit exhaustively-proven ln ladder; bpe_train_merges
+    # refactored for the sampled twin)
     "kn_bigram_lm",
-    "scd2_user_state",
-    "dedup_exact_substrings",
-    "semdedup_prune",
-    "dsir_importance_select",
-    "ccnet_perplexity_buckets",
-    "bpe_encode_corpus",
-    "bm25_retrieval_topk",
-    # registry minus CORRECTNESS_r09 (last checked r8), stalest-first
-    "bpe_merge_pair_stats",
+    "weighted_sample_ares",
+    "bpe_train_merges_sampled",
+    "pmi_top_pairs",
+    "kmv_distinct_setops",
+    "pii_scrub_stats",
+    "bpe_fertility_by_source",
+    "langid_trigram_vote",
+    "containment_join_pairs",
     "bpe_train_merges",
-    "checksum_lineitem",
-    "corpus_clean_pipeline",
-    "corpus_mixture_schedule",
-    "corpus_temperature_sample",
-    "corpus_zipf_profile",
-    "customer_rfm_segments",
-    "customer_rfm_segments_hist",
-    "customers_without_orders",
-    "dedup_bloom_prefilter",
-    "dedup_exact_documents",
-    "doc_novelty_vs_reference",
-    "doc_rare_tokens",
-    "doc_top_terms_tficf",
-    "doc_winnow_profile",
-    "embedding_int8_recall",
-    "embedding_rp_recall",
-    "events_distinct_users_hll",
-    "events_distinct_users_hll_merged",
-    "events_hourly_dense",
-    "events_hourly_rollup",
-    "events_sessionize",
-    "funnel_signup_4stage",
-    "funnel_view_click_purchase",
-    "knn_cosine_bruteforce",
-    "knn_cosine_ivf",
-    "knn_cosine_lsh",
-    "minhash_signatures",
-    "near_dup_clusters",
-    "near_dup_embeddings",
-    "near_dup_embeddings_lsh",
-    "near_dup_minhash_lsh",
-    "near_dup_winnow_pairs",
+    # the 15 r8-vintage entries (r10 verdict item 3): stalest in the
+    # registry — no driver check since r8
     "ngram_jaccard_vs_first_doc",
     "purchase_window_event_counts",
     "q1_pricing_summary",
@@ -110,6 +73,33 @@ _DRIVER_PRIORITY = [
     "top_tokens_cms",
     "vocab_top_df",
     "window_user_events",
+    # r9-vintage fill for the rest of the ~50-slot window; the
+    # remainder of the r9 cohort rotates in next round
+    "user_key_set_ops",
+    "asof_latest_order_per_event",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "events_json_props",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_or_predicates",
+    "q22_idle_balance",
+    "events_pivot_by_type",
+    "cube_orders_status_priority",
+    "quantiles_by_returnflag",
+    "quantiles_by_returnflag_hist",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_promotion_suppliers",
 ]
 
 
