@@ -336,3 +336,24 @@ def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
         for r in Q.setjoin_prefix_jaccard(spark, d).collect()
     }
     assert (1, 2) not in jacc and (2, 1) not in jacc
+
+
+def test_hard_negatives_respect_band(spark):
+    """Hard-negative mining: every mined pair's cosine sits inside
+    [floor, ceiling]; pairs the plain ANN ranks above the ceiling
+    (likely positives/duplicates) are excluded."""
+    from tidb_lightning_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    lo, hi = Q.HN_BAND
+    hard = Q.hard_negative_mining(spark, sf).collect()
+    assert hard, "band too narrow: no negatives mined on the fixture"
+    assert all(lo <= r["cosine"] <= hi for r in hard)
+    knn = Q.knn_cosine_ivf(spark, sf).collect()
+    above = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn if r["cosine"] > hi
+    }
+    assert above, "fixture sanity: some true-positive-like pairs exist"
+    mined = {(r["query_id"], r["neighbor_id"]) for r in hard}
+    assert not (mined & above)

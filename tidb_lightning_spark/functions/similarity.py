@@ -152,6 +152,7 @@ def knn_lsh(
     k: int = 5,
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
+    sim_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """ANN top-k: a candidate shares all `n_planes` sign bits of at least
     one of the `n_tables` hash tables; exact cosine re-ranks candidates.
@@ -202,6 +203,14 @@ def knn_lsh(
     pairs = scored.groupBy("query_id", "neighbor_id").agg(
         F.max("sim").alias("sim")
     )
+    if sim_band is not None:
+        # hard-negative band: keep candidates whose similarity sits
+        # between the easy floor and the positive ceiling; the compare
+        # is on the same bit-stable double the ranking already trusts
+        lo, hi = sim_band
+        pairs = pairs.filter(
+            (F.col("sim") >= F.lit(lo)) & (F.col("sim") <= F.lit(hi))
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -623,6 +632,7 @@ def knn_ivf(
     n_lists: int = N_LISTS,
     n_probe: int = N_PROBE,
     centroids: list[list[float]] | None = None,
+    sim_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: corpus vectors live in their nearest-centroid list;
     each query probes its n_probe closest lists and exact-cosine re-ranks
@@ -679,6 +689,14 @@ def knn_ivf(
             "sim"
         ),
     )
+    if sim_band is not None:
+        # hard-negative band: keep candidates whose similarity sits
+        # between the easy floor and the positive ceiling; the compare
+        # is on the same bit-stable double the ranking already trusts
+        lo, hi = sim_band
+        pairs = pairs.filter(
+            (F.col("sim") >= F.lit(lo)) & (F.col("sim") <= F.lit(hi))
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -697,6 +715,7 @@ def sql_knn_ivf(
     n_lists: int = N_LISTS,
     n_probe: int = N_PROBE,
     iters: int = KMEANS_ITERS,
+    sim_band: tuple[float, float] | None = None,
 ) -> str:
     """DuckDB twin of knn_ivf — the FULL pipeline including k-means
     training, not a reference answer. Replayable because every step is
@@ -704,6 +723,8 @@ def sql_knn_ivf(
 
     - seeds: the n_lists vectors with the smallest md5(id) — identical
       lowercase-hex ordering in both engines;
+    - sim_band, when given, filters candidates to [lo, hi] before
+      ranking — the hard-negative-mining face;
     - assignment distance: ||c||^2 - 2*dot(v,c), where dot is the same
       left-to-right fold in Catalyst, Python (centroid constants) and
       DuckDB's list_dot_product (parity established by sql_knn_lsh);
@@ -716,6 +737,11 @@ def sql_knn_ivf(
     The `iters` Lloyd iterations are unrolled as CTE pairs
     (assign -> quantized means), mirroring the driver loop."""
     prefix = _sql_kmeans_prefix(table, id_col, vec_col, dim, n_lists, iters)
+    band = (
+        f" WHERE sim >= {sim_band[0]!r} AND sim <= {sim_band[1]!r}"
+        if sim_band is not None
+        else ""
+    )
     return f"""{prefix},
     bkt AS (
       SELECT id, e, sqrt(list_dot_product(e, e)) AS norm FROM v
@@ -742,7 +768,7 @@ def sql_knn_ivf(
       SELECT query_id, neighbor_id, sim,
              row_number() OVER (
                PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-      FROM scored
+      FROM scored{band}
     )
     SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
            round(sim, 4) AS cosine

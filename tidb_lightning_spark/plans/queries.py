@@ -8789,3 +8789,133 @@ def containment_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = D._unpersist_on_gc(out, base)
     D.cache_release(base)
     return out
+
+
+# ---------------------------------------------------------------------------
+# r11: overlapping chunk windows — retrieval/RAG chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 128  # tokens per chunk
+CHUNK_S = 96   # stride (overlap = W - S = 32 tokens)
+
+
+def _chunk_oracle() -> str:
+    toks = TX.SQL_TOKENS.format(col="lower(text)")
+    w, s = CHUNK_W, CHUNK_S
+    fp = TX.sql_hash60("array_to_string(t[st:st + n_tok - 1], ' ')")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {toks} AS t FROM documents
+    ), starts AS (
+      SELECT doc_id, t, CAST(st AS BIGINT) AS st,
+             CAST(least({w}, len(t) - st + 1) AS BIGINT) AS n_tok
+      FROM tok, UNNEST(range(1, greatest(len(t), 1) + 1, {s})) AS u(st)
+      WHERE len(t) >= 1
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY st) AS INT) AS chunk_index,
+           st AS start_tok, n_tok,
+           {fp} AS chunk_fp
+    FROM starts
+    ORDER BY doc_id, start_tok
+    """
+
+
+@register("doc_chunk_windows", _chunk_oracle())
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the retrieval/RAG
+    preprocessing step (chunk to W=128 tokens, stride 96, 32-token
+    overlap so no passage straddles a boundary unseen): every chunk's
+    (doc, index, start, length) plus a 60-bit content fingerprint, the
+    join key an embedding or BM25 index builds on. The window grid is
+    pure integer arithmetic (sequence with stride in both engines) and
+    the fingerprint hashes the exact token slice, so chunk identity is
+    replay-stable — re-chunking a grown corpus reproduces old chunk
+    ids bit-for-bit (what makes incremental index refresh possible).
+
+    Scale shape: map-only — tokenize, stride-sequence, slice and hash
+    inside one codegen stage; the only exchange is the presentation
+    sort. Chunk text itself never materializes in the output (the
+    fingerprint stands in); a downstream embedder reads the slice
+    lazily via (doc_id, start_tok, n_tok)."""
+    w, s = CHUNK_W, CHUNK_S
+    d = load(spark, sf_dir, "documents")
+    t = TX.tokens(F.lower(F.col("text")))
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 1)
+    st = F.explode(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(s)
+        )
+    ).alias("st")
+    chunks = base.select("doc_id", "t", st).select(
+        "doc_id",
+        "t",
+        F.col("st").cast("long").alias("st"),
+        F.least(F.lit(w), F.size("t") - F.col("st") + 1)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    fp = TX.hash60(
+        F.array_join(
+            F.slice(F.col("t"), F.col("st"), F.col("n_tok")), " "
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("st")
+    return (
+        chunks.select(
+            "doc_id",
+            F.row_number().over(w_doc).cast("int").alias("chunk_index"),
+            F.col("st").alias("start_tok"),
+            "n_tok",
+            fp.alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "start_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11: hard-negative mining — contrastive-training band retrieval
+# ---------------------------------------------------------------------------
+
+HN_BAND = (0.25, 0.45)  # (easy floor, positive ceiling) on cosine
+HN_K = 5
+
+
+def _hard_negative_oracle() -> str | None:
+    if _corpus_dim() != 64:
+        return None
+    from tidb_lightning_spark.functions.similarity import sql_knn_ivf
+
+    return sql_knn_ivf(
+        "embeddings", "vec_id", "embedding", "v.id < 10",
+        dim=64, k=HN_K, n_lists=8, n_probe=3, iters=2,
+        sim_band=HN_BAND,
+    )
+
+
+@register("hard_negative_mining", _hard_negative_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    recipe): for each query, the top-k candidates whose cosine falls in
+    a BAND — below the positive ceiling (too similar = likely a true
+    positive/duplicate, poisonous as a negative) and above the easy
+    floor (random negatives teach nothing). Rides the IVF ANN path, so
+    mining cost is the ANN probe, not a corpus scan per query; the
+    DuckDB oracle replays the full pipeline (k-means training included)
+    with the same band filter.
+
+    Scale shape: identical to knn_cosine_ivf — one corpus scan
+    attaches list ids (centroids broadcast), queries broadcast, exact
+    cosine only on probed candidates; the band is a filter on the
+    already-computed similarity, adding zero exchanges. At true 100 TB
+    the band would ALSO be the top-k guard against dense near-dup
+    regions (ANN-mined negatives must dodge the duplicate cloud —
+    exactly what the ceiling does)."""
+    from tidb_lightning_spark.functions.similarity import knn_ivf
+
+    e = load(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        e, "vec_id", "embedding", lambda c: c < 10,
+        k=HN_K, n_lists=8, n_probe=3, sim_band=HN_BAND,
+    )
