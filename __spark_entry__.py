@@ -55,6 +55,8 @@ _DRIVER_PRIORITY = [
     "bpe_fertility_by_source",
     "langid_trigram_vote",
     "containment_join_pairs",
+    "doc_chunk_windows",
+    "hard_negative_mining",
     "bpe_train_merges",
     # the 15 r8-vintage entries (r10 verdict item 3): stalest in the
     # registry — no driver check since r8
