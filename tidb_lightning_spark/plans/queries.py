@@ -8576,24 +8576,28 @@ def langid_trigram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     on planted multilingual text; the synthetic fixture's single-
     vocabulary corpus exercises determinism, not accuracy.
 
-    Scale shape: trigrams reduce map-side to (lang, g) and (doc, g)
-    counts; profiles are |langs|*M rows — broadcast into the scoring
-    join; the per-doc argmax window partitions by doc_id. Text never
-    leaves the scan stage."""
+    Scale shape: the per-doc trigram ARRAY is built once in the scan
+    and cached (one corpus scan feeds profile training AND scoring);
+    per-doc dedup is array_distinct IN the scan task (the setjoin
+    trick — a global DISTINCT would shuffle the whole exploded corpus
+    to dedupe rows already co-partitioned by doc); profile counts
+    reduce map-side to (lang, g); profiles are |langs|*M rows —
+    broadcast into the scoring join; the per-doc argmax window
+    partitions by doc_id. Text never leaves the scan stage."""
     m = LANGID_TOP_M
     d = load(spark, sf_dir, "documents")
     lower = F.lower(F.col("text"))
-    tri = d.filter(F.length("text") >= 3).select(
-        "doc_id",
-        "lang",
-        F.explode(
+    base = D.cache_acquire(
+        d.filter(F.length("text") >= 3).select(
+            "doc_id",
+            "lang",
             F.transform(
                 F.sequence(F.lit(1), F.length(lower) - 2),
                 lambda i: F.substr(lower, i, F.lit(3)),
-            )
-        ).alias("g"),
+            ).alias("gs"),
+        )
     )
-    tri = D.cache_acquire(tri)
+    tri = base.select("lang", F.explode("gs").alias("g"))
     w_l = Window.partitionBy("lang").orderBy(
         F.col("n").desc(), F.asc("g")
     )
@@ -8608,7 +8612,9 @@ def langid_trigram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(m + 1) - F.col("rnk")).cast("long").alias("wgt"),
         )
     )
-    dg = tri.select("doc_id", "g").distinct()
+    dg = base.select(
+        "doc_id", F.explode(F.array_distinct("gs")).alias("g")
+    )
     score = (
         dg.join(F.broadcast(prof), "g")
         .groupBy("doc_id", "plang")
@@ -8635,8 +8641,8 @@ def langid_trigram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("lang", "predicted")
     )
-    out = D._unpersist_on_gc(out, tri)
-    D.cache_release(tri)
+    out = D._unpersist_on_gc(out, base)
+    D.cache_release(base)
     return out
 
 
