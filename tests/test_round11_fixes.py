@@ -357,3 +357,35 @@ def test_hard_negatives_respect_band(spark):
     assert above, "fixture sanity: some true-positive-like pairs exist"
     mined = {(r["query_id"], r["neighbor_id"]) for r in hard}
     assert not (mined & above)
+
+
+def test_config_accepts_reference_sample_config():
+    """The reference's SHIPPED sample config (tidb-lightning.toml) must
+    parse with zero unknown keys — the acceptance bar for the
+    unknown-key whitelist (notably the [lightning] log block's real
+    toml tags: level/file/max-size/..., log.go:38-46)."""
+    import os
+    import tomllib
+
+    from tidb_lightning_spark.config import _unknown_keys
+
+    ref = "/root/reference/tidb-lightning.toml"
+    if not os.path.exists(ref):
+        import pytest
+
+        pytest.skip("reference sample config not present")
+    with open(ref, "rb") as f:
+        raw = tomllib.load(f)
+    assert _unknown_keys(raw) == []
+
+
+def test_file_uri_to_path_percent_decodes():
+    """The shared file:-URI normalizer percent-decodes (Hadoop emits
+    %XX-quoted URIs) while leaving plain local paths — including ones
+    containing a literal '%' — byte-identical."""
+    from tidb_lightning_spark.paths import file_uri_to_path as f
+
+    assert f("file:/tmp/my%20dir/t.parquet") == "/tmp/my dir/t.parquet"
+    assert f("file:///a/b.csv") == "/a/b.csv"
+    assert f("/data/a%20b.csv") == "/data/a%20b.csv"  # not a URI
+    assert f("viewfs://x/dump/a.csv") == "viewfs://x/dump/a.csv"

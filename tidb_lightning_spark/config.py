@@ -191,8 +191,11 @@ _KNOWN_KEYS: dict[str, Any] = {
     "lightning": dict.fromkeys([
         "table-concurrency", "index-concurrency", "region-concurrency",
         "io-concurrency", "check-requirements", "status-addr",
-        "server-mode", "pprof-port", "log-level", "log-file",
-        "max-size", "max-days", "max-backups",
+        "server-mode", "pprof-port", "meta-schema-name",
+        # embedded log.Config (lightning/log/log.go:38-46 toml tags)
+        "level", "file", "max-size", "max-days", "max-backups",
+        # this repo's CLI-flag analogs, accepted for lenience
+        "log-level", "log-file",
     ]),
     "tidb": dict.fromkeys([
         "host", "port", "user", "password", "status-port", "pd-addr",

@@ -152,7 +152,6 @@ def knn_lsh(
     k: int = 5,
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
-    sim_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """ANN top-k: a candidate shares all `n_planes` sign bits of at least
     one of the `n_tables` hash tables; exact cosine re-ranks candidates.
@@ -203,14 +202,6 @@ def knn_lsh(
     pairs = scored.groupBy("query_id", "neighbor_id").agg(
         F.max("sim").alias("sim")
     )
-    if sim_band is not None:
-        # hard-negative band: keep candidates whose similarity sits
-        # between the easy floor and the positive ceiling; the compare
-        # is on the same bit-stable double the ranking already trusts
-        lo, hi = sim_band
-        pairs = pairs.filter(
-            (F.col("sim") >= F.lit(lo)) & (F.col("sim") <= F.lit(hi))
-        )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
     return (
         pairs.withColumn("rank", F.row_number().over(w))

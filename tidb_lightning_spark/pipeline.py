@@ -1752,9 +1752,9 @@ class Restorer:
                     # Spark emits the Hadoop URI form (file:/x, %XX-quoted,
                     # '+' literal); decode so base allocation order matches
                     # the sorted source listing independent of encoding
-                    from urllib.parse import unquote
+                    from tidb_lightning_spark.paths import file_uri_to_path
 
-                    return re.sub(r"^file:/+", "/", unquote(fp))
+                    return file_uri_to_path(fp)
 
                 base_rows = []
                 acc = rowid_base

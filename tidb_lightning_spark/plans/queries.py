@@ -68,10 +68,9 @@ def widen(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = load(spark, sf_dir, table)
     cores = spark.sparkContext.defaultParallelism
     path = f"{sf_dir}/{table}.parquet"
-    if path.startswith("file:"):  # normalize like loader._walk does
-        import re
+    from tidb_lightning_spark.paths import file_uri_to_path
 
-        path = re.sub("^file:/+", "/", path)
+    path = file_uri_to_path(path)
     if "://" in path:
         # scheme'd (object-store) corpus: size the peek through the same
         # Hadoop FS walk discovery uses (sources.loader._walk) — the
@@ -119,8 +118,9 @@ def _footer_num_rows(path: str, spark: SparkSession | None = None) -> int:
 
     import pyarrow.parquet as _pq
 
-    if path.startswith("file:"):  # normalize like widen/loader._walk
-        path = _re.sub("^file:/+", "/", path)
+    from tidb_lightning_spark.paths import file_uri_to_path
+
+    path = file_uri_to_path(path)
     if "://" in path:
         if spark is None:
             raise ValueError(

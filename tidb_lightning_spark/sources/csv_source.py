@@ -132,10 +132,9 @@ def _decompress_open(path: str, spark=None):
                 "Hadoop FileSystem peek"
             )
         return _HadoopStream(spark, path)
-    if path.startswith("file:"):
-        import re
+    from tidb_lightning_spark.paths import file_uri_to_path
 
-        path = re.sub("^file:/+", "/", path)
+    path = file_uri_to_path(path)
     if path.endswith(".gz"):
         import gzip
 
@@ -200,6 +199,26 @@ def user_cache_dir(name: str) -> str:
     return d
 
 
+def _cached_driver_copy(cache_name: str, key_str: str, out_name: str,
+                        write_fn) -> str:
+    """The one keyed, atomic driver-side cache-copy recipe behind
+    transcode_to_utf8, materialize_lz4 and spool_remote_to_local:
+    md5(key_str) names the entry under user_cache_dir(cache_name),
+    write_fn(tmp_path) produces the bytes, os.replace publishes — so
+    concurrent writers race benignly and a crash leaves only a .part
+    file the next writer overwrites."""
+    import hashlib
+
+    cache = user_cache_dir(cache_name)
+    key = hashlib.md5(key_str.encode()).hexdigest()[:16]
+    dst = os.path.join(cache, f"{key}_{out_name}")
+    if not os.path.exists(dst):
+        tmp = dst + ".part"
+        write_fn(tmp)
+        os.replace(tmp, dst)
+    return dst
+
+
 def spool_remote_to_local(paths: list[str], spark) -> list[str]:
     """Driver-side byte-copy of remote objects into the per-user cache,
     keyed by (path, length, mtime) via Hadoop FileStatus — the bridge
@@ -216,29 +235,27 @@ def spool_remote_to_local(paths: list[str], spark) -> list[str]:
     does). Cost: one driver download per file, so pre-splitting dumps
     (mydumper -F 256) or storing them uncompressed/utf-8 remains the
     100 TB-preferred layout — those take the fully-distributed paths."""
-    import hashlib
-
-    cache = user_cache_dir("tls_remote_spool")
     jvm = spark._jvm
     out = []
     for p in paths:
         jpath = jvm.org.apache.hadoop.fs.Path(p)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         st = fs.getFileStatus(jpath)
-        key = hashlib.md5(
-            f"v1:{p}:{st.getLen()}:{st.getModificationTime()}".encode()
-        ).hexdigest()[:16]
-        dst = os.path.join(cache, f"{key}_{os.path.basename(p)}")
-        if not os.path.exists(dst):
-            tmp = dst + ".part"
+
+        def copy(tmp, p=p):
             with _HadoopStream(spark, p) as fin, open(tmp, "wb") as fout:
                 while True:
                     chunk = fin.read(8 << 20)
                     if not chunk:
                         break
                     fout.write(chunk)
-            os.replace(tmp, dst)
-        out.append(dst)
+
+        out.append(_cached_driver_copy(
+            "tls_remote_spool",
+            f"v1:{p}:{st.getLen()}:{st.getModificationTime()}",
+            os.path.basename(p),
+            copy,
+        ))
     return out
 
 
@@ -274,27 +291,25 @@ def materialize_lz4(paths: list[str]) -> list[str]:
             "decompress them (Spark's Lz4Codec reads a different "
             "container format); install lz4 or re-compress as gzip/zstd"
         )
-    import hashlib
-
-    cache = user_cache_dir("tls_lz4")
     out = []
     for p in paths:
         if not p.endswith(".lz4"):
             out.append(p)
             continue
         st = os.stat(p)
-        key = hashlib.md5(
-            f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}".encode()
-        ).hexdigest()[:16]
-        dst = os.path.join(cache, f"{key}_{os.path.basename(p)[:-4]}")
-        if not os.path.exists(dst):
-            tmp = dst + ".part"
+
+        def decompress(tmp, p=p):
             with open(tmp, "wb") as fout:
                 subprocess.run(
                     ["lz4", "-dc", p], stdout=fout, check=True
                 )
-            os.replace(tmp, dst)
-        out.append(dst)
+
+        out.append(_cached_driver_copy(
+            "tls_lz4",
+            f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}",
+            os.path.basename(p)[:-4],
+            decompress,
+        ))
     return out
 
 
@@ -362,7 +377,6 @@ def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
     function's contract allows swapping in.
     """
     import codecs
-    import hashlib
 
     remote = [p for p in paths if "://" in p and not p.startswith("file:")]
     if remote:
@@ -372,17 +386,11 @@ def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
             "pre-transcode to UTF-8 (a distributed text pass) or copy "
             "locally"
         )
-    cache = user_cache_dir("tls_transcode")
     out = []
     for p in paths:
         st = os.stat(p)
-        # v2 salt: invalidates caches from before the decompress-first fix
-        key = hashlib.md5(
-            f"v2:{p}:{st.st_size}:{st.st_mtime_ns}:{charset}".encode()
-        ).hexdigest()[:16]
-        dst = os.path.join(cache, f"{key}_{os.path.basename(p)}.utf8")
-        if not os.path.exists(dst):
-            tmp = dst + ".part"
+
+        def transcode(tmp, p=p):
             # compressed sources must be decompressed BEFORE transcoding
             # (the byte stream is not text); output is plain UTF-8
             with _decompress_open(p) as fin, open(
@@ -394,8 +402,14 @@ def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
                     if not chunk:
                         break
                     fout.write(chunk)
-            os.replace(tmp, dst)
-        out.append(dst)
+
+        out.append(_cached_driver_copy(
+            "tls_transcode",
+            # v2 salt: invalidates caches from before decompress-first
+            f"v2:{p}:{st.st_size}:{st.st_mtime_ns}:{charset}",
+            f"{os.path.basename(p)}.utf8",
+            transcode,
+        ))
     return out
 
 

@@ -106,9 +106,9 @@ def _walk(source_dir: str, spark=None) -> list[tuple[str, int]]:
         st = it.next()
         p = st.getPath().toString()
         if is_file_scheme:
-            import re
+            from tidb_lightning_spark.paths import file_uri_to_path
 
-            p = re.sub("^file:/+", "/", p)
+            p = file_uri_to_path(p)
         out.append((p, st.getLen()))
     out.sort()
     return out
@@ -127,10 +127,9 @@ def discover(
     # the routing key is the path relative to the source root, '/'-separated
     if "://" in source_dir:
         base = source_dir.rstrip("/")
-        if base.startswith("file:"):
-            import re
+        from tidb_lightning_spark.paths import file_uri_to_path
 
-            base = re.sub("^file:/+", "/", base)
+        base = file_uri_to_path(base)
 
         def rel_of(path: str) -> str:
             return path[len(base) :].lstrip("/")

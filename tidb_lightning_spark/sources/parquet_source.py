@@ -22,6 +22,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tidb_lightning_spark.paths import file_uri_to_path
+
 
 def _probe_nano_ts_columns(path: str) -> list[str]:
     import pyarrow.parquet as pq
@@ -43,10 +45,7 @@ def _probe_nano_ts_columns(path: str) -> list[str]:
             stacklevel=3,
         )
         return []
-    if path.startswith("file:"):
-        import re as _re
-
-        path = _re.sub("^file:/+", "/", path)
+    path = file_uri_to_path(path)
     probe = path
     if os.path.isdir(path):
         files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
