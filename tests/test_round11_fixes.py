@@ -389,3 +389,57 @@ def test_file_uri_to_path_percent_decodes():
     assert f("file:///a/b.csv") == "/a/b.csv"
     assert f("/data/a%20b.csv") == "/data/a%20b.csv"  # not a URI
     assert f("viewfs://x/dump/a.csv") == "viewfs://x/dump/a.csv"
+
+
+def test_kmv_estimates_near_truth_and_union_composes(spark):
+    """KMV sanity beyond parity: per-type estimates sit within the
+    sketch's theoretical error band (~1/sqrt(k) relative) of the true
+    distinct counts on the fixture, and the union estimate is bounded
+    below by each side's (monotonicity a composable sketch must
+    keep)."""
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    ev = Q.load(spark, sf, "events")
+    truth = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = Q.kmv_distinct_setops(spark, sf).collect()
+    assert rows
+    tol = 3.5 / (Q.KMV_K ** 0.5)  # ~3.5 sigma of the KMV error
+    for r in rows:
+        for side, est in (("type_a", r["est_a"]), ("type_b", r["est_b"])):
+            t = truth[r[side]]
+            assert abs(est - t) <= max(2, tol * t), (r[side], est, t)
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) * (1 - tol)
+        assert 0 <= r["est_inter"] <= min(r["est_a"], r["est_b"]) * (1 + tol)
+
+
+def test_pmi_ranks_planted_collocation_above_frequent_pair(spark, tmp_path):
+    """PMI's reason to exist: a rare-but-exclusive pair ("kuala lumpur",
+    always together) outranks a frequent-but-promiscuous pair ("of the",
+    both words everywhere) even though the latter has 4x the count."""
+    from tidb_lightning_spark.plans import queries as Q
+
+    exclusive = "kuala lumpur " * Q.PMI_MIN_COUNT
+    promiscuous = (
+        "of the " * (4 * Q.PMI_MIN_COUNT)
+        + "of cats of dogs of rocks the cat the dog the rock "
+        + "one of two the end of it the more of "
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, exclusive, "en", "src", 1), (2, promiscuous, "en", "src", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r["w1"], r["w2"]): r for r in Q.pmi_top_pairs(spark, d).collect()}
+    kl = out[("kuala", "lumpur")]
+    ot = out.get(("of", "the"))
+    assert ot is None or kl["lift_scaled"] > ot["lift_scaled"]
+    assert kl["rank"] < (ot["rank"] if ot else 99)
