@@ -35,17 +35,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds old), stalest first, prepending anything whose
 # implementation changed this round. The union of any two consecutive
 # rounds then covers the full registry with no entry older than one
-# round. Current window (r11): the 12 new/changed r11 entries first,
+# round. Current window (r11): the 13 new/changed r11 entries first,
 # then the 15 r8-vintage names the r10 verdict called out, then 25 of
 # the 50 r9-vintage names — all green in tests/test_oracle_parity.py
 # (the identical DuckDB compare). The remaining ~25 r9-vintage names
-# rotate in at r12; with a 124-entry registry the rule is "new first,
+# rotate in at r12; with a 125-entry registry the rule is "new first,
 # then stalest", the right priority order.
 _DRIVER_PRIORITY = [
     # r11 NEW or CHANGED this round — grade first (kn_bigram_lm was
     # the r10 red row, now integer-exact; weighted_sample_ares moved
     # to the 20-bit exhaustively-proven ln ladder; bpe_train_merges
     # refactored for the sampled twin)
+    "streaming_cdc_replay",
     "kn_bigram_lm",
     "weighted_sample_ares",
     "bpe_train_merges_sampled",

@@ -8925,3 +8925,137 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", lambda c: c < 10,
         k=HN_K, n_lists=8, n_probe=3, sim_band=HN_BAND,
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: streaming CDC replay — Structured Streaming under the oracle gate
+# ---------------------------------------------------------------------------
+
+CDCR_BASE = 1000   # base table: o_orderkey < CDCR_BASE
+CDCR_INS = 50      # inserts: keys [CDCR_BASE, CDCR_BASE + CDCR_INS)
+
+
+def _cdc_replay_oracle() -> str:
+    n, i = CDCR_BASE, CDCR_INS
+    return f"""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderkey < {n}
+    ), ins AS (
+      SELECT * FROM orders
+      WHERE o_orderkey >= {n} AND o_orderkey < {n + i}
+    ), merged AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 100 = 3 THEN 'U2'
+                  WHEN o_orderkey % 10 = 3 THEN 'U1'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+               + CASE WHEN o_orderkey % 100 = 3 THEN 2000.0
+                      WHEN o_orderkey % 10 = 3 THEN 1000.0
+                      ELSE 0.0 END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM base WHERE o_orderkey % 10 != 7
+      UNION ALL
+      SELECT * FROM ins
+    )
+    SELECT * FROM merged ORDER BY o_orderkey
+    """
+
+
+@register("streaming_cdc_replay", _cdc_replay_oracle())
+def streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING under the oracle gate: a real two-micro-batch
+    CDC drain (readStream -> per-batch latest-per-key reduce ->
+    partition-COW MERGE via stream_cdc_apply, the `cli cdc` machinery)
+    whose final warehouse table hash-matches a DuckDB twin — the only
+    registry entry that executes a streaming query, so exactly-once
+    apply semantics are driver-verified, not just pytest-verified.
+
+    The changeset is derived deterministically from `orders`:
+    batch 1 updates keys k%10==3 (k%100!=3) and inserts 50 new keys;
+    batch 2 retires k%10==7 and carries TWO competing updates for
+    k%100==3 (seq 2 then seq 3 — the seq-latest-wins reduce picks
+    seq 3). Batch key sets are disjoint, so the final state is
+    independent of micro-batch arrival order; the within-batch
+    conflict is what pins the seq contract. All mutated values are
+    exact (status literals, +1000.0/+2000.0 IEEE adds), so the oracle
+    replays the merge as plain SQL.
+
+    Scale shape: this is the oracle-gate face of the production path —
+    the drain itself is stream_cdc_apply (O(changed data) per batch
+    via partition-COW); the driver-side collect at the end is the
+    950-row verification read, not part of the pipeline."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+    from tidb_lightning_spark.streaming.events import stream_cdc_apply
+
+    n, ins_n = CDCR_BASE, CDCR_INS
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    tmp = tempfile.mkdtemp(prefix=f"tls_cdcreplay_{uuid.uuid4().hex[:6]}_")
+    try:
+        wh = os.path.join(tmp, "wh")
+        sink = FilesSink(wh)
+        sink.write_table(
+            o.filter(k < n).select(*cols), "cdcrep", "orders_state",
+            ["o_orderkey"],
+        )
+
+        def change(df, status=None, add=0.0, seq=1, deleted=False):
+            out = df.select(*cols)
+            if status is not None:
+                out = out.withColumn("o_orderstatus", F.lit(status))
+            if add:
+                out = out.withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(add)
+                )
+            return out.withColumn(
+                "_deleted", F.lit(deleted)
+            ).withColumn("seq", F.lit(seq).cast("long"))
+
+        cdir = os.path.join(tmp, "changes")
+        b1 = change(
+            o.filter((k % 10 == 3) & (k % 100 != 3) & (k < n)),
+            status="U1", add=1000.0, seq=1,
+        ).unionByName(change(o.filter((k >= n) & (k < n + ins_n)), seq=1))
+        b1.coalesce(1).write.parquet(os.path.join(cdir, "c0.parquet"))
+        hot = o.filter((k % 100 == 3) & (k < n))
+        b2 = (
+            change(hot, status="XX", add=1500.0, seq=2)
+            .unionByName(change(hot, status="U2", add=2000.0, seq=3))
+            .unionByName(
+                change(o.filter((k % 10 == 7) & (k < n)),
+                       seq=2, deleted=True)
+            )
+        )
+        b2.coalesce(1).write.parquet(os.path.join(cdir, "c1.parquet"))
+
+        schema = spark.read.parquet(os.path.join(cdir, "c0.parquet")).schema
+        changes = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(cdir)
+        )
+        stream_cdc_apply(
+            changes, wh, "cdcrep", "orders_state", ["o_orderkey"],
+            os.path.join(tmp, "ckpt"), seq_column="seq",
+        )
+        final = (
+            spark.read.parquet(os.path.join(wh, "cdcrep", "orders_state"))
+            .select(*cols)
+            .orderBy("o_orderkey")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, final.schema).orderBy(
+            "o_orderkey"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
