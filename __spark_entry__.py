@@ -35,11 +35,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # two rounds old), stalest first, prepending anything whose
 # implementation changed this round. The union of any two consecutive
 # rounds then covers the full registry with no entry older than one
-# round. Current window (r11): the 13 new/changed r11 entries first,
+# round. Current window (r11): the 14 new/changed r11 entries first,
 # then the 15 r8-vintage names the r10 verdict called out, then 25 of
 # the 50 r9-vintage names — all green in tests/test_oracle_parity.py
 # (the identical DuckDB compare). The remaining ~25 r9-vintage names
-# rotate in at r12; with a 125-entry registry the rule is "new first,
+# rotate in at r12; with a 126-entry registry the rule is "new first,
 # then stalest", the right priority order.
 _DRIVER_PRIORITY = [
     # r11 NEW or CHANGED this round — grade first (kn_bigram_lm was
@@ -58,6 +58,7 @@ _DRIVER_PRIORITY = [
     "containment_join_pairs",
     "doc_chunk_windows",
     "hard_negative_mining",
+    "attribution_position_based",
     "bpe_train_merges",
     # the 15 r8-vintage entries (r10 verdict item 3): stalest in the
     # registry — no driver check since r8

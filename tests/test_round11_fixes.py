@@ -443,3 +443,26 @@ def test_pmi_ranks_planted_collocation_above_frequent_pair(spark, tmp_path):
     ot = out.get(("of", "the"))
     assert ot is None or kl["lift_scaled"] > ot["lift_scaled"]
     assert kl["rank"] < (ot["rank"] if ot else 99)
+
+
+def test_cli_explain(capsys):
+    """`cli explain` lists registry names and prints a formatted
+    physical plan for a named query; unknown names get a close-match
+    hint and exit 1."""
+    from tidb_lightning_spark import cli
+
+    rc = cli.main(["explain"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in names and len(names) >= 125
+
+    rc = cli.main(["explain", "q1_pricing_summry"])  # typo
+    assert rc == 1
+    assert "did you mean" in capsys.readouterr().err
+
+    rc = cli.main([
+        "explain", "pii_scrub_stats", "--sf-dir", "/root/testdata/sf0.001",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "== Physical Plan ==" in out and "Scan parquet" in out

@@ -213,6 +213,18 @@ def main(argv: list[str] | None = None) -> int:
                          "one key within a batch (latest wins)")
     cd.add_argument("--log-level", default="INFO")
 
+    ex = sub.add_parser(
+        "explain",
+        help="print the physical plan (explain formatted) of a registry "
+             "query, or list all query names — the plan-audit face the "
+             "plan-shape tests pin",
+    )
+    ex.add_argument("query", nargs="?", default=None,
+                    help="registry query name (omit to list all)")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table directory the plan is built against")
+    ex.add_argument("--log-level", default="ERROR")
+
     args = ap.parse_args(argv)
     logging.basicConfig(level=args.log_level.upper() if hasattr(args, "log_level") else "INFO",
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
@@ -232,6 +244,8 @@ def main(argv: list[str] | None = None) -> int:
             return _upsert(args)
         if args.cmd == "cdc":
             return _cdc(args)
+        if args.cmd == "explain":
+            return _explain(args)
         if args.cmd == "serve":
             from tidb_lightning_spark.server import serve
 
@@ -1058,6 +1072,39 @@ def _cdc(args) -> int:
 
         FilesSink(args.target).write_meta(db, tbl, meta)
     print(f"cdc drain applied to `{db}`.`{tbl}` (key={','.join(keys)})")
+    return 0
+
+
+
+def _explain(args) -> int:
+    """Print a registry query's physical plan (explain formatted) — the
+    operational face of the plan audit: the same string
+    tests/test_plan_shapes.py pins (pushed filters, broadcast joins,
+    exchange budgets), available to a user deciding whether a plan
+    would survive their scale."""
+    from tidb_lightning_spark.plans import queries as Q
+
+    reg = Q.registry()
+    if not args.query:
+        for name in sorted(reg):
+            print(name)
+        return 0
+    if args.query not in reg:
+        import difflib
+
+        near = difflib.get_close_matches(args.query, reg, n=3)
+        hint = f" (did you mean: {', '.join(near)}?)" if near else ""
+        print(f"error: unknown query {args.query!r}{hint}", file=sys.stderr)
+        return 1
+    from tidb_lightning_spark.session import get_spark
+
+    spark = get_spark(app_name="tls-explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = reg[args.query].spark(spark, args.sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    print(df._jdf.queryExecution().explainString(mode))
     return 0
 
 

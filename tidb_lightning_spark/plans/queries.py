@@ -9059,3 +9059,168 @@ def streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# r11: position-based (U-shaped) attribution — the third attribution model
+# ---------------------------------------------------------------------------
+
+
+def _attribution_ushape_oracle() -> str:
+    c = ATTR_CENTS
+    return f"""
+    WITH pur AS (
+      SELECT event_id AS purchase_id, user_id, ts,
+             CAST(floor(value * {c}) AS BIGINT) AS v_cents
+      FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+      SELECT user_id, ts, event_id, event_type AS touch_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT p.purchase_id, p.v_cents, t.touch_type,
+             row_number() OVER (
+               PARTITION BY p.purchase_id ORDER BY t.ts, t.event_id
+             ) AS pos,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM pur p JOIN tch t ON t.user_id = p.user_id
+        AND t.ts < p.ts
+        AND t.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ), credited AS (
+      SELECT purchase_id, touch_type,
+             CASE
+               WHEN n = 1 THEN v_cents
+               WHEN n = 2 THEN v_cents // 2
+               WHEN pos = 1 OR pos = n THEN (2 * v_cents) // 5
+               ELSE (v_cents - 2 * ((2 * v_cents) // 5)) // (n - 2)
+             END AS credit
+      FROM pairs
+    ), att AS (
+      SELECT touch_type,
+             CAST(count(*) AS BIGINT) AS n_touches,
+             CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+             CAST(sum(credit) AS BIGINT) AS credit_cents
+      FROM credited GROUP BY touch_type
+    ), un AS (
+      SELECT '(unattributed)' AS touch_type,
+             CAST(0 AS BIGINT) AS n_touches,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(coalesce(sum(v_cents), 0) AS BIGINT) AS credit_cents
+      FROM pur
+      WHERE purchase_id NOT IN (SELECT purchase_id FROM credited)
+    )
+    SELECT touch_type, n_touches, n_purchases, credit_cents,
+           CAST(credit_cents AS DOUBLE) / {c} AS credit_usd
+    FROM (SELECT * FROM att UNION ALL SELECT * FROM un)
+    ORDER BY credit_cents DESC, touch_type
+    """
+
+
+@register("attribution_position_based", _attribution_ushape_oracle())
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    the third model in the family (asof last-touch, linear,
+    position-based): the first and last qualifying touches each take
+    (2v)//5, the middle touches split the exact integer remainder, a
+    single touch takes everything and a pair splits v//2 each — all
+    nonnegative integer floor arithmetic, so credit reconciles and
+    hash-matches DuckDB like attribution_linear_touch. Touch order
+    within a purchase window is total-order deterministic
+    ((ts, event_id) — the SCD2 tie-break).
+
+    Scale shape: identical to the linear model — one pruned events
+    scan cached for both join sides, a user-keyed equi-join with the
+    time-range residual, and position + count on ONE purchase_id
+    window exchange; the rollup moves |touch types| rows."""
+    c = ATTR_CENTS
+    ev = load(spark, sf_dir, "events")
+    base = D.cache_acquire(
+        ev.filter(
+            F.col("event_type").isin("purchase", "view", "click")
+        ).select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    pur = base.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * F.lit(c)).cast("long").alias("v_cents"),
+    )
+    tch = base.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        "user_id", "ts", "event_id",
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = pur.join(
+        tch,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("ts") < F.col("p_ts"))
+        & (
+            F.col("ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAY")
+        ),
+    )
+    w_p = Window.partitionBy("purchase_id")
+    pairs = D.cache_acquire(
+        pairs.select(
+            "purchase_id", "v_cents", "touch_type",
+            F.row_number()
+            .over(w_p.orderBy("ts", "event_id"))
+            .alias("pos"),
+            F.count(F.lit(1)).over(w_p).alias("n"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.col("v_cents"))
+        .when(F.col("n") == 2, F.expr("v_cents DIV 2"))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.expr("(2 * v_cents) DIV 5"),
+        )
+        .otherwise(
+            F.expr("(v_cents - 2 * ((2 * v_cents) DIV 5)) DIV (n - 2)")
+        )
+    )
+    att = (
+        pairs.withColumn("credit", credit)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("long").alias(
+                "n_purchases"
+            ),
+            F.sum("credit").cast("long").alias("credit_cents"),
+        )
+    )
+    un = (
+        pur.join(
+            pairs.select("purchase_id").distinct(),
+            "purchase_id",
+            "left_anti",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.coalesce(F.sum("v_cents"), F.lit(0)).cast("long").alias(
+                "credit_cents"
+            ),
+        )
+        .select(
+            F.lit("(unattributed)").alias("touch_type"),
+            F.lit(0).cast("long").alias("n_touches"),
+            "n_purchases",
+            "credit_cents",
+        )
+    )
+    out = (
+        att.unionByName(un)
+        .select(
+            "touch_type", "n_touches", "n_purchases", "credit_cents",
+            (F.col("credit_cents").cast("double") / F.lit(c)).alias(
+                "credit_usd"
+            ),
+        )
+        .orderBy(F.col("credit_cents").desc(), "touch_type")
+    )
+    out = D._unpersist_on_gc(out, base, pairs)
+    D.cache_release(base)
+    D.cache_release(pairs)
+    return out
