@@ -1,0 +1,203 @@
+"""Reference-golden e2e: restore dumps SHIPPED BY THE REFERENCE
+(tests/various_types, tests/too_many_columns, tests/exotic_filenames)
+through our pipeline and assert the expectations from each run.sh —
+the strongest parity evidence available without a TiDB cluster.
+
+This dataset already caught three real bugs in r11: CONVERT(...
+USING ...) literals in SQL dumps, the 64-member SET bitmask
+overflowing a py4j long at plan-construction time, and DOUBLE parsing
+through a decimal(38,9) intermediate (clamped 1e304, zeroed 1e-305).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+REF = "/root/reference/tests"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+
+def _restore(spark, tmp_path, src, **cfg_kw):
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=src, target_dir=target,
+        checkpoint_enable=False, **cfg_kw,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    return target
+
+
+def test_various_types_golden(spark, tmp_path):
+    """The reference's exotic-type battery (tests/various_types/run.sh
+    expectations, adapted to our storage semantics: BIT -> integer,
+    BINARY -> bytes, SET -> canonical member list)."""
+    wh = _restore(spark, tmp_path, f"{REF}/various_types/data")
+    r = lambda t: spark.read.parquet(f"{wh}/vt/{t}")  # noqa: E731
+
+    bit = r("bit")
+    assert bit.count() == 16
+    lo, hi = bit.agg(F.min("pk"), F.max("pk")).first()
+    assert (lo, hi) == (0, 3)  # bin 0 .. bin 11
+    assert bit.filter(F.col("pk") == 2).agg(
+        F.sum("ref")
+    ).first()[0] == 82
+
+    dec = r("decimal")
+    assert dec.count() == 50
+    mn, mx, sm = dec.agg(F.min("pk"), F.max("pk"), F.sum("pk")).first()
+    assert (str(mn), str(mx), str(sm)) == (
+        "-99.9990", "99.9912", "-9.9123"
+    )
+    assert dec.filter(F.col("pk").between(-1.0, 0.0)).first()["ref"] == 22
+
+    dbl = r("double")
+    assert dbl.count() == 41
+    mn, mx = dbl.agg(F.min("pk"), F.max("pk")).first()
+    # full DOUBLE range survives the cast chain (the r11 bug classes:
+    # 1e304 must not clamp, 1e-305 must not round to zero)
+    assert mn == 9.85967654375977e-305
+    assert mx == 1.0142320547350045e304
+    assert dbl.filter(
+        F.col("pk").between(1e100, 1e120)
+    ).first()["ref"] == 245
+
+    dt = r("datetime")
+    assert dt.count() == 70
+    row = dt.agg(
+        F.min("pk"), F.max("pk"), F.min("uk"), F.max("uk")
+    ).first()
+    assert str(row[0]) == "1026-09-21 15:15:54.335745"
+    assert str(row[1]) == "9889-01-08 08:51:03.389832"
+    # TIMESTAMP(3): fractional seconds ROUND to millis (MySQL fsp)
+    assert str(row[2]).endswith("19:25:45.843000")
+    assert str(row[3]).endswith("10:48:28.620000")
+    assert dt.filter(
+        F.col("pk").between("2882-01-01", "2882-12-31")
+    ).first()["ref"] == 7
+
+    ch = r("char")
+    assert ch.count() == 50
+    mn, mx = ch.agg(F.min("pk"), F.max("pk")).first()
+    assert mn == "090abbb2-f22e-4f97-a4fe-a52eb1a80a0b"
+    assert mx == "fde1328c-409c-43a8-b1b0-8c35c8000f92"
+    assert ch.filter(
+        F.col("pk") == "55dc0343-db6a-4208-9872-9096305b8c07"
+    ).first()["ref"] == 41
+
+    bi = r("binary")
+    assert bi.count() == 51
+    assert bi.select(F.hex(F.max("pk"))).first()[0] == (
+        "FDE1328C409C43A8B1B08C35C8000F92"
+    )
+    assert bi.filter(
+        F.hex("pk") == "55DC0343DB6A420898729096305B8C07"
+    ).first()["ref"] == 41
+
+    js = r("json")
+    assert js.count() == 92
+    assert js.select(F.countDistinct("js")).first()[0] == 92
+    # the CONVERT("..." USING UTF8MB4) literal decodes to its inner text
+    assert js.filter(F.col("pk") == 2000).first()["js"] == (
+        '{"52": 1, "54": 1, "68": 1, "126": 1}'
+    )
+
+    es = r("enum-set")
+    assert es.count() == 26
+    # 64-member SET: canonical member-list storage, bit 63 included
+    assert es.filter(F.col("enum") == "gcc").first()["set"] == (
+        "x00,x06,x07,x09,x17,x20,x23,x24,x27,x37,x44,x46,x49,x54,"
+        "x55,x58,x61,x62"
+    )
+    assert es.filter(
+        F.array_contains(F.split("set", ","), "x50")
+    ).count() == 10
+
+    em = r("empty_strings")
+    assert em.count() == 6
+    assert em.filter(F.col("a") == "").agg(F.sum("pk")).first()[0] == 5
+    assert em.filter(F.col("a") == '"').agg(F.sum("pk")).first()[0] == 18
+    assert em.filter(F.col("a") == "'").agg(F.sum("pk")).first()[0] == 40
+
+    row = r("precise_types").first()
+    assert str(row["a"]) == "18446744073709551614"
+    assert row["b"] == -9223372036854775806
+    assert str(row["c"]) == "99999999999999999999.0"
+
+
+def test_too_many_columns_golden(spark, tmp_path):
+    """256-column CSV restore (tests/too_many_columns/run.sh)."""
+    wh = _restore(spark, tmp_path, f"{REF}/too_many_columns/data")
+    df = spark.read.parquet(f"{wh}/too_many_columns/t")
+    row = df.first()
+    # the schema types every column VARCHAR(16)
+    assert row["COL001"] == "1001"
+    assert row["COL100"] == "1100"
+    assert row["COL256"] == "1256"
+
+
+def test_exotic_filenames_golden(spark, tmp_path):
+    """Unicode and quote-laden db/table filenames route and restore
+    (tests/exotic_filenames/run.sh: 中文庫.中文表 and
+    x`f\"n.exotic`table``name)."""
+    src = str(tmp_path / "dump")
+    os.makedirs(src)
+    d = f"{REF}/exotic_filenames/data"
+    shutil.copy(f"{d}/zwk-schema-create.sql", f"{src}/中文庫-schema-create.sql")
+    shutil.copy(f"{d}/zwk.zwb-schema.sql", f"{src}/中文庫.中文表-schema.sql")
+    shutil.copy(f"{d}/zwk.zwb.sql", f"{src}/中文庫.中文表.sql")
+    shutil.copy(
+        f"{d}/xfn-schema-create.sql", f'{src}/x`f"n-schema-create.sql'
+    )
+    shutil.copy(
+        f"{d}/xfn.etn-schema.sql",
+        f'{src}/x`f"n.exotic`table``name-schema.sql',
+    )
+    shutil.copy(
+        f"{d}/xfn.etn.sql", f'{src}/x`f"n.exotic`table``name.sql'
+    )
+    wh = _restore(spark, tmp_path, src)
+    zh = spark.read.parquet(f"{wh}/中文庫/中文表")
+    assert zh.count() > 0
+    xf = spark.read.parquet(f'{wh}/x`f"n/exotic`table``name')
+    assert xf.count() > 0
+
+
+def test_cli_sql_tolerates_exotic_table_names(spark, tmp_path, capsys):
+    """A warehouse containing a table whose name is invalid as a bare
+    view identifier (hyphen — vt.`enum-set`) must not abort `cli sql`
+    registration: the canonical backticked view works, the db_tbl
+    alias is sanitized."""
+    from tidb_lightning_spark import cli
+
+    wh = tmp_path / "wh"
+    os.makedirs(wh / "db1")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(
+        str(wh / "db1" / "enum-set")
+    )
+    spark.createDataFrame([(7,)], "n long").write.parquet(
+        str(wh / "db1" / "plain")
+    )
+    rc = cli.main([
+        "sql", "--target", str(wh), "--format", "csv",
+        'SELECT count(*) AS n FROM `db1.enum-set`',
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
+    # the sanitized alias resolves too
+    rc = cli.main([
+        "sql", "--target", str(wh), "--format", "csv",
+        "SELECT count(*) AS n FROM db1_enum_set",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1"

@@ -292,6 +292,22 @@ def _run(args) -> int:
     return 1 if failed else 0
 
 
+
+def _alias_view(df, db: str, tbl: str) -> None:
+    """Register the convenience db_tbl alias next to the canonical
+    backticked `db.tbl` view. Exotic table names (hyphens, quotes —
+    reference tests/exotic_filenames) are sanitized to word chars, and
+    a name the catalog still rejects only loses its alias, never the
+    canonical view (regression: `vt_enum-set` aborted ALL registration
+    for the reference various_types warehouse)."""
+    import re as _re
+
+    try:
+        df.createOrReplaceTempView(_re.sub(r"\W", "_", f"{db}_{tbl}"))
+    except Exception:
+        pass
+
+
 def _register_views(spark, warehouse: str) -> int:
     """Register replayed views (`_views.json`, written by the restore's
     view replay — reference tests/view/) on top of the table temp views.
@@ -316,7 +332,7 @@ def _register_views(spark, warehouse: str) -> int:
                 if meta.get("columns"):
                     df = df.toDF(*meta["columns"])
                 df.createOrReplaceTempView(f"`{db}.{name}`")
-                df.createOrReplaceTempView(f"{db}_{name}")
+                _alias_view(df, db, name)
             except Exception:
                 continue  # dependency not registered yet — retry next pass
             pending.remove(item)
@@ -545,7 +561,7 @@ def _sql(args) -> int:
             else:
                 df = read_table(spark, tpath)
             df.createOrReplaceTempView(f"`{db}.{tbl}`")
-            df.createOrReplaceTempView(f"{db}_{tbl}")
+            _alias_view(df, db, tbl)
             found += 1
     found += _register_views(spark, args.target)
     if not found:

@@ -123,7 +123,29 @@ def cast_column(
         return _num(col).cast(spark_t)
 
     if b in ("float", "double", "real"):
-        return _num(col).cast("double").cast(spark_t)
+        # parse DIRECTLY as double — the decimal(38,9) pipeline _num
+        # uses for integer rounding cannot represent DOUBLE's range
+        # (1e304 overflows it, 1e-305 rounds to 0; reference golden
+        # tests/various_types vt.double caught both). MySQL semantics:
+        # numeric-prefix parse, out-of-range saturates to ±DBL_MAX,
+        # 'inf'/'nan' words are junk (no numeric prefix -> 0).
+        dbl_max = 1.7976931348623157e308
+        wordy = col.rlike(r"(?i)^\s*[+-]?(inf|nan)")
+        fast = F.when(~wordy, col.try_cast("double"))
+        prefix = F.regexp_extract(col, _NUM_PREFIX, 1)
+        sat = F.when(
+            prefix.startswith("-"), F.lit(-dbl_max)
+        ).otherwise(F.lit(dbl_max))
+        slow = F.when(prefix == "", F.lit(0.0)).otherwise(
+            F.coalesce(prefix.try_cast("double"), sat)
+        )
+        v = F.coalesce(fast, slow)
+        v = (
+            F.when(v == F.lit(float("inf")), F.lit(dbl_max))
+            .when(v == F.lit(float("-inf")), F.lit(-dbl_max))
+            .otherwise(v)
+        )
+        return F.when(col.isNull(), F.lit(None)).otherwise(v).cast(spark_t)
 
     if b == "date":
         return F.when(col.rlike(r"^0000-00-00"), F.lit(None)).otherwise(
@@ -132,9 +154,20 @@ def cast_column(
 
     if b in ("datetime", "timestamp"):
         zero = col.rlike(r"^0000-00-00")
-        return F.when(zero, F.lit(None)).otherwise(
-            F.try_to_timestamp(col).cast(spark_t)
-        )
+        tt = F.try_to_timestamp(col)
+        p = info.mysql.length
+        if p is not None and 0 <= p < 6:
+            # MySQL rounds fractional seconds to the column's declared
+            # fsp half-up ('...45.842815' into TIMESTAMP(3) stores
+            # .843 — reference golden tests/various_types vt.datetime).
+            # floor((us + q/2)/q)*q via pmod = half-up at any sign.
+            # Departure (documented): an UNSPECIFIED precision keeps
+            # full micros — the lossless warehouse default — where
+            # MySQL's bare DATETIME means fsp=0.
+            q = 10 ** (6 - p)
+            shifted = F.unix_micros(tt) + F.lit(q // 2)
+            tt = F.timestamp_micros(shifted - F.pmod(shifted, F.lit(q)))
+        return F.when(zero, F.lit(None)).otherwise(tt.cast(spark_t))
 
     if b in ("char", "varchar") and info.mysql.length:
         return F.substring(col, 1, info.mysql.length)
@@ -159,11 +192,22 @@ def cast_column(
         parts = F.split(col, ",")
         all_valid = F.forall(parts, lambda x: F.array_contains(arr, x))
         canonical = F.array_join(F.array_intersect(arr, parts), ",")
-        mask = col.cast("long")
+        mask = col.try_cast("long")
         from_mask = F.concat_ws(
             ",",
             *[
-                F.when(mask.bitwiseAND(F.lit(1 << i)) != 0, F.lit(m))
+                # bit 63 (a full 64-member SET, MySQL's max) doesn't fit
+                # an unsigned py4j long literal: pass its SIGNED two's-
+                # complement form — bitwiseAND on the signed lane tests
+                # the same bit (reference golden vt.`enum-set` caught the
+                # overflow at plan-construction time)
+                F.when(
+                    mask.bitwiseAND(
+                        F.lit((1 << i) if i < 63 else -(1 << 63))
+                    )
+                    != 0,
+                    F.lit(m),
+                )
                 for i, m in enumerate(members)
             ],
         )

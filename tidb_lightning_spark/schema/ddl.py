@@ -91,7 +91,8 @@ _TOKEN = re.compile(
     | (?P<ws>\s+|/\*.*?\*/|--[^\n]*|\#[^\n]*)   # whitespace/comments
     | (?P<num>\d+\.\d+|\.\d+|\d+)
     | (?P<punct>[(),;=])
-    | (?P<word>[A-Za-z_$][\w$]*)
+    | (?P<word>[A-Za-z_$-￿][\w$-￿]*)  # MySQL idents
+                                  # allow U+0080.. unquoted (charset.go)
     | (?P<op>[^\s])
     """,
     re.VERBOSE | re.DOTALL,

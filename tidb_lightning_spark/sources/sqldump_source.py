@@ -176,6 +176,27 @@ class _Scanner:
             return "1"
         if u == "FALSE":
             return "0"
+        if u == "CONVERT" and self.peek() == "(":
+            # CONVERT(<literal> USING <charset>) — mydumper emits this
+            # for JSON/charset-tagged values (reference golden
+            # tests/various_types vt.json; TiDB's parser accepts the
+            # expression, parser.y convert rule). The inner literal is
+            # already decoded text here, so USING is an identity tag.
+            self.pos += 1
+            inner = self.value()
+            using = self.word()
+            if using.upper() != "USING":
+                raise SQLDumpError(
+                    f"expected USING in CONVERT at offset {self.pos}"
+                )
+            self.word()  # charset name
+            self.skip_ws_comments()
+            if self.peek() != ")":
+                raise SQLDumpError(
+                    f"expected ')' closing CONVERT at offset {self.pos}"
+                )
+            self.pos += 1
+            return inner
         if u in ("X", "B") and self.peek() == "'":
             self.pos += 1
             body = self.quoted_string("'")
@@ -349,9 +370,15 @@ def parse_insert_statements(text: str) -> Iterator[Statement]:
     while not sc.eof():
         w = sc.word().upper()
         if w in ("INSERT", "REPLACE"):
-            if sc.word().upper() != "INTO":
-                raise SQLDumpError("expected INTO")
-            table = sc.ident()
+            # INTO is OPTIONAL in MySQL (`INSERT [IGNORE] [INTO] tbl`;
+            # reference golden tests/exotic_filenames dumps omit it)
+            nxt = sc.word()
+            if nxt.upper() == "IGNORE":
+                nxt = sc.word()
+            if nxt.upper() == "INTO" or not nxt:
+                table = sc.ident()
+            else:
+                table = nxt  # unquoted table name, INTO omitted
             if sc.try_char("."):
                 table = sc.ident()  # `db`.`tbl`: keep table part
             elif "." in table:
@@ -421,9 +448,12 @@ def _peek_insert_header(text: str, complete: bool) -> list[str] | None:
         while not sc.eof():
             w = sc.word().upper()
             if w in ("INSERT", "REPLACE"):
-                if sc.word().upper() != "INTO":
-                    raise SQLDumpError("expected INTO")
-                sc.ident()
+                nxt = sc.word()
+                if nxt.upper() == "IGNORE":
+                    nxt = sc.word()
+                if nxt.upper() == "INTO" or not nxt:
+                    sc.ident()
+                # else: nxt was the unquoted table name (INTO omitted)
                 if sc.try_char("."):
                     sc.ident()
                 sc.skip_ws_comments()
