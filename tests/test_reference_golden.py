@@ -201,3 +201,71 @@ def test_cli_sql_tolerates_exotic_table_names(spark, tmp_path, capsys):
     ])
     assert rc == 0
     assert capsys.readouterr().out.strip().splitlines()[-1] == "1"
+
+
+def test_issue_datasets_golden(spark, tmp_path):
+    """Reference regression dumps: issue_282 (BINARY(16) padding -> the
+    exact hex bytes), tool_135 (1000-row multi-file aggregate),
+    tool_1420 (reserved-word-adjacent names)."""
+    wh = _restore(spark, tmp_path, f"{REF}/issue_282/data")
+    hexes = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{wh}/issue282/t_access3")
+        .select(F.hex("accessKey"))
+        .collect()
+    )
+    assert hexes == ["1A", "405026464C415348534841"]
+
+    wh = _restore(
+        spark, tmp_path / "b", f"{REF}/tool_135/data"
+    )
+    bar1 = spark.read.parquet(f"{wh}/tool_135/bar1")
+    assert bar1.agg(
+        F.count("a"), F.sum("a"), F.min("a"), F.max("a")
+    ).first() == (1000, 601500, 102, 1101)
+
+    wh = _restore(spark, tmp_path / "c", f"{REF}/tool_1420/data")
+    assert spark.read.parquet(f"{wh}/EE1420/pt_role").first()[
+        "ROLE_ID"
+    ] == "1"
+
+
+def test_issue_519_quote_torture_golden(spark, tmp_path):
+    """issue_519: CSV whose delimiter is the single quote and whose
+    values are nothing but quote permutations — the byte-exact pairs
+    from run.sh survive the dialect mapping."""
+    from tidb_lightning_spark.sources.csv_source import CSVConfig
+
+    wh = _restore(
+        spark, tmp_path, f"{REF}/issue_519/data",
+        csv=CSVConfig(separator=",", delimiter="'", header=True,
+                      null=r"\N", backslash_escape=False),
+    )
+    t = spark.read.parquet(f"{wh}/issue519/t")
+    rows = {r["a"]: r["b"] for r in t.collect()}
+    assert rows["'"] == '"'  # run.sh: WHERE a = '''' -> b: "
+    # run.sh: WHERE b = 0x222722272727272722 -> hex(a) = 2227272727222722
+    hx = {
+        r[1]: r[0]
+        for r in t.select(F.hex("a"), F.hex("b")).collect()
+    }
+    assert hx["222722272727272722"] == "2227272727222722"
+
+
+def test_tool_241_gb18030_using_btree_golden(spark, tmp_path):
+    """tool_241: gb18030 dump whose schemas carry `KEY (...) USING
+    BTREE` index options (the r11 DDL-parser bug) and whose empty
+    tables must still materialize; q_fish_event's id aggregate matches
+    run.sh exactly."""
+    wh = _restore(
+        spark, tmp_path, f"{REF}/tool_241/data",
+        character_set="gb18030",
+    )
+    fish = spark.read.parquet(f"{wh}/qyjc/q_fish_event")
+    assert fish.agg(F.count("id"), F.min("id"), F.max("id")).first() == (
+        84, 8343146, 8343229
+    )
+    # empty tables restore as empty, not as failures
+    assert (
+        spark.read.parquet(f"{wh}/qyjc/q_alarm_group").count() == 0
+    )

@@ -288,18 +288,21 @@ def _parse_def(p: _P, info: TableInfo) -> bool:
         p.next()
         p.eat_word("KEY")
         info.primary_key = _key_columns(p)
+        _skip_index_options(p)
         return True
     if p.at_word("UNIQUE"):
         p.next()
         p.eat_word("KEY") or p.eat_word("INDEX")
         _maybe_index_name(p)
         info.unique_keys.append(_key_columns(p))
+        _skip_index_options(p)
         return True
     if p.at_word("KEY", "INDEX", "FULLTEXT", "SPATIAL"):
         p.next()
         p.eat_word("KEY")
         _maybe_index_name(p)
         info.indexes.append(_key_columns(p))
+        _skip_index_options(p)
         return True
     if p.at_word("CONSTRAINT", "FOREIGN", "CHECK"):
         # consume to end of this def (depth-aware)
@@ -318,6 +321,32 @@ def _parse_def(p: _P, info: TableInfo) -> bool:
                 return True
             p.next()
     return _parse_column(p, info)
+
+
+def _skip_index_options(p: _P) -> None:
+    """Consume trailing index options after a key's column list:
+    USING BTREE|HASH, KEY_BLOCK_SIZE [=] n, COMMENT 'x', WITH PARSER x,
+    VISIBLE/INVISIBLE (MySQL index_option grammar; reference golden
+    tests/tool_241 schemas carry `KEY (...) USING BTREE`)."""
+    while True:
+        if p.eat_word("USING"):
+            p.next()  # BTREE | HASH
+        elif p.eat_word("KEY_BLOCK_SIZE"):
+            t = p.peek()
+            if t and t.kind == "op" and t.text == "=":
+                p.next()
+            elif t and t.kind == "punct" and t.text == "=":
+                p.next()
+            p.next()  # the size literal
+        elif p.eat_word("COMMENT"):
+            p.next()  # the string
+        elif p.eat_word("WITH"):
+            p.eat_word("PARSER")
+            p.next()
+        elif p.eat_word("VISIBLE") or p.eat_word("INVISIBLE"):
+            pass
+        else:
+            return
 
 
 def _maybe_index_name(p: _P) -> None:
