@@ -269,3 +269,20 @@ def test_tool_241_gb18030_using_btree_golden(spark, tmp_path):
     assert (
         spark.read.parquet(f"{wh}/qyjc/q_alarm_group").count() == 0
     )
+
+
+def test_default_columns_golden(spark, tmp_path):
+    """tests/default-columns: `VALUES ()` empty tuples and explicit
+    DEFAULT take each column's default — auto-inc pk densely filled,
+    x stays NULL (its default), y = 123, z = the pinned timestamp;
+    partial column lists fill the rest (u: xx auto-inc around
+    explicit values)."""
+    wh = _restore(spark, tmp_path, f"{REF}/default-columns/data")
+    t = spark.read.parquet(f"{wh}/defcol/t")
+    assert t.agg(F.min("pk"), F.count("pk")).first() == (1, 9)
+    assert t.filter(
+        "x IS NOT NULL OR y <> 123 OR z IS NULL"
+    ).count() == 0
+    u = spark.read.parquet(f"{wh}/defcol/u")
+    rows = {r["yy"]: r["xx"] for r in u.collect()}
+    assert rows[40] == 1 and rows[60] == 2

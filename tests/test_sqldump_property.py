@@ -349,3 +349,31 @@ def test_vector_tier_multi_statement_noise_differential(rows, n_stmts):
         S._SQL_VECTOR = True
     assert got.equals(want)
     assert len(got) == n_stmts * len(rows)
+
+
+def test_empty_tuple_and_default_keyword_take_defaults():
+    """`VALUES ()` and the DEFAULT keyword produce DEFAULT_SENTINEL
+    datums (expanded to column defaults by the transform), identically
+    with the vector tier on and off (DEFAULT bails tier-0; `()` never
+    matches the row grammar)."""
+    from tidb_lightning_spark.operators.transform import DEFAULT_SENTINEL
+    from tidb_lightning_spark.sources import sqldump_source as S
+
+    text = (
+        "INSERT INTO t VALUES (), (1, DEFAULT), (DEFAULT, 'x');\n"
+        "INSERT INTO t () VALUES ();\n"
+    )
+    old = S._SQL_VECTOR
+    frames = {}
+    for vec in (True, False):
+        S._SQL_VECTOR = vec
+        try:
+            frames[vec] = _frames_concat(S, text, 2)
+        finally:
+            S._SQL_VECTOR = old
+    assert frames[True].equals(frames[False])
+    got = frames[True]
+    d = DEFAULT_SENTINEL
+    assert list(zip(got["_c0"], got["_c1"])) == [
+        (d, d), ("1", d), (d, "x"), (d, d)
+    ]

@@ -15,6 +15,14 @@ from tidb_lightning_spark.operators.cast import cast_column
 from tidb_lightning_spark.operators.gencols import translate_mysql_expr
 from tidb_lightning_spark.schema.ddl import CURRENT_TIMESTAMP, ColumnInfo, TableInfo
 
+# Marker a reader emits for a value position that means "this column's
+# DEFAULT" — MySQL's `VALUES ()` empty tuple and the DEFAULT keyword
+# (reference golden tests/default-columns). NUL bytes make a collision
+# with real dump text practically impossible; cast_columns substitutes
+# the column's raw default string (or NULL, so the auto-inc / NOT NULL
+# backstop machinery takes over) BEFORE any cast sees it.
+DEFAULT_SENTINEL = "\x00\x01TLS_DEFAULT\x01\x00"
+
 ROWID_COL = "_tidb_rowid"
 ERR_COL = "_err"
 
@@ -128,6 +136,7 @@ def cast_columns(
     binary_encoding: str = "UTF-8",
     unescape_cols: set[str] | None = None,
     present: set[str] | None = None,
+    sentinel_defaults: str | None = None,
 ) -> DataFrame:
     from tidb_lightning_spark.operators.cast import (
         _string_lossy_flag,
@@ -140,6 +149,21 @@ def cast_columns(
         if c.generated_expr is not None:
             continue  # computed later, never read from file
         raw = F.col(c.name)
+        if sentinel_defaults is not None:
+            # DEFAULT_SENTINEL -> the column's raw default string (the
+            # pinned timestamp for CURRENT_TIMESTAMP defaults), or NULL
+            # so auto-inc / NOT-NULL backstops apply downstream. Gated
+            # per source: only SQL dumps can emit the sentinel, so the
+            # CSV hot path never pays the extra comparison.
+            if c.has_default and c.default is CURRENT_TIMESTAMP:
+                dflt = F.lit(sentinel_defaults)
+            elif c.has_default and c.default is not None:
+                dflt = F.lit(str(c.default))
+            else:
+                dflt = F.lit(None).cast("string")
+            raw = F.when(
+                raw == F.lit(DEFAULT_SENTINEL), dflt
+            ).otherwise(raw)
         if unescape_cols and c.name.lower() in unescape_cols:
             # CSV-source MySQL control escapes, restored inside the cast
             # expression so the chain appears exactly once in the plan
@@ -367,6 +391,7 @@ def transform_table(
     keep_rowid: bool | None = None,
     unescape_cols: set[str] | None = None,
     force_dense: bool = False,
+    sentinel_defaults: bool = False,
 ) -> DataFrame:
     present = (
         {c.lower() for c in file_columns}
@@ -385,6 +410,7 @@ def transform_table(
     out = cast_columns(
         out, info, strict=strict, binary_encoding=binary_encoding,
         unescape_cols=unescape_cols, present=present,
+        sentinel_defaults=(pinned_timestamp if sentinel_defaults else None),
     )
     out = fill_defaults(out, info, present, pinned_timestamp)
     out = eval_generated_columns(out, info)

@@ -1686,6 +1686,9 @@ class Restorer:
                     strict=self.cfg.strict_sql_mode,
                     binary_encoding="ISO-8859-1",
                     keep_rowid=keep_rowid,
+                    # only SQL dumps can emit DEFAULT_SENTINEL (empty
+                    # tuples / DEFAULT keyword); CSV never pays for it
+                    sentinel_defaults=True,
                 )
                 # Persist the parsed+cast rows: unlike the CSV path
                 # (where the range sampler's re-scan is cheaper than a

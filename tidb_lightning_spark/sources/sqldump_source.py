@@ -176,6 +176,15 @@ class _Scanner:
             return "1"
         if u == "FALSE":
             return "0"
+        if u == "DEFAULT":
+            # VALUES (1, DEFAULT): take the column's default
+            # (tests/default-columns semantics; expanded per column by
+            # operators.transform.cast_columns)
+            from tidb_lightning_spark.operators.transform import (
+                DEFAULT_SENTINEL,
+            )
+
+            return DEFAULT_SENTINEL
         if u == "CONVERT" and self.peek() == "(":
             # CONVERT(<literal> USING <charset>) — mydumper emits this
             # for JSON/charset-tagged values (reference golden
@@ -754,7 +763,7 @@ _VWORD = _re.compile(r"[A-Za-z0-9_$.]+")
 # '[+-]?' prefixes, so '-TRUE'/'-0x41'/'-0b11' (scanner: '-1'/decoded)
 # and '-NULL' (scanner: raises "sign before NULL") survive to this
 # screen and must bail to keep tier-0 output identical to the scanner.
-_VBAD_FIELD = r"^[+-]?(?i:null|true|false|0b[01]*$|0x)|^[+`\"]"
+_VBAD_FIELD = r"^[+-]?(?i:null|true|false|default|0b[01]*$|0x)|^[+`\"]"
 
 
 def _vector_rows_table(content: str, n_columns: int):
@@ -877,13 +886,21 @@ def _row_frames(content: str, n_columns: int, base: int, src: str):
     ]
     seq = base
     buf: list[list] = []
+    from tidb_lightning_spark.operators.transform import DEFAULT_SENTINEL
+
     for stmt in parse_insert_statements(content):
         for row in stmt.rows:
             if len(row) != n_columns:
-                raise SQLDumpError(
-                    f"row arity {len(row)} != expected {n_columns} "
-                    f"in {src}"
-                )
+                if len(row) == 0:
+                    # MySQL: `VALUES ()` is legal at ANY arity and means
+                    # every column takes its DEFAULT (reference golden
+                    # tests/default-columns)
+                    row = [DEFAULT_SENTINEL] * n_columns
+                else:
+                    raise SQLDumpError(
+                        f"row arity {len(row)} != expected {n_columns} "
+                        f"in {src}"
+                    )
             buf.append(row + [seq, src])
             seq += 1
         if len(buf) >= 16384:
