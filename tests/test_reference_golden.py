@@ -286,3 +286,16 @@ def test_default_columns_golden(spark, tmp_path):
     u = spark.read.parquet(f"{wh}/defcol/u")
     rows = {r["yy"]: r["xx"] for r in u.collect()}
     assert rows[40] == 1 and rows[60] == 2
+
+
+def test_no_schema_sql_dump_golden(spark, tmp_path):
+    """tests/no_schema: a schema-less, column-list-less SQL dump under
+    no-schema mode synthesizes c0..cN names from the first row's arity
+    (the reference reads names from the target database there) and
+    restores the run.sh aggregate exactly: sum = 120 over 15 rows."""
+    wh = _restore(
+        spark, tmp_path, f"{REF}/no_schema/data", no_schema=True
+    )
+    t = spark.read.parquet(f"{wh}/noschema/t")
+    assert t.count() == 15
+    assert t.agg(F.sum(F.col("c0").cast("long"))).first()[0] == 120

@@ -1390,6 +1390,27 @@ class Restorer:
                 header = list(obj.keys())
             else:
                 header = None
+        elif first.type == "sql":
+            # SQL dump: the INSERT column list names the columns when
+            # present; a list-less dump (reference tests/no_schema gets
+            # names from the TARGET database there) synthesizes c0..cN
+            # from the first statement's arity so the restore still
+            # lands (rename downstream via cli sql views)
+            is_remote = (
+                "://" in first.path and not first.path.startswith("file:")
+            )
+            header = sqldump_source.peek_columns(
+                first.path,
+                self.cfg.character_set or "utf-8",
+                spark=self.spark if is_remote else None,
+            )
+            if not header:
+                arity = sqldump_source.peek_arity(
+                    first.path,
+                    self.cfg.character_set or "utf-8",
+                    spark=self.spark if is_remote else None,
+                )
+                header = [f"c{i}" for i in range(arity)] if arity else None
         else:
             header = (
                 csv_source.read_header(first.path, self.cfg.csv, self.spark)
@@ -1398,8 +1419,8 @@ class Restorer:
             )
         if header is None:
             raise IngestError(
-                f"no-schema requires a CSV header, JSONL or parquet for "
-                f"`{tbl.db}`.`{tbl.name}`"
+                f"no-schema requires a CSV header, column-listed SQL "
+                f"dump, JSONL or parquet for `{tbl.db}`.`{tbl.name}`"
             )
         info = TableInfo(db=tbl.db, name=tbl.name)
         for name in header:

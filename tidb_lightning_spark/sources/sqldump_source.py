@@ -522,6 +522,35 @@ def peek_columns(
             size *= 4
 
 
+def peek_arity(
+    path: str, encoding: str = "utf-8", spark=None
+) -> int | None:
+    """Driver-side: arity of the first INSERT's first row (None when no
+    row parses) — the no-schema fallback when a dump has no column list
+    (the reference reads names from the target database there,
+    restore.go no-schema path; without one we synthesize c0..cN).
+    Same growing-window contract as peek_columns."""
+    from tidb_lightning_spark.sources.csv_source import _decompress_open
+
+    size = 1 << 16
+    while True:
+        with _decompress_open(path, spark=spark) as f:
+            head = f.read(size)
+        complete = len(head) < size
+        text = head.decode(encoding, errors="replace")
+        try:
+            for stmt in parse_insert_statements(text):
+                if stmt.rows:
+                    return len(stmt.rows[0])
+            if complete:
+                return None
+            size *= 4
+        except SQLDumpError:
+            if complete:
+                return None
+            size *= 4
+
+
 # chunk target for splitting large dump files (reference max-region-size,
 # region.go:131-234: 256 MiB regions; we split finer because the Python
 # statement parser is the bottleneck, not IO). Departure note: the
