@@ -299,3 +299,48 @@ def test_no_schema_sql_dump_golden(spark, tmp_path):
     t = spark.read.parquet(f"{wh}/noschema/t")
     assert t.count() == 15
     assert t.agg(F.sum(F.col("c0").cast("long"))).first()[0] == 120
+
+
+def test_parquet_spark_export_layout_golden(spark, tmp_path):
+    """tests/parquet: a Spark-export-layout dump (db.tbl/part-*.gz
+    .parquet + _SUCCESS markers) restored via a custom [[mydumper.
+    files]] routing rule and no-schema inference — every run.sh row
+    count plus the value spot-checks (c_since asserted as the UTC
+    instant; the reference's '20:17:16' is the same instant rendered
+    in +08:00)."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    rule = {
+        "pattern": (
+            r"(?i)^(?:[^/]*/)*([a-z0-9_]+)\.([a-z0-9_]+)/"
+            r"(?:[a-z0-9\-_.]+\.(parquet))$"
+        ),
+        "schema": "$1", "table": "$2", "type": "$3",
+    }
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=f"{REF}/parquet/data", target_dir=target,
+        checkpoint_enable=False, no_schema=True,
+        file_routes=[rule], default_file_rules=False,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    counts = {
+        "customer": 20, "district": 10, "history": 100, "item": 100,
+        "new_order": 100, "order_line": 100, "orders": 100,
+        "stock": 50, "warehouse": 1,
+    }
+    for tbl, n in counts.items():
+        assert (
+            spark.read.parquet(f"{target}/test/{tbl}").count() == n
+        ), tbl
+    c = spark.read.parquet(f"{target}/test/customer")
+    assert c.agg(F.sum("c_id")).first()[0] == 210
+    assert spark.read.parquet(f"{target}/test/warehouse").first()[
+        "w_name"
+    ] == "eLNEDIW"
+    r = c.filter("c_id = 20").select("c_since", "c_discount").first()
+    assert str(r["c_since"]) == "2020-09-10 12:17:16"
+    # no-schema inference types by the parquet file; compare by value
+    assert float(r["c_discount"]) == 0.0585
