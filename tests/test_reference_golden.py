@@ -344,3 +344,43 @@ def test_parquet_spark_export_layout_golden(spark, tmp_path):
     assert str(r["c_since"]) == "2020-09-10 12:17:16"
     # no-schema inference types by the parquet file; compare by value
     assert float(r["c_discount"]) == 0.0585
+
+
+def test_sqlmode_golden_both_modes(spark, tmp_path):
+    """tests/sqlmode: the non-strict cast battery (clamp, junk->0,
+    fractional round, overlong truncate, SET canonicalize/bitmask,
+    NOT NULL backstops) matches run.sh row by row, and strict mode
+    refuses the table naming column 'a' — the same column the
+    reference's kv-convert error names. Documented departures:
+    zero-dates store as NULL (no 0000-00-00 in Spark), CHAR truncation
+    is by character not legacy-charset byte, and TIMESTAMP keeps its
+    full range instead of clamping at 2038."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    wh = _restore(
+        spark, tmp_path, f"{REF}/sqlmode/data", strict_sql_mode=False
+    )
+    t = spark.read.parquet(f"{wh}/sqlmodedb/t")
+    rows = {r["id"]: r for r in t.collect()}
+    assert [rows[i]["b"] for i in (1, 2, 3, 4, 5)] == [
+        127, -128, 0, 100, 0
+    ]
+    assert [rows[i]["d"] for i in (1, 2, 3, 4, 5)] == [
+        "", "x,y", "", "x,y", ""
+    ]
+    assert rows[1]["c"] == "t"          # 'too long' -> VARCHAR(1)
+    assert rows[3]["c"] == "\x99"       # x'99' byte-preserved
+    assert rows[4]["c"] == ""
+    assert rows[1]["a"] is None         # 9 -> invalid ts -> zero-date
+    assert str(rows[4]["a"]) == "2000-01-01 00:00:00"
+
+    target = str(tmp_path / "wh_strict")
+    cfg = Config.from_toml(
+        None, source_dir=f"{REF}/sqlmode/data", target_dir=target,
+        checkpoint_enable=False, strict_sql_mode=True,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert not rep.ok
+    (err,) = [t.error for t in rep.tables if t.error]
+    assert "strict sql_mode violations" in err and "'a'" in err
