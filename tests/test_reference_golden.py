@@ -384,3 +384,75 @@ def test_sqlmode_golden_both_modes(spark, tmp_path):
     assert not rep.ok
     (err,) = [t.error for t in rep.tables if t.error]
     assert "strict sql_mode violations" in err and "'a'" in err
+
+
+def _tables_in(spark, wh):
+    out = set()
+    for db in os.listdir(wh):
+        dbp = os.path.join(wh, db)
+        if not os.path.isdir(dbp):
+            continue
+        for tbl in os.listdir(dbp):
+            if os.path.isdir(os.path.join(dbp, tbl)) and not tbl.startswith("_"):
+                out.add(f"{db}.{tbl}")
+    return out
+
+
+def test_black_white_list_golden(spark, tmp_path):
+    """tests/black-white-list: the reference's LEGACY [black-white-list]
+    rules (previously accepted-but-ignored) — do-dbs regex whitelist
+    keeps firstdb only; ignore-tables + do-tables keeps exactly
+    {firstdb.second, seconddb.fourth}; mysql.testtable excluded by the
+    default system-schema filter in both runs."""
+    import tomllib
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    src = f"{REF}/black-white-list/data"
+
+    def run(toml_name, sub):
+        with open(f"{REF}/black-white-list/{toml_name}", "rb") as f:
+            raw = tomllib.load(f)
+        target = str(tmp_path / sub)
+        cfg = Config.from_toml(
+            None, source_dir=src, target_dir=target,
+            checkpoint_enable=False, bw_list=raw["black-white-list"],
+        )
+        rep = Restorer(spark, cfg).run()
+        assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+        return _tables_in(spark, target)
+
+    assert run("firstdb-only.toml", "a") == {
+        "firstdb.first", "firstdb.second"
+    }
+    assert run("even-table-only.toml", "b") == {
+        "firstdb.second", "seconddb.fourth"
+    }
+
+
+def test_routes_golden(spark, tmp_path):
+    """tests/routes: the [[routes]] shard-merge rule folds
+    routes_a{0,1}.t* into routes_b.u (count 4, sum 259) while the
+    unmatched routes_a1.s1 survives untouched (sum 1296) and no t2
+    remains under routes_a1."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    rule = {
+        "schema-pattern": "routes_a*", "table-pattern": "t*",
+        "target-schema": "routes_b", "target-table": "u",
+    }
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=f"{REF}/routes/data", target_dir=target,
+        checkpoint_enable=False, routes=[rule],
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    u = spark.read.parquet(f"{target}/routes_b/u")
+    assert u.count() == 4
+    assert u.agg(F.sum("x")).first()[0] == 259
+    s1 = spark.read.parquet(f"{target}/routes_a1/s1")
+    assert (s1.count(), s1.agg(F.sum("x")).first()[0]) == (1, 1296)
+    assert "routes_a1.t2" not in _tables_in(spark, target)

@@ -24,6 +24,9 @@ class Config:
     no_schema: bool = False
     case_sensitive: bool = False
     filter: list[str] | None = None
+    # [black-white-list] legacy filter rules (reference BWList); applied
+    # IN ADDITION to `filter` when present
+    bw_list: dict | None = None
     file_routes: list[dict] = field(default_factory=list)
     default_file_rules: bool = True
     routes: list[dict] = field(default_factory=list)
@@ -96,6 +99,7 @@ class Config:
             strict_format=my.get("strict-format", False),
         )
         cfg.routes = raw.get("routes", [])
+        cfg.bw_list = raw.get("black-white-list") or None
         tikv = raw.get("tikv-importer", {})
         cfg.backend = tikv.get("backend", "local")
         cfg.output_format = tikv.get("output-format", cfg.output_format)

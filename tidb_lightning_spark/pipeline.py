@@ -289,6 +289,24 @@ class Restorer:
         return sl
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _build_table_filter(cfg):
+        """-f glob filter (with system-schema defaults) AND the legacy
+        [black-white-list] rules when configured (reference applies
+        both; BWList was previously accepted-but-ignored)."""
+        from tidb_lightning_spark.sources.table_filter import (
+            BWListFilter,
+            CombinedFilter,
+        )
+
+        base = TableFilter(cfg.filter, cfg.case_sensitive)
+        if not cfg.bw_list:
+            return base
+        return CombinedFilter(
+            base, BWListFilter(cfg.bw_list, cfg.case_sensitive)
+        )
+
     def run(self) -> RunReport:
         t0 = time.time()
         cfg = self.cfg
@@ -297,7 +315,7 @@ class Restorer:
         result = discover(
             cfg.source_dir,
             file_router=FileRouter.build(cfg.file_routes, cfg.default_file_rules),
-            table_filter=TableFilter(cfg.filter, cfg.case_sensitive),
+            table_filter=self._build_table_filter(cfg),
             table_router=TableRouter(cfg.routes, cfg.case_sensitive)
             if cfg.routes
             else None,

@@ -57,3 +57,67 @@ class TableFilter:
             if sp.match(schema):
                 verdict = positive
         return verdict
+
+
+class BWListFilter:
+    """[black-white-list] — the reference's LEGACY filter surface
+    (config.go:146 BWList -> tidb-tools MySQLReplicationRules;
+    tests/black-white-list). Previously accepted-but-IGNORED, which
+    silently imported everything a user meant to exclude. Semantics
+    (filter.go subset the reference test exercises): db level —
+    do-dbs whitelist when non-empty, else ignore-dbs blacklist; table
+    level — do-tables whitelist when non-empty, else ignore-tables
+    blacklist. A '~'-prefixed name is a regexp, anything else an
+    exact (case-insensitive by default) name."""
+
+    def __init__(self, raw: dict, case_sensitive: bool = False):
+        flags = 0 if case_sensitive else re.IGNORECASE
+
+        def pat(name: str) -> re.Pattern:
+            if name.startswith("~"):
+                return re.compile(name[1:], flags)
+            return re.compile(re.escape(name) + r"\Z", flags)
+
+        self._do_dbs = [pat(x) for x in raw.get("do-dbs", [])]
+        self._ignore_dbs = [pat(x) for x in raw.get("ignore-dbs", [])]
+
+        def tbl(key: str):
+            return [
+                (pat(r["db-name"]), pat(r["tbl-name"]))
+                for r in raw.get(key, [])
+            ]
+
+        self._do_tables = tbl("do-tables")
+        self._ignore_tables = tbl("ignore-tables")
+
+    def match_schema(self, schema: str) -> bool:
+        if self._do_dbs:
+            return any(p.match(schema) for p in self._do_dbs)
+        return not any(p.match(schema) for p in self._ignore_dbs)
+
+    def match_table(self, schema: str, table: str) -> bool:
+        if not self.match_schema(schema):
+            return False
+        if self._do_tables:
+            return any(
+                dp.match(schema) and tp.match(table)
+                for dp, tp in self._do_tables
+            )
+        return not any(
+            dp.match(schema) and tp.match(table)
+            for dp, tp in self._ignore_tables
+        )
+
+
+class CombinedFilter:
+    """AND of several filters — the reference applies the -f glob
+    filter (with its system-schema defaults) and the BWList together."""
+
+    def __init__(self, *filters):
+        self._filters = filters
+
+    def match_schema(self, schema: str) -> bool:
+        return all(f.match_schema(schema) for f in self._filters)
+
+    def match_table(self, schema: str, table: str) -> bool:
+        return all(f.match_table(schema, table) for f in self._filters)
