@@ -466,3 +466,72 @@ def test_cli_explain(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "== Physical Plan ==" in out and "Scan parquet" in out
+
+
+def test_review_fix_semantics(spark, tmp_path):
+    """Pins for the r11 self-review fixes: FLOAT saturates at ±FLT_MAX
+    (never Infinity), CONVERT tolerates space before '(', a leading ()
+    row doesn't blind peek_arity, and BWList '~' rules are UNANCHORED
+    (tidb-tools MatchString semantics)."""
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_spark.operators.cast import cast_column
+    from tidb_lightning_spark.schema.ddl import parse_create_table
+    from tidb_lightning_spark.sources import sqldump_source as S
+    from tidb_lightning_spark.sources.table_filter import BWListFilter
+
+    # FLOAT saturation
+    info = parse_create_table("CREATE TABLE t (f FLOAT, d DOUBLE)")
+    df = spark.createDataFrame([("1e39", "1e39"), ("-1e39", "3.5e308")],
+                               "f string, d string")
+    out = df.select(
+        cast_column(F.col("f"), info.columns[0]).alias("f"),
+        cast_column(F.col("d"), info.columns[1]).alias("d"),
+    ).collect()
+    import math
+    assert all(math.isfinite(r["f"]) and math.isfinite(r["d"]) for r in out)
+    assert out[0]["f"] == pytest.approx(3.4028235e38, rel=1e-6)
+    assert out[1]["f"] == pytest.approx(-3.4028235e38, rel=1e-6)
+
+    # CONVERT with whitespace before '('
+    stmts = list(S.parse_insert_statements(
+        "INSERT INTO t VALUES (1, CONVERT ('x' USING utf8mb4));"
+    ))
+    assert stmts[0].rows == [["1", "x"]]
+
+    # peek_arity skips a leading all-defaults tuple
+    p = tmp_path / "d.sql"
+    p.write_text("INSERT INTO t VALUES (), (1, 2);\n")
+    assert S.peek_arity(str(p)) == 2
+
+    # BWList '~' rules are substring searches, exact names anchored
+    f = BWListFilter({"ignore-dbs": ["~log$"]})
+    assert not f.match_schema("binlog")
+    assert f.match_schema("logs")  # $ anchors the END only
+    f2 = BWListFilter({"do-dbs": ["prod"]})
+    assert f2.match_schema("prod") and not f2.match_schema("prod2")
+
+
+def test_cli_sql_ambiguous_alias_refused(spark, tmp_path, capsys):
+    """Two tables sanitizing to the same alias (a-b vs a_b): neither
+    owns the alias (a silently-shadowing alias would answer from the
+    wrong table); the backticked canonical views stay usable."""
+    from tidb_lightning_spark import cli
+
+    wh = tmp_path / "wh"
+    os.makedirs(wh / "db1")
+    spark.createDataFrame([(1,)], "n long").write.parquet(
+        str(wh / "db1" / "a-b")
+    )
+    spark.createDataFrame([(2,)], "n long").write.parquet(
+        str(wh / "db1" / "a_b")
+    )
+    rc = cli.main([
+        "sql", "--target", str(wh), "--format", "csv",
+        'SELECT (SELECT n FROM `db1.a-b`) AS x, '
+        '(SELECT n FROM `db1.a_b`) AS y',
+    ])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert cap.out.strip().splitlines()[-1] == "1,2"
+    assert "ambiguous" in cap.err

@@ -293,17 +293,36 @@ def _run(args) -> int:
 
 
 
-def _alias_view(df, db: str, tbl: str) -> None:
+def _alias_view(df, db: str, tbl: str, seen: dict | None = None) -> None:
     """Register the convenience db_tbl alias next to the canonical
     backticked `db.tbl` view. Exotic table names (hyphens, quotes —
     reference tests/exotic_filenames) are sanitized to word chars, and
     a name the catalog still rejects only loses its alias, never the
     canonical view (regression: `vt_enum-set` aborted ALL registration
-    for the reference various_types warehouse)."""
+    for the reference various_types warehouse). When two tables
+    sanitize to the SAME alias (a-b vs a_b), neither gets it — a
+    silently-shadowing alias would answer queries from the wrong
+    table; the backticked canonical views stay unambiguous."""
     import re as _re
 
+    alias = _re.sub(r"\W", "_", f"{db}_{tbl}")
+    if seen is not None:
+        prev = seen.get(alias)
+        if prev is not None and prev != (db, tbl):
+            print(
+                f"warning: alias {alias} is ambiguous "
+                f"({prev[0]}.{prev[1]} vs {db}.{tbl}); use the "
+                f"backticked `db.tbl` names",
+                file=sys.stderr,
+            )
+            try:
+                df.sparkSession.catalog.dropTempView(alias)
+            except Exception:
+                pass
+            return
+        seen[alias] = (db, tbl)
     try:
-        df.createOrReplaceTempView(_re.sub(r"\W", "_", f"{db}_{tbl}"))
+        df.createOrReplaceTempView(alias)
     except Exception:
         pass
 
@@ -332,7 +351,7 @@ def _register_views(spark, warehouse: str) -> int:
                 if meta.get("columns"):
                     df = df.toDF(*meta["columns"])
                 df.createOrReplaceTempView(f"`{db}.{name}`")
-                _alias_view(df, db, name)
+                _alias_view(df, db, name)  # view aliases: last wins
             except Exception:
                 continue  # dependency not registered yet — retry next pass
             pending.remove(item)
@@ -540,6 +559,7 @@ def _sql(args) -> int:
     spark = get_spark(app_name="tls-sql")
     spark.sparkContext.setLogLevel("ERROR")
     found = 0
+    seen_aliases: dict = {}
     for db in sorted(os.listdir(args.target)):
         dpath = os.path.join(args.target, db)
         if not os.path.isdir(dpath) or db.startswith("_"):
@@ -561,7 +581,7 @@ def _sql(args) -> int:
             else:
                 df = read_table(spark, tpath)
             df.createOrReplaceTempView(f"`{db}.{tbl}`")
-            _alias_view(df, db, tbl)
+            _alias_view(df, db, tbl, seen_aliases)
             found += 1
     found += _register_views(spark, args.target)
     if not found:
@@ -1116,6 +1136,20 @@ def _explain(args) -> int:
 
     spark = get_spark(app_name="tls-explain")
     spark.sparkContext.setLogLevel("ERROR")
+    # entries that MATERIALIZE during construction (driver-side collects
+    # or a streaming drain): warn that building the plan runs real work
+    # and that the printed plan is the final presentation step only
+    _EAGER = {"streaming_cdc_replay", "bpe_train_merges",
+              "bpe_train_merges_sampled", "bpe_encode_corpus",
+              "bpe_fertility_by_source"}
+    if args.query in _EAGER:
+        print(
+            f"note: {args.query} executes during plan construction "
+            "(iterative/streaming entry); this runs the job against "
+            f"{args.sf_dir} and the plan below is its final "
+            "presentation step",
+            file=sys.stderr,
+        )
     df = reg[args.query].spark(spark, args.sf_dir)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"

@@ -129,20 +129,28 @@ def cast_column(
         # tests/various_types vt.double caught both). MySQL semantics:
         # numeric-prefix parse, out-of-range saturates to ±DBL_MAX,
         # 'inf'/'nan' words are junk (no numeric prefix -> 0).
-        dbl_max = 1.7976931348623157e308
+        # the saturation bound is the TARGET type's: a FLOAT column
+        # clamps at ±FLT_MAX (MySQL stores 3.40282e38, never Infinity)
+        import pyspark.sql.types as _T
+
+        fmax = (
+            3.4028234663852886e38
+            if isinstance(spark_t, _T.FloatType)
+            else 1.7976931348623157e308
+        )
         wordy = col.rlike(r"(?i)^\s*[+-]?(inf|nan)")
         fast = F.when(~wordy, col.try_cast("double"))
         prefix = F.regexp_extract(col, _NUM_PREFIX, 1)
         sat = F.when(
-            prefix.startswith("-"), F.lit(-dbl_max)
-        ).otherwise(F.lit(dbl_max))
+            prefix.startswith("-"), F.lit(-fmax)
+        ).otherwise(F.lit(fmax))
         slow = F.when(prefix == "", F.lit(0.0)).otherwise(
             F.coalesce(prefix.try_cast("double"), sat)
         )
         v = F.coalesce(fast, slow)
         v = (
-            F.when(v == F.lit(float("inf")), F.lit(dbl_max))
-            .when(v == F.lit(float("-inf")), F.lit(-dbl_max))
+            F.when(v > F.lit(fmax), F.lit(fmax))
+            .when(v < F.lit(-fmax), F.lit(-fmax))
             .otherwise(v)
         )
         return F.when(col.isNull(), F.lit(None)).otherwise(v).cast(spark_t)

@@ -185,7 +185,9 @@ class _Scanner:
             )
 
             return DEFAULT_SENTINEL
-        if u == "CONVERT" and self.peek() == "(":
+        if u == "CONVERT" and (
+            self.skip_ws_comments() or self.peek() == "("
+        ):
             # CONVERT(<literal> USING <charset>) — mydumper emits this
             # for JSON/charset-tagged values (reference golden
             # tests/various_types vt.json; TiDB's parser accepts the
@@ -540,8 +542,9 @@ def peek_arity(
         text = head.decode(encoding, errors="replace")
         try:
             for stmt in parse_insert_statements(text):
-                if stmt.rows:
-                    return len(stmt.rows[0])
+                for row in stmt.rows:
+                    if row:  # skip () all-defaults rows: arity 0 says
+                        return len(row)  # nothing about the table
             if complete:
                 return None
             size *= 4

@@ -73,10 +73,13 @@ class BWListFilter:
     def __init__(self, raw: dict, case_sensitive: bool = False):
         flags = 0 if case_sensitive else re.IGNORECASE
 
-        def pat(name: str) -> re.Pattern:
+        def pat(name: str) -> "re.Pattern":
+            # '~' rules are UNANCHORED regexps (tidb-tools uses Go's
+            # MatchString, a substring search — '~log$' must exclude
+            # 'binlog'); exact names anchor both ends
             if name.startswith("~"):
                 return re.compile(name[1:], flags)
-            return re.compile(re.escape(name) + r"\Z", flags)
+            return re.compile(r"\A" + re.escape(name) + r"\Z", flags)
 
         self._do_dbs = [pat(x) for x in raw.get("do-dbs", [])]
         self._ignore_dbs = [pat(x) for x in raw.get("ignore-dbs", [])]
@@ -92,19 +95,19 @@ class BWListFilter:
 
     def match_schema(self, schema: str) -> bool:
         if self._do_dbs:
-            return any(p.match(schema) for p in self._do_dbs)
-        return not any(p.match(schema) for p in self._ignore_dbs)
+            return any(p.search(schema) for p in self._do_dbs)
+        return not any(p.search(schema) for p in self._ignore_dbs)
 
     def match_table(self, schema: str, table: str) -> bool:
         if not self.match_schema(schema):
             return False
         if self._do_tables:
             return any(
-                dp.match(schema) and tp.match(table)
+                dp.search(schema) and tp.search(table)
                 for dp, tp in self._do_tables
             )
         return not any(
-            dp.match(schema) and tp.match(table)
+            dp.search(schema) and tp.search(table)
             for dp, tp in self._ignore_tables
         )
 
