@@ -403,7 +403,8 @@ def test_black_white_list_golden(spark, tmp_path):
     rules (previously accepted-but-ignored) — do-dbs regex whitelist
     keeps firstdb only; ignore-tables + do-tables keeps exactly
     {firstdb.second, seconddb.fourth}; mysql.testtable excluded by the
-    default system-schema filter in both runs."""
+    BWList's own whitelists in both runs (the BWList REPLACES the -f
+    filter and its system-schema defaults, loader.go:119-124)."""
     import tomllib
 
     from tidb_lightning_spark.config import Config

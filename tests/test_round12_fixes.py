@@ -1,0 +1,209 @@
+"""Round-12 fixes (driver ADVICE items): BWList replaces the -f filter
+(never intersects it), BWList typo'd keys fail loudly, the spool cache's
+per-writer tmp names, 64-member SET masks with bit 63 set, and bare
+DATETIME defaulting to fsp=0 like MySQL."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_lightning_spark.operators.cast import cast_column
+from tidb_lightning_spark.schema.ddl import parse_create_table
+
+
+def _info(ddl: str, name: str):
+    return parse_create_table(ddl).column(name)
+
+
+def _cast(spark, info, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [
+        r["r"]
+        for r in df.select(cast_column(F.col("v"), info).alias("r")).collect()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 1: [black-white-list] REPLACES mydumper.filter
+# ---------------------------------------------------------------------------
+
+
+def test_bwlist_and_explicit_filter_is_startup_error(tmp_path):
+    """config.go:655-660: a non-default mydumper.filter alongside
+    [black-white-list] must fail at startup, never silently import the
+    intersection."""
+    from tidb_lightning_spark.config import Config
+
+    p = tmp_path / "both.toml"
+    p.write_text(
+        "[mydumper]\n"
+        'data-source-dir = "/x"\n'
+        'filter = ["mydb.*"]\n'
+        "[black-white-list]\n"
+        'do-dbs = ["mydb"]\n'
+    )
+    with pytest.raises(ValueError, match="cannot be simultaneously defined"):
+        Config.from_toml(str(p))
+
+
+def test_bwlist_with_default_filter_allowed(tmp_path):
+    """An explicit filter EQUAL to the default passes (the reference
+    compares against DefaultFilter, not against 'was it set')."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.sources.table_filter import DEFAULT_FILTER
+
+    p = tmp_path / "ok.toml"
+    rules = ", ".join(f'"{r}"' for r in DEFAULT_FILTER)
+    p.write_text(
+        "[mydumper]\n"
+        'data-source-dir = "/x"\n'
+        f"filter = [{rules}]\n"
+        "[black-white-list]\n"
+        'do-dbs = ["mydb"]\n'
+    )
+    cfg = Config.from_toml(str(p))
+    assert cfg.bw_list == {"do-dbs": ["mydb"]}
+
+
+def test_bwlist_replaces_filter_not_intersects():
+    """A BWList whitelisting a table the -f defaults exclude must let it
+    through — loader.go:119-124 uses the BWList INSTEAD of the filter,
+    so `do-dbs = ["mysql"]` really does import from the mysql schema."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    cfg = Config(source_dir="/x", bw_list={"do-dbs": ["mysql"]})
+    f = Restorer._build_table_filter(cfg)
+    assert f.match_table("mysql", "user")
+    assert not f.match_table("other", "t")
+
+
+def test_bwlist_typoed_keys_fail_loudly(tmp_path):
+    """ADVICE 3: 'do-db' for 'do-dbs' (and 'table-name' for 'tbl-name')
+    inside [black-white-list] must hit the unknown-key gate — a dropped
+    rule silently imports everything it meant to exclude."""
+    from tidb_lightning_spark.config import Config
+
+    p = tmp_path / "typo.toml"
+    p.write_text(
+        "[mydumper]\n"
+        'data-source-dir = "/x"\n'
+        "[black-white-list]\n"
+        'do-db = ["mydb"]\n'
+        "[[black-white-list.ignore-tables]]\n"
+        'db-name = "d"\n'
+        'table-name = "t"\n'
+    )
+    with pytest.raises(ValueError) as ei:
+        Config.from_toml(str(p))
+    msg = str(ei.value)
+    assert "black-white-list.do-db" in msg
+    assert "black-white-list.ignore-tables.table-name" in msg
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 2: spool cache — unique per-writer tmp names
+# ---------------------------------------------------------------------------
+
+
+def test_cached_driver_copy_concurrent_writers_publish_complete_copies(
+    tmp_path, monkeypatch
+):
+    """Two writers racing the same cache key must each publish a
+    complete copy (last replace wins) — the shared `.part` name let
+    them interleave into one corrupt published file."""
+    from tidb_lightning_spark.sources.csv_source import _cached_driver_copy
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    barrier = threading.Barrier(2)
+    payloads = [b"A" * 65536, b"B" * 65536]
+    results = []
+
+    def writer(i):
+        def write_fn(tmp):
+            barrier.wait()
+            # chunked write maximizes interleave odds on a shared path
+            with open(tmp, "wb") as f:
+                for _ in range(64):
+                    f.write(payloads[i][:1024])
+                    f.flush()
+
+        results.append(
+            _cached_driver_copy("testrace", "samekey", "out.bin", write_fn)
+        )
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert results[0] == results[1]
+    data = open(results[0], "rb").read()
+    assert data in (payloads[0], payloads[1])  # complete, never interleaved
+    # no stranded .part files
+    d = os.path.dirname(results[0])
+    assert not [f for f in os.listdir(d) if f.endswith(".part")]
+
+
+def test_cached_driver_copy_failed_writer_cleans_tmp(tmp_path, monkeypatch):
+    from tidb_lightning_spark.sources.csv_source import _cached_driver_copy
+
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+
+    def boom(tmp):
+        with open(tmp, "wb") as f:
+            f.write(b"partial")
+        raise RuntimeError("download died")
+
+    with pytest.raises(RuntimeError):
+        _cached_driver_copy("testfail", "k", "out.bin", boom)
+    cache = tmp_path / "testfail"
+    assert not any(f.endswith(".part") for f in os.listdir(cache))
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 4: SET masks with bit 63 set (unsigned 64-bit decimals)
+# ---------------------------------------------------------------------------
+
+
+def test_set_mask_bit63_member_decodes(spark):
+    """A 64-member SET whose value has bit 63 set arrives as an UNSIGNED
+    decimal >= 2^63; the signed-long cast nulled it and dropped every
+    member. Route via decimal(20,0) + two's-complement fold."""
+    members = ", ".join(f"'m{i}'" for i in range(64))
+    info = _info(f"CREATE TABLE t (v SET({members}))", "v")
+    top = str(1 << 63)                      # only bit 63 -> 'm63'
+    both = str((1 << 63) | 1)               # bits 0 and 63
+    allbits = str((1 << 64) - 1)            # every member
+    got = _cast(spark, info, [top, both, allbits, "1"])
+    assert got[0] == "m63"
+    assert got[1] == "m0,m63"
+    assert got[2] == ",".join(f"m{i}" for i in range(64))
+    assert got[3] == "m0"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE 5: bare DATETIME/TIMESTAMP defaults to fsp=0
+# ---------------------------------------------------------------------------
+
+
+def test_bare_datetime_rounds_to_whole_seconds(spark):
+    """MySQL treats DATETIME (no fsp) as fsp=0 and rounds fractional
+    seconds half-up; keeping micros was a checksum-visible departure."""
+    info = _info("CREATE TABLE t (v DATETIME)", "v")
+    got = _cast(
+        spark, info,
+        ["2021-01-01 10:00:00.499999", "2021-01-01 10:00:00.500000",
+         "2021-12-31 23:59:59.7"],
+    )
+    assert got[0].second == 0 and got[0].microsecond == 0
+    assert got[1].second == 1 and got[1].microsecond == 0
+    assert got[2].year == 2022  # .7 rounds up across the year boundary
+    # explicit fsp still honored
+    info6 = _info("CREATE TABLE t (v DATETIME(6))", "v")
+    got6 = _cast(spark, info6, ["2021-01-01 10:00:00.123456"])
+    assert got6[0].microsecond == 123456

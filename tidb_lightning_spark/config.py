@@ -183,6 +183,21 @@ class Config:
             )
         if self.table_concurrency < 1:
             raise ValueError("lightning.table-concurrency must be >= 1")
+        if self.bw_list and self.filter is not None:
+            # reference parity (config.go:655-660): the legacy
+            # [black-white-list] REPLACES mydumper.filter — defining a
+            # non-default filter alongside it is a startup error, never
+            # a silent intersection. An explicit filter equal to the
+            # default is allowed (StringSliceEqual(Filter, DefaultFilter)).
+            from tidb_lightning_spark.sources.table_filter import (
+                DEFAULT_FILTER,
+            )
+
+            if list(self.filter) != DEFAULT_FILTER:
+                raise ValueError(
+                    "invalid config: `mydumper.filter` and "
+                    "`black-white-list` cannot be simultaneously defined"
+                )
 
 
 # the full reference TOML surface (config.go + global.go toml tags) plus
@@ -247,7 +262,14 @@ _KNOWN_KEYS: dict[str, Any] = {
         "target-table",
     ]),
     "security": None,
-    "black-white-list": None,
+    # tidb-tools MySQLReplicationRules surface: a typo'd key inside the
+    # BWList ('do-db' for 'do-dbs') must fail loudly like any other —
+    # a silently-dropped rule imports everything it meant to exclude
+    "black-white-list": {
+        **dict.fromkeys(["do-dbs", "ignore-dbs"]),
+        "do-tables": dict.fromkeys(["db-name", "tbl-name"]),
+        "ignore-tables": dict.fromkeys(["db-name", "tbl-name"]),
+    },
 }
 
 

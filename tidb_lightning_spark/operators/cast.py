@@ -163,15 +163,16 @@ def cast_column(
     if b in ("datetime", "timestamp"):
         zero = col.rlike(r"^0000-00-00")
         tt = F.try_to_timestamp(col)
-        p = info.mysql.length
-        if p is not None and 0 <= p < 6:
+        # MySQL treats a bare DATETIME/TIMESTAMP as fsp=0 — fractional
+        # seconds in the dump round half-up to whole seconds. The old
+        # lossless-micros default for unspecified precision was a
+        # checksum-visible parity gap (r12 ADVICE).
+        p = info.mysql.length if info.mysql.length is not None else 0
+        if 0 <= p < 6:
             # MySQL rounds fractional seconds to the column's declared
             # fsp half-up ('...45.842815' into TIMESTAMP(3) stores
             # .843 — reference golden tests/various_types vt.datetime).
             # floor((us + q/2)/q)*q via pmod = half-up at any sign.
-            # Departure (documented): an UNSPECIFIED precision keeps
-            # full micros — the lossless warehouse default — where
-            # MySQL's bare DATETIME means fsp=0.
             q = 10 ** (6 - p)
             shifted = F.unix_micros(tt) + F.lit(q // 2)
             tt = F.timestamp_micros(shifted - F.pmod(shifted, F.lit(q)))
@@ -200,7 +201,16 @@ def cast_column(
         parts = F.split(col, ",")
         all_valid = F.forall(parts, lambda x: F.array_contains(arr, x))
         canonical = F.array_join(F.array_intersect(arr, parts), ",")
-        mask = col.try_cast("long")
+        # MySQL dumps emit 64-member SET masks as UNSIGNED decimals: a
+        # value >= 2^63 (bit 63 set) fails a signed long cast. Route
+        # through decimal(20,0) and fold to signed two's-complement so
+        # bitwiseAND still tests the 64th member (r12 ADVICE).
+        dec = col.try_cast("decimal(20,0)")
+        _two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
+        _two64 = F.lit("18446744073709551616").cast("decimal(21,0)")
+        mask = F.when(dec >= _two63, (dec - _two64).cast("long")).otherwise(
+            dec.cast("long")
+        )
         from_mask = F.concat_ws(
             ",",
             *[

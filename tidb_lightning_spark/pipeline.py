@@ -292,20 +292,17 @@ class Restorer:
 
     @staticmethod
     def _build_table_filter(cfg):
-        """-f glob filter (with system-schema defaults) AND the legacy
-        [black-white-list] rules when configured (reference applies
-        both; BWList was previously accepted-but-ignored)."""
-        from tidb_lightning_spark.sources.table_filter import (
-            BWListFilter,
-            CombinedFilter,
-        )
+        """The legacy [black-white-list] REPLACES the -f glob filter
+        when configured (reference: loader.go:119-124 picks one or the
+        other, never both; config validation already rejected a
+        non-default mydumper.filter alongside a BWList). A BWList that
+        whitelists a table the -f defaults would exclude must behave
+        like the reference: the BWList alone decides."""
+        from tidb_lightning_spark.sources.table_filter import BWListFilter
 
-        base = TableFilter(cfg.filter, cfg.case_sensitive)
-        if not cfg.bw_list:
-            return base
-        return CombinedFilter(
-            base, BWListFilter(cfg.bw_list, cfg.case_sensitive)
-        )
+        if cfg.bw_list:
+            return BWListFilter(cfg.bw_list, cfg.case_sensitive)
+        return TableFilter(cfg.filter, cfg.case_sensitive)
 
     def run(self) -> RunReport:
         t0 = time.time()

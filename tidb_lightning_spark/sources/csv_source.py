@@ -204,18 +204,27 @@ def _cached_driver_copy(cache_name: str, key_str: str, out_name: str,
     """The one keyed, atomic driver-side cache-copy recipe behind
     transcode_to_utf8, materialize_lz4 and spool_remote_to_local:
     md5(key_str) names the entry under user_cache_dir(cache_name),
-    write_fn(tmp_path) produces the bytes, os.replace publishes — so
-    concurrent writers race benignly and a crash leaves only a .part
-    file the next writer overwrites."""
+    write_fn(tmp_path) produces the bytes, os.replace publishes. The
+    tmp name is unique PER WRITER (pid + uuid): a shared `dst + .part`
+    let two concurrent spoolers interleave writes into one file and
+    publish a corrupt entry (and the loser kept appending to the
+    published dst through its open fd). With unique tmps each writer
+    publishes its own complete copy; last replace wins atomically, and
+    a failed writer's tmp is removed on the way out."""
     import hashlib
+    import uuid
 
     cache = user_cache_dir(cache_name)
     key = hashlib.md5(key_str.encode()).hexdigest()[:16]
     dst = os.path.join(cache, f"{key}_{out_name}")
     if not os.path.exists(dst):
-        tmp = dst + ".part"
-        write_fn(tmp)
-        os.replace(tmp, dst)
+        tmp = f"{dst}.{os.getpid()}.{uuid.uuid4().hex}.part"
+        try:
+            write_fn(tmp)
+            os.replace(tmp, dst)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return dst
 
 

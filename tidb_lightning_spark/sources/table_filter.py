@@ -112,15 +112,3 @@ class BWListFilter:
         )
 
 
-class CombinedFilter:
-    """AND of several filters — the reference applies the -f glob
-    filter (with its system-schema defaults) and the BWList together."""
-
-    def __init__(self, *filters):
-        self._filters = filters
-
-    def match_schema(self, schema: str) -> bool:
-        return all(f.match_schema(schema) for f in self._filters)
-
-    def match_table(self, schema: str, table: str) -> bool:
-        return all(f.match_table(schema, table) for f in self._filters)
