@@ -29,81 +29,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The per-round driver verify samples the first ~50 entries of
 # ``queries()``, so this list rotates the verification window onto the
-# STALEST names — THE RULE (permanent, r9 verdict item 4): each round,
-# set this to every registry query NOT green in the PREVIOUS round's
-# CORRECTNESS_r{N}.json (i.e. the names whose latest driver check is
-# two rounds old), stalest first, prepending anything whose
-# implementation changed this round. The union of any two consecutive
-# rounds then covers the full registry with no entry older than one
-# round. Current window (r11): the 14 new/changed r11 entries first,
-# then the 15 r8-vintage names the r10 verdict called out, then 25 of
-# the 50 r9-vintage names — all green in tests/test_oracle_parity.py
-# (the identical DuckDB compare). The remaining ~25 r9-vintage names
-# rotate in at r12; with a 126-entry registry the rule is "new first,
-# then stalest", the right priority order.
+# STALEST names — THE RULE (permanent, r9 verdict item 4): new/changed
+# entries first, then every registry query ordered stalest-first by the
+# round of its latest CORRECTNESS_r{N}.json appearance (the registry at
+# 128 entries outgrew two 50-slot windows, so full two-round coverage
+# is no longer possible — priority order is what matters). Current
+# window (r12): the kn_bigram trio (changed oracle + 2 new diagnostic
+# twins), then the 29 r9-vintage names (r11 verdict item 2), then
+# r10-vintage fill — all green in tests/test_oracle_parity.py (the
+# identical DuckDB compare).
 _DRIVER_PRIORITY = [
-    # r11 NEW or CHANGED this round — grade first (kn_bigram_lm was
-    # the r10 red row, now integer-exact; weighted_sample_ares moved
-    # to the 20-bit exhaustively-proven ln ladder; bpe_train_merges
-    # refactored for the sampled twin)
-    "streaming_cdc_replay",
+    # r12 CHANGED + NEW — grade first. kn_bigram_lm: the two-round red
+    # row's root cause was found mechanically (its oracle's c1 was the
+    # registry's ONLY HUGEINT-typed output column — a pandas/Arrow
+    # fetch stringifies HUGEINT as float64/decimal128, diverging from
+    # Spark's long under a strict hash while fetchall()-based local
+    # mimics stay bit-exact); the oracle now CASTs the SUM. The two
+    # diagnostic twins bisect if it somehow stays red: inputs red =
+    # tokenize/count stage, inputs green + kn red = scoring arithmetic
+    # or typing (r11 verdict item 1).
     "kn_bigram_lm",
-    "weighted_sample_ares",
-    "bpe_train_merges_sampled",
-    "pmi_top_pairs",
-    "kmv_distinct_setops",
-    "pii_scrub_stats",
-    "bpe_fertility_by_source",
-    "langid_trigram_vote",
-    "containment_join_pairs",
-    "doc_chunk_windows",
-    "hard_negative_mining",
-    "attribution_position_based",
-    "bpe_train_merges",
-    # the 15 r8-vintage entries (r10 verdict item 3): stalest in the
-    # registry — no driver check since r8
-    "ngram_jaccard_vs_first_doc",
-    "purchase_window_event_counts",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rollup_events_daily",
-    "sessionize_events",
-    "simhash_documents",
-    "split_contamination_13gram",
-    "text_analysis",
-    "text_token_stats",
-    "top_orders",
-    "top_tokens_cms",
-    "vocab_top_df",
-    "window_user_events",
-    # r9-vintage fill for the rest of the ~50-slot window; the
-    # remainder of the r9 cohort rotates in next round
-    "user_key_set_ops",
-    "asof_latest_order_per_event",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "events_json_props",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_or_predicates",
-    "q22_idle_balance",
-    "events_pivot_by_type",
-    "cube_orders_status_priority",
-    "quantiles_by_returnflag",
-    "quantiles_by_returnflag_hist",
-    "q2_min_cost_supplier",
-    "q8_market_share",
+    "kn_bigram_inputs",
+    "kn_bigram_singlediv",
+    # the 29 r9-vintage entries — stalest in the registry, no driver
+    # check since r9 (r11 verdict item 2)
     "q9_product_profit",
     "q11_important_parts",
     "q16_supplier_part_counts",
     "q20_promotion_suppliers",
+    "q21_sole_late_supplier",
+    "text_scrub",
+    "corpus_split_assign",
+    "top_bigrams",
+    "split_contamination",
+    "quality_repetition_filters",
+    "quality_top_bigram",
+    "domain_quota_sample",
+    "dedup_keep_best",
+    "corpus_shuffle_buckets",
+    "embedding_centroids",
+    "corpus_stats_by_source",
+    "token_concentration",
+    "minhash_calibration",
+    "dedup_rate_by_source",
+    "corpus_pack_sequences",
+    "cohort_weekly_retention",
+    "dedup_incremental_vs_reference",
+    "near_dup_simhash_pairs",
+    "split_leakage_neardup",
+    "event_transition_matrix",
+    "events_hourly_anomaly",
+    "doclen_quantiles_by_source",
+    "embedding_norm_profile",
+    "vocab_token_ids",
+    # r10-vintage fill for the rest of the ~50-slot window (stalest
+    # next; the registry at 128 entries outgrew two 50-slot windows,
+    # so the rule is strictly "new/changed first, then stalest")
+    "events_hourly_rollup",
+    "checksum_lineitem",
+    "dedup_exact_documents",
+    "knn_cosine_bruteforce",
+    "minhash_signatures",
+    "near_dup_minhash_lsh",
+    "doc_rare_tokens",
+    "corpus_clean_pipeline",
+    "near_dup_clusters",
+    "near_dup_embeddings",
+    "near_dup_embeddings_lsh",
+    "knn_cosine_lsh",
+    "knn_cosine_ivf",
+    "customers_without_orders",
+    "events_distinct_users_hll",
+    "events_distinct_users_hll_merged",
+    "funnel_view_click_purchase",
+    "funnel_signup_4stage",
 ]
 
 

@@ -19,6 +19,28 @@ def test_matches_oracle(spark, duck, spec):
     assert_matches(df, duck, spec.oracle, name=spec.name)
 
 
+def test_no_hugeint_typed_oracle_outputs(duck):
+    """No oracle may emit a HUGEINT/UBIGINT-class output column: DuckDB
+    SUM(BIGINT) is HUGEINT, fetchall() hides it (Python int either
+    way), but a pandas fetch turns it into float64 ('947.0') and an
+    Arrow fetch into decimal128 — either stringifies differently from
+    Spark's long, failing a strict hash compare while rows and schema
+    still match. kn_bigram_lm's c1 was exactly this for two driver
+    rounds (the registry's only such column, r12); CAST every
+    aggregate that reaches the output."""
+    offenders = {}
+    for s in SPECS:
+        rel = duck.sql(s.oracle)
+        bad = [
+            (c, str(t))
+            for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
+        ]
+        if bad:
+            offenders[s.name] = bad
+    assert not offenders, offenders
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entrymod
 
