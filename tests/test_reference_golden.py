@@ -253,13 +253,16 @@ def test_issue_519_quote_torture_golden(spark, tmp_path):
 
 
 def test_tool_241_gb18030_using_btree_golden(spark, tmp_path):
-    """tool_241: gb18030 dump whose schemas carry `KEY (...) USING
-    BTREE` index options (the r11 DDL-parser bug) and whose empty
-    tables must still materialize; q_fish_event's id aggregate matches
-    run.sh exactly."""
+    """tool_241: dump whose schemas carry `KEY (...) USING BTREE` index
+    options (the r11 DDL-parser bug) and whose empty tables must still
+    materialize; q_fish_event's id aggregate matches run.sh exactly.
+    character-set='auto' (the reference's default for this dataset —
+    every file is valid utf-8; the r11 version of this test said
+    gb18030, which replace-mode decoding silently tolerated and the r12
+    strict decode rightly rejects)."""
     wh = _restore(
         spark, tmp_path, f"{REF}/tool_241/data",
-        character_set="gb18030",
+        character_set="auto",
     )
     fish = spark.read.parquet(f"{wh}/qyjc/q_fish_event")
     assert fish.agg(F.count("id"), F.min("id"), F.max("id")).first() == (

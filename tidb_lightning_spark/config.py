@@ -40,6 +40,10 @@ class Config:
     checkpoint_driver: str = "file"
     checksum: str = "required"  # off | optional | required
     analyze: str = "optional"
+    # MySQL @@block_encryption_mode analog for AES_ENCRYPT/AES_DECRYPT in
+    # generated columns (the reference reads the live target's global at
+    # restore start; the files backend has no target, so it's a config)
+    block_encryption_mode: str = "aes-128-ecb"
     jdbc_url: str = ""
     jdbc_driver: str = ""  # JDBC driver class (e.g. Derby embedded)
     jdbc_table_prefix: str = ""
@@ -125,6 +129,9 @@ class Config:
         # jdbc/tidb backend (reference [tidb] host/port/user connection)
         cfg.jdbc_url = tidb.get("jdbc-url", cfg.jdbc_url)
         cfg.jdbc_driver = tidb.get("jdbc-driver", cfg.jdbc_driver)
+        cfg.block_encryption_mode = tidb.get(
+            "block-encryption-mode", cfg.block_encryption_mode
+        )
         for k, v in overrides.items():
             if v is not None:
                 setattr(cfg, k, v)
@@ -147,6 +154,17 @@ class Config:
 
     def validate(self) -> None:
         """Adjust()-style checks (config.go:499-786 subset)."""
+        # normalize charset aliases on EVERY entry path (overrides and
+        # direct construction included, not just the TOML reader) —
+        # 'binary'/'auto'/'utf8mb4' passed raw used to LookupError deep
+        # inside the sources
+        self.character_set = _charset(self.character_set)
+        if _charset(self.csv.character_set) != self.csv.character_set:
+            import dataclasses as _dc
+
+            self.csv = _dc.replace(
+                self.csv, character_set=_charset(self.csv.character_set)
+            )
         if not self.source_dir:
             raise ValueError("mydumper.data-source-dir (--source) is required")
         if self.backend not in ("local", "importer", "tidb", "jdbc", "files"):
@@ -222,6 +240,7 @@ _KNOWN_KEYS: dict[str, Any] = {
         "distsql-scan-concurrency", "build-stats-concurrency",
         "index-serial-scan-concurrency", "checksum-table-concurrency",
         "log-level", "jdbc-url", "jdbc-driver", "jdbc-table-prefix",
+        "block-encryption-mode",
     ]),
     "checkpoint": dict.fromkeys([
         "enable", "schema", "dsn", "driver", "keep-after-success",
@@ -297,6 +316,11 @@ def _unknown_keys(raw: dict[str, Any]) -> list[str]:
 
 
 def _charset(name: str) -> str:
+    # 'auto' survives normalization: it means DETECT (utf-8 then
+    # gb18030, reference mydump/reader.go:43-55), resolved per file by
+    # csv_source.effective_charset — mapping it to utf-8 here broke the
+    # reference's auto-on-gb18030 contract (tests/character_sets).
+    # 'binary' maps to the byte-preserving latin-1 passthrough.
     return {
         "utf8": "utf-8",
         "utf8mb4": "utf-8",
@@ -304,7 +328,7 @@ def _charset(name: str) -> str:
         "gbk": "gbk",
         "latin1": "iso-8859-1",
         "binary": "iso-8859-1",
-        "auto": "utf-8",
+        "auto": "auto",
     }.get(name.lower(), name)
 
 

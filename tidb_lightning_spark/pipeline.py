@@ -307,6 +307,13 @@ class Restorer:
     def run(self) -> RunReport:
         t0 = time.time()
         cfg = self.cfg
+        # session-global analog of @@block_encryption_mode (the reference
+        # reads it from the live target at restore start,
+        # restore.go setGlobalVariables) — consumed by AES_ENCRYPT/
+        # AES_DECRYPT generated-column translation
+        from tidb_lightning_spark.operators import gencols
+
+        gencols.BLOCK_ENCRYPTION_MODE = cfg.block_encryption_mode
         preflight_remote_scheme(self.spark, cfg.source_dir)
         preflight_remote_scheme(self.spark, cfg.target_dir)
         result = discover(
@@ -798,16 +805,15 @@ class Restorer:
         catalog (`_views.json`), which `cli sql` registers after tables;
         there is no data to verify, so the view goes straight to the
         resume-skippable status."""
-        import codecs as _codecs
-
         from tidb_lightning_spark.schema.ddl import parse_create_view
 
-        charset = _codecs.lookup(self.cfg.character_set or "utf-8").name
         with csv_source._decompress_open(
             tbl.view_schema_file, self.spark
         ) as f:
             view = parse_create_view(
-                f.read().decode(charset, errors="replace")
+                csv_source.decode_file_bytes(
+                    f.read(), self.cfg.character_set, tbl.view_schema_file
+                )
             )
         self.sink.write_view_meta(
             tbl.db, tbl.name,
@@ -1330,7 +1336,13 @@ class Restorer:
             # schema files may live on remote storage (A1): route the
             # bounded driver-side read through the Hadoop FS peek
             with csv_source._decompress_open(tbl.schema_file, self.spark) as f:
-                sql = f.read().decode(self.cfg.character_set, errors="replace")
+                # STRICT reference-parity decode (decodeCharacterSet,
+                # reader.go:39-69): an invalid schema encoding is an
+                # ERROR — tests/character_sets pins that utf8mb4 config
+                # over gb18030 files must fail, never import mojibake
+                sql = csv_source.decode_file_bytes(
+                    f.read(), self.cfg.character_set, tbl.schema_file
+                )
             info = parse_create_table(sql)
             info.db, info.name = tbl.db, tbl.name  # post-routing identity
             return info
@@ -1590,9 +1602,15 @@ class Restorer:
                 f.path for f in sql_files
                 if "://" in f.path and not f.path.startswith("file:")
             }
-            import codecs as _codecs
+            charset = (self.cfg.character_set or "utf-8").lower()
 
-            charset = _codecs.lookup(self.cfg.character_set or "utf-8").name
+            def _eff(path: str, remote: bool) -> str:
+                # per-file charset resolution ('auto' detects utf-8 then
+                # gb18030, reference reader.go:43-55); remote detection
+                # is one bounded ranged read
+                return csv_source.effective_charset(
+                    path, charset, self.spark if remote else None
+                )
             # Remote dumps the distributed readers can't take are
             # SPOOLED to the local cache (one driver stream per file —
             # the reference's own per-file reader pass,
@@ -1607,13 +1625,21 @@ class Restorer:
             spool = sorted(
                 p for p in remote_set if sqldump_source._is_compressed(p)
             )
-            if charset not in ("utf-8", "ascii"):
-                cap = sqldump_source.REMOTE_SQL_MAX_BYTES
-                sizes = {f.path: f.file_size for f in sql_files}
-                spool += sorted(
-                    p for p in remote_set - set(spool)
-                    if sizes.get(p, 0) > cap
-                )
+            # eff: resolved per-file charset. Uncompressed files resolve
+            # now (drives the over-cap spool decision); spooled
+            # compressed files resolve on their local copies below.
+            eff = {
+                f.path: _eff(f.path, f.path in remote_set)
+                for f in sql_files
+                if f.path not in spool
+            }
+            cap = sqldump_source.REMOTE_SQL_MAX_BYTES
+            fsizes = {f.path: f.file_size for f in sql_files}
+            spool += sorted(
+                p for p in remote_set - set(spool)
+                if eff[p] not in ("utf-8", "ascii", "us-ascii")
+                and fsizes.get(p, 0) > cap
+            )
             actual = {f.path: f.path for f in sql_files}
             if spool:
                 copies = csv_source.spool_remote_to_local(
@@ -1621,6 +1647,8 @@ class Restorer:
                 )
                 actual.update(zip(spool, copies))
                 remote_set -= set(spool)
+                for p in spool:
+                    eff[p] = _eff(actual[p], False)
             # the Spark text reader is UTF-8-only: legacy-charset LOCAL
             # dumps (including freshly spooled ones) are stream-
             # transcoded driver-side first (A10 — same contract as the
@@ -1628,12 +1656,19 @@ class Restorer:
             # transcode: their content is decoded with the configured
             # charset directly in the executor parser.
             local_sql = [f for f in sql_files if f.path not in remote_set]
-            if charset not in ("utf-8", "ascii") and local_sql:
+            need_tc = [
+                f for f in local_sql
+                if eff[f.path] not in ("utf-8", "ascii", "us-ascii")
+            ]
+            if need_tc:
                 transcoded = csv_source.transcode_to_utf8(
-                    [actual[f.path] for f in local_sql], charset
+                    [actual[f.path] for f in need_tc],
+                    # per-file resolved charsets may differ under 'auto';
+                    # transcode one group per charset
+                    charset if charset != "auto" else "auto",
                 )
                 actual.update(
-                    zip((f.path for f in local_sql), transcoded)
+                    zip((f.path for f in need_tc), transcoded)
                 )
             # lz4 dumps: no JVM codec reads the lz4 frame format, and the
             # range reader wants seekable plain text — materialize ONCE
@@ -1649,12 +1684,18 @@ class Restorer:
                 is_remote = f.path in remote_set
                 cols = sqldump_source.peek_columns(
                     actual[f.path],
-                    charset if is_remote else "utf-8",
+                    eff[f.path] if is_remote else "utf-8",
                     spark=self.spark if is_remote else None,
                 )
-                key = (tuple(cols) if cols else (), is_remote)
+                # remote groups must share a charset too: the ranged
+                # reader decodes one encoding per scan
+                key = (
+                    tuple(cols) if cols else (),
+                    is_remote,
+                    eff[f.path] if is_remote else "utf-8",
+                )
                 groups.setdefault(key, []).append(f)
-            for (key, is_remote), files in groups.items():
+            for (key, is_remote, group_cs), files in groups.items():
                 file_cols = list(key) if key else None
                 n_cols = len(file_cols) if file_cols else len(info.columns)
                 # per-file row-id bases from file sizes (region.go:252-286);
@@ -1675,7 +1716,7 @@ class Restorer:
                         self.spark,
                         [f.path for f in files],
                         n_cols,
-                        charset,
+                        group_cs,
                     )
                     for p in sorted(sizes):
                         bases[p] = acc

@@ -89,7 +89,9 @@ _TOKEN = re.compile(
     | '(?P<sq>(?:[^'\\]|\\.|'')*)'      # single-quoted string
     | "(?P<dq>(?:[^"\\]|\\.|"")*)"      # double-quoted string
     | (?P<ws>\s+|/\*.*?\*/|--[^\n]*|\#[^\n]*)   # whitespace/comments
-    | (?P<num>\d+\.\d+|\.\d+|\d+)
+    | (?P<num>(?:\d+\.\d+|\.\d+|\d+)(?:[eE][+-]?\d+)?)  # incl. 5e222
+                                  # (digits-required exponent so `5e`
+                                  # still lexes as num+word)
     | (?P<punct>[(),;=])
     | (?P<word>[A-Za-z_$-￿][\w$-￿]*)  # MySQL idents
                                   # allow U+0080.. unquoted (charset.go)

@@ -326,7 +326,9 @@ def read_header(path: str, cfg: CSVConfig, spark=None) -> list[str]:
     """Driver-side first-line read -> column names (csv_parser.go:513-538)."""
     with _decompress_open(path, spark) as f:
         raw = f.read(1 << 20)
-    text = raw.decode(codecs.lookup(cfg.character_set).name, errors="replace")
+    if len(raw) == 1 << 20:
+        raw = raw[:-3]  # drop a possibly-split trailing multibyte char
+    text = decode_file_bytes(raw, cfg.character_set, path)
     line = io.StringIO(text).readline().rstrip("\r\n")
     fields = _split_line(line, cfg)
     if cfg.trim_last_sep and fields and fields[-1] == "":
@@ -375,6 +377,80 @@ SPARK_NATIVE_CHARSETS = {
     "iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le", "utf-32", "utf-8",
 }
 
+# bounded prefix used to auto-detect a DATA file's charset. The
+# reference validates whole files but only ever sees SCHEMA files
+# through that path (mydump/reader.go:70-118); validating terabyte data
+# files driver-side is not an option, so detection samples a prefix and
+# the downstream STRICT decode still fails loudly (never corrupts) if
+# the tail disagrees with the detected charset.
+CHARSET_DETECT_SAMPLE = 1 << 20
+
+
+def decode_file_bytes(raw: bytes, configured: str, path: str = "") -> str:
+    """Reference decodeCharacterSet parity (mydump/reader.go:39-69):
+    'binary' passes bytes through (latin-1, byte-preserving); utf-8 is
+    strict (invalid input is an ERROR, never U+FFFD corruption); 'auto'
+    tries utf-8 then gb18030; gb18030 and anything else decode strictly.
+    Used for whole-file driver-side reads (schema / view definitions /
+    CSV headers)."""
+    low = (configured or "utf-8").lower()
+    if low == "binary":
+        return raw.decode("iso-8859-1")
+    if low == "auto":
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            try:
+                return raw.decode("gb18030")
+            except UnicodeDecodeError:
+                raise ValueError(
+                    f"failed to decode {path or 'file'} as auto "
+                    "(tried utf-8, gb18030) — convert to the target "
+                    "encoding manually"
+                ) from None
+    name = codecs.lookup(low).name
+    try:
+        return raw.decode(name)
+    except UnicodeDecodeError as exc:
+        raise ValueError(
+            f"failed to decode {path or 'file'} as {name}: {exc} — "
+            "convert to the target encoding manually or set "
+            "mydumper.character-set"
+        ) from None
+
+
+def detect_charset(path: str, spark=None) -> str:
+    """Resolve character-set='auto' for a DATA file: utf-8 if a bounded
+    prefix validates, else gb18030, else error (reference
+    mydump/reader.go:43-55 strategy). The last 3 bytes of the sample are
+    dropped so a multi-byte sequence cut by the sample bound can't fake
+    an invalid file."""
+    with _decompress_open(path, spark) as f:
+        raw = f.read(CHARSET_DETECT_SAMPLE)
+    if len(raw) == CHARSET_DETECT_SAMPLE:
+        raw = raw[:-3]
+    for cs in ("utf-8", "gb18030"):
+        try:
+            raw.decode(cs)
+            return cs
+        except UnicodeDecodeError:
+            continue
+    raise ValueError(
+        f"failed to detect the charset of {path} as auto "
+        "(tried utf-8, gb18030) — set mydumper.character-set explicitly"
+    )
+
+
+def effective_charset(path: str, configured: str, spark=None) -> str:
+    """The concrete codec a data read should use: resolves 'auto' by
+    detection, normalizes everything else via codecs."""
+    low = (configured or "utf-8").lower()
+    if low == "auto":
+        return detect_charset(path, spark)
+    if low == "binary":
+        return "iso-8859-1"
+    return codecs.lookup(low).name
+
 
 def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
     """Stream-transcode legacy-charset files (gb18030/gbk/...) to UTF-8
@@ -399,23 +475,37 @@ def transcode_to_utf8(paths: list[str], charset: str) -> list[str]:
     for p in paths:
         st = os.stat(p)
 
-        def transcode(tmp, p=p):
+        eff = charset if charset != "auto" else detect_charset(p)
+
+        def transcode(tmp, p=p, eff=eff):
             # compressed sources must be decompressed BEFORE transcoding
-            # (the byte stream is not text); output is plain UTF-8
+            # (the byte stream is not text); output is plain UTF-8.
+            # STRICT decode: an invalid byte under the configured charset
+            # is an error (reference reader.go:39-69 errors too) — the
+            # old errors="replace" silently published U+FFFD-corrupted
+            # copies into the import
             with _decompress_open(p) as fin, open(
                 tmp, "w", encoding="utf-8"
             ) as fout:
-                reader = codecs.getreader(charset)(fin, errors="replace")
-                while True:
-                    chunk = reader.read(1 << 20)
-                    if not chunk:
-                        break
-                    fout.write(chunk)
+                reader = codecs.getreader(eff)(fin, errors="strict")
+                try:
+                    while True:
+                        chunk = reader.read(1 << 20)
+                        if not chunk:
+                            break
+                        fout.write(chunk)
+                except UnicodeDecodeError as exc:
+                    raise ValueError(
+                        f"failed to decode {p} as {eff}: {exc} — "
+                        "convert to the target encoding manually or fix "
+                        "mydumper.character-set"
+                    ) from None
 
         out.append(_cached_driver_copy(
             "tls_transcode",
-            # v2 salt: invalidates caches from before decompress-first
-            f"v2:{p}:{st.st_size}:{st.st_mtime_ns}:{charset}",
+            # v3 salt: invalidates replace-mode (possibly corrupted)
+            # cache entries from before the strict decode
+            f"v3:{p}:{st.st_size}:{st.st_mtime_ns}:{eff}",
             f"{os.path.basename(p)}.utf8",
             transcode,
         ))
@@ -442,7 +532,11 @@ def read_csv_files(
         header_names = read_header(paths[0], cfg, spark)
         width = len(header_names)
 
-    charset = codecs.lookup(cfg.character_set).name
+    # 'auto' resolves per scan group from the first file (reference
+    # detects per file, reader.go:43-55; one table's files sharing a
+    # charset is mydumper's invariant — a disagreeing file fails the
+    # strict transcode loudly rather than corrupting)
+    charset = effective_charset(paths[0], cfg.character_set, spark)
     if charset not in SPARK_NATIVE_CHARSETS:
         paths = transcode_to_utf8(paths, charset)
         cfg = dataclasses.replace(cfg, character_set="utf-8")
@@ -489,7 +583,9 @@ def read_csv_files(
 def _split_line_first(path: str, cfg: CSVConfig, spark=None) -> list[str]:
     with _decompress_open(path, spark) as f:
         raw = f.read(1 << 20)
-    text = raw.decode(codecs.lookup(cfg.character_set).name, errors="replace")
+    if len(raw) == 1 << 20:
+        raw = raw[:-3]
+    text = decode_file_bytes(raw, cfg.character_set, path)
     return _split_line(io.StringIO(text).readline().rstrip("\r\n"), cfg)
 
 

@@ -517,11 +517,32 @@ def peek_columns(
         with _decompress_open(path, spark=spark) as f:
             head = f.read(size)
         complete = len(head) < size
-        text = head.decode(encoding, errors="replace")
+        text = _peek_decode(head, encoding)
         try:
             return _peek_insert_header(text, complete)
         except _Truncated:
             size *= 4
+
+
+def _peek_decode(head: bytes, encoding: str) -> str:
+    """Best-effort decode for driver-side peeks: 'auto' tries utf-8 then
+    gb18030 (reference reader.go:43-55), 'binary' is the latin-1
+    passthrough; strictness for the actual data is enforced by the scan
+    or transcode step, not the peek."""
+    low = (encoding or "utf-8").lower()
+    if low == "binary":
+        return head.decode("iso-8859-1")
+    if low == "auto":
+        for cs in ("utf-8", "gb18030"):
+            try:
+                return head.decode(cs)
+            except UnicodeDecodeError as exc:
+                if exc.start >= len(head) - 4:
+                    # a multibyte char cut by the window bound, not an
+                    # invalid file — decode the clean prefix
+                    return head[: exc.start].decode(cs)
+        return head.decode("utf-8", errors="replace")
+    return head.decode(low, errors="replace")
 
 
 def peek_arity(
@@ -539,7 +560,7 @@ def peek_arity(
         with _decompress_open(path, spark=spark) as f:
             head = f.read(size)
         complete = len(head) < size
-        text = head.decode(encoding, errors="replace")
+        text = _peek_decode(head, encoding)
         try:
             for stmt in parse_insert_statements(text):
                 for row in stmt.rows:
