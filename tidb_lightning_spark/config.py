@@ -101,6 +101,7 @@ class Config:
             trim_last_sep=csv.get("trim-last-separator", False),
             character_set=_charset(my.get("character-set", "utf8mb4")),
             strict_format=my.get("strict-format", False),
+            exact_dialect=csv.get("exact-dialect"),
         )
         cfg.routes = raw.get("routes", [])
         cfg.bw_list = raw.get("black-white-list") or None
@@ -255,6 +256,8 @@ _KNOWN_KEYS: dict[str, Any] = {
         "csv": dict.fromkeys([
             "separator", "delimiter", "header", "trim-last-separator",
             "not-null", "null", "backslash-escape",
+            # extension: force/forbid the exact MySQL-dialect lexer
+            "exact-dialect",
         ]),
         # list items: FileRouteRule (config.go:270-277)
         "files": dict.fromkeys([

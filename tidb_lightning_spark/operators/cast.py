@@ -53,11 +53,13 @@ _INT_BOUNDS = {
 # of the cast of string-family TARGET columns (numeric/temporal targets
 # cannot legally hold control escapes, so fact-table hot paths pay nothing).
 #
-# Documented divergence vs the reference's one-pass lexer: data containing
+# FAST-PATH divergence vs the reference's one-pass lexer: data containing
 # a LITERAL backslash immediately followed by one of 0bnrtZ (written \\\\n
 # etc. in the file) is post-lexer indistinguishable from the escape
 # sequence and round-trips as the control char; \\N / \\<other-letter> keep
-# their backslash. Everything else is exact (tests/test_csv_fuzz.py).
+# their backslash. Files whose sample shows doubled backslashes or doubled
+# quotes are routed to the EXACT one-pass lexer instead
+# (csv_source.needs_exact_dialect), which has none of these ambiguities.
 MYSQL_CONTROL_UNESCAPES = [
     ("\\0", "\x00"),
     ("\\b", "\b"),
@@ -65,6 +67,11 @@ MYSQL_CONTROL_UNESCAPES = [
     ("\\r", "\r"),
     ("\\t", "\t"),
     ("\\Z", "\x1a"),
+    # backslash before a LITERAL newline inside a quoted field drops the
+    # backslash (MySQL's unknown-escape rule; reference tests/csv
+    # escapes row 2/3 carry \<LF> and \<CR> and expect the bare control)
+    ("\\\n", "\n"),
+    ("\\\r", "\r"),
 ]
 
 STRING_FAMILY_BASES = {

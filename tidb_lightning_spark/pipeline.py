@@ -1532,22 +1532,87 @@ class Restorer:
             rowid_base += group_bytes // max(1, len(info.columns)) + 1
 
         if csv_files:
+            # BLOB-in-CSV byte preservation (reference tests/csv
+            # `escapes.b`): the reference parses CSV at the byte level,
+            # so raw non-utf-8 bytes inside a quoted blob field (0xFF,
+            # bare CR/LF) reach the table verbatim. A utf-8 Spark read
+            # would U+FFFD them first — so when the target schema has
+            # binary-family columns and the file bytes are utf-8/ascii,
+            # read byte-preserving (latin-1), re-decode the TEXT columns
+            # back to utf-8, and hand binary columns their raw bytes.
+            # (A legacy-charset CSV carrying blobs can't be both
+            # transcoded and byte-preserved — text wins, as before.)
+            import pyspark.sql.types as _T
+
+            bin_cols = {
+                c.name.lower()
+                for c in info.columns
+                if isinstance(c.mysql.spark_type(), _T.BinaryType)
+            }
             for header, paths in csv_source.group_files_by_header(
                 [f.path for f in csv_files], self.cfg.csv, self.spark
             ):
-                df, names = csv_source.read_csv_files(
-                    self.spark,
-                    paths,
-                    self.cfg.csv,
-                    n_columns=len(info.columns),
-                    strict=self.cfg.strict_sql_mode,
+                # exact MySQL-dialect lexer when a sample shows the
+                # byte patterns univocity cannot round-trip (doubled
+                # quotes / doubled backslashes) — see csv_source
+                use_exact = (
+                    self.cfg.csv.exact_dialect
+                    if self.cfg.csv.exact_dialect is not None
+                    else csv_source.needs_exact_dialect(
+                        paths, self.cfg.csv, self.spark
+                    )
                 )
+                if use_exact:
+                    df, names = csv_source.read_csv_files_exact(
+                        self.spark,
+                        paths,
+                        self.cfg.csv,
+                        n_columns=len(info.columns),
+                    )
+                    raw_read = True  # lexer output is latin-1-preserved
+                else:
+                    raw_read = False
+                    if bin_cols:
+                        eff0 = csv_source.effective_charset(
+                            paths[0], self.cfg.csv.character_set, self.spark
+                        )
+                        raw_read = eff0 in ("utf-8", "us-ascii", "ascii")
+                    csv_cfg = self.cfg.csv
+                    if raw_read:
+                        import dataclasses as _dc
+
+                        csv_cfg = _dc.replace(
+                            self.cfg.csv, character_set="iso-8859-1"
+                        )
+                    df, names = csv_source.read_csv_files(
+                        self.spark,
+                        paths,
+                        csv_cfg,
+                        n_columns=len(info.columns),
+                        strict=self.cfg.strict_sql_mode,
+                    )
                 file_cols = list(header) if header else None
+                if raw_read:
+                    srcs = file_cols or [c.name for c in info.columns]
+                    for i, cname in enumerate(srcs):
+                        if (
+                            f"_c{i}" in df.columns
+                            and cname.lower() not in bin_cols
+                        ):
+                            df = df.withColumn(
+                                f"_c{i}",
+                                F.decode(
+                                    F.encode(F.col(f"_c{i}"), "ISO-8859-1"),
+                                    "UTF-8",
+                                ),
+                            )
                 # MySQL \n/\t/... escapes survive the CSV lexer as two
                 # chars; restore them inside the cast of string-family
                 # target columns (cast.mysql_unescape_expr rationale)
                 esc_cols = None
-                if self.cfg.csv.delimiter and self.cfg.csv.backslash_escape:
+                if use_exact:
+                    pass  # the exact lexer unescaped in its one pass
+                elif self.cfg.csv.delimiter and self.cfg.csv.backslash_escape:
                     from tidb_lightning_spark.operators.cast import (
                         STRING_FAMILY_BASES,
                     )
@@ -1591,6 +1656,9 @@ class Restorer:
                         rowid_base=rowid_base,
                         keep_rowid=keep_rowid,
                         unescape_cols=esc_cols,
+                        binary_encoding=(
+                            "ISO-8859-1" if raw_read else "UTF-8"
+                        ),
                     )
                 )
                 # next group's ids start beyond this group's upper bound

@@ -54,6 +54,11 @@ class CSVConfig:
     # maps to multiLine=false -> line-splittable scans (task per 256 MiB
     # instead of task per file).
     strict_format: bool = False
+    # exact-dialect (extension): force (True) / forbid (False) the exact
+    # MySQL-dialect lexer; None = auto-select per scan group when a
+    # sample shows byte patterns the fast univocity path can't
+    # round-trip (needs_exact_dialect)
+    exact_dialect: bool | None = None
 
 
 class _ProcStream:
@@ -552,7 +557,13 @@ def read_csv_files(
         spark.read.format("csv")
         .schema(schema)
         .option("sep", cfg.separator)
-        .option("nullValue", cfg.null)
+        # nullValue is a NEVER-MATCHING sentinel, not cfg.null: univocity
+        # returns the nullValue string for EMPTY UNQUOTED fields, so
+        # telling Spark nullValue='\\N' silently turned every empty field
+        # into NULL — MySQL semantics (csv_parser.go) are empty = ''
+        # and only the literal null text = NULL. The distinction is
+        # restored in the projection below.
+        .option("nullValue", "\u0000__never__")
         .option("emptyValue", "")
         # embedded newlines in quoted fields (F4) need multiLine, which
         # makes a file one task; strict-format promises none exist
@@ -572,12 +583,186 @@ def read_csv_files(
         )
     else:
         reader = reader.option("quote", "\u0000")  # NUL char disables quoting
-    if cfg.not_null:
-        reader = reader.option("nullValue", "\u0000__never__")  # not-null: no sentinel
     df = reader.load(paths)
     if cfg.trim_last_sep:
         df = df.drop(f"_c{width}")
+    # Restore the MySQL null/empty distinction the sentinel preserved:
+    # a parsed NULL here is an EMPTY unquoted field -> '' (only the
+    # null text means NULL, csv_parser.go:108-117); the literal null
+    # text (default '\N', reaching us verbatim since univocity only
+    # unescapes around quote chars) -> NULL. Under not-null the null
+    # text is ordinary data and empties are still ''.
+    from pyspark.sql import functions as F
+
+    out_cols = []
+    for c in df.columns:
+        v = F.coalesce(F.col(c), F.lit(""))
+        if not cfg.not_null:
+            v = F.when(v == cfg.null, F.lit(None)).otherwise(v)
+        out_cols.append(v.alias(c))
+    df = df.select(*out_cols)
     return df, header_names
+
+
+# ---------------------------------------------------------------------------
+# EXACT MySQL-dialect lexer (reference csv_parser.go one-pass semantics)
+# ---------------------------------------------------------------------------
+#
+# Spark's univocity lexer cannot express MySQL's one-pass unescape when
+# backslash-escape and a quote delimiter are BOTH active: it consumes
+# `\\` at the lexer level (so `\\n` becomes indistinguishable from `\n`)
+# and cannot honor quote DOUBLING ("" -> ") at the same time as `\"`.
+# The reference's hand-rolled byte parser does both in one pass
+# (tests/csv empty_strings pins `""""` -> `"`). This path re-creates it:
+# whole-file executor tasks lex latin-1-preserved text with ONE regex
+# scan per field, unescaping in a single pass. It is the SLOW path —
+# auto-selected per scan group only when a driver-side sample shows the
+# ambiguous byte patterns (doubled quotes / doubled backslashes), which
+# clean mydumper output never contains.
+
+_MYSQL_CSV_CTRL = {
+    "0": "\x00", "b": "\b", "n": "\n", "r": "\r",
+    "t": "\t", "Z": "\x1a",
+}
+
+
+def needs_exact_dialect(paths: list[str], cfg: CSVConfig, spark=None) -> bool:
+    """Sample-based trigger: quote-doubling or doubled backslashes in the
+    first MiB of any file. Bounded sample — a file whose first MiB is
+    clean but whose tail doubles quotes stays on the fast path (same
+    bound as charset detection; exact mode can be forced by setting
+    mydumper.csv.exact-dialect)."""
+    if not (cfg.delimiter and cfg.backslash_escape):
+        return False
+    dd = (cfg.delimiter + cfg.delimiter).encode("utf-8", "ignore")
+    for p in paths:
+        with _decompress_open(p, spark) as f:
+            raw = f.read(CHARSET_DETECT_SAMPLE)
+        if dd in raw or b"\\\\" in raw:
+            return True
+    return False
+
+
+def _lex_mysql_csv(
+    text: str, cfg: CSVConfig, n_read: int
+) -> list[list[str | None]]:
+    """One-pass MySQL CSV lex of a whole file's (byte-preserving) text.
+    Returns rows of n_read fields (None = SQL NULL / missing)."""
+    import re
+
+    sep, quote, nulltext = cfg.separator, cfg.delimiter, cfg.null
+    q = re.escape(quote)
+    # quoted body: escapes, doubled quotes, or plain runs
+    qbody = re.compile(rf"(?:\\.|{q}{q}|[^{q}\\])*", re.S)
+    # unquoted body: escapes or anything except separator-start/newline
+    ubody = re.compile(rf"(?:\\.|[^\\{re.escape(sep[0])}\r\n])*", re.S)
+    unesc = re.compile(rf"\\(.)|{q}{q}", re.S)
+
+    def _sub(m) -> str:
+        ch = m.group(1)
+        if ch is None:
+            return quote  # doubled quote
+        if ch in ("%", "_"):
+            return "\\" + ch  # MySQL keeps the backslash for LIKE escapes
+        return _MYSQL_CSV_CTRL.get(ch, ch)
+
+    rows: list[list[str | None]] = []
+    row: list[str | None] = []
+    i, n = 0, len(text)
+    while i < n:
+        if text.startswith(quote, i):
+            m = qbody.match(text, i + len(quote))
+            body = m.group(0)
+            i = m.end()
+            if text.startswith(quote, i):
+                i += len(quote)
+            row.append(unesc.sub(_sub, body))
+        else:
+            m = ubody.match(text, i)
+            body = m.group(0)
+            i = m.end()
+            if body == nulltext and not cfg.not_null:
+                row.append(None)
+            else:
+                row.append(unesc.sub(_sub, body))
+        if text.startswith(sep, i):
+            i += len(sep)
+            continue
+        # row terminator (or EOF)
+        if text.startswith("\r\n", i):
+            i += 2
+        elif i < n:  # '\n' or '\r'
+            i += 1
+        if cfg.trim_last_sep and row and row[-1] == "":
+            row.pop()
+        rows.append(row)
+        row = []
+    if row:
+        rows.append(row)
+    # drop a trailing completely-empty row from a final newline
+    if rows and rows[-1] in ([""], [None], []):
+        rows.pop()
+    return [
+        r[:n_read] + [None] * (n_read - len(r)) if len(r) != n_read else r
+        for r in rows
+    ]
+
+
+def read_csv_files_exact(
+    spark: SparkSession,
+    paths: list[str],
+    cfg: CSVConfig,
+    n_columns: int | None = None,
+) -> tuple[DataFrame, list[str] | None]:
+    """Exact-dialect counterpart of read_csv_files: whole-file executor
+    tasks, byte-preserving latin-1 text, one-pass MySQL unescape done IN
+    the lexer (callers must NOT re-apply unescape_cols, and must
+    re-decode text columns from the latin-1 preservation — the same
+    contract as the binary-column raw read). Legacy charsets are
+    transcoded first, exactly like the fast path."""
+    from tidb_lightning_spark import _shipping
+
+    paths = materialize_lz4(paths)
+    header_names: list[str] | None = None
+    width = n_columns
+    if cfg.header:
+        header_names = read_header(paths[0], cfg, spark)
+        width = len(header_names)
+    charset = effective_charset(paths[0], cfg.character_set, spark)
+    if charset not in SPARK_NATIVE_CHARSETS:
+        paths = transcode_to_utf8(paths, charset)
+    if width is None:
+        width = len(_split_line_first(paths[0], cfg, spark))
+    n_read = width
+
+    _shipping.ensure_shipped(spark)
+    meta = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(len(paths), 1), "path")
+    out_schema = T.StructType(
+        [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n_read)]
+    )
+    skip_header = cfg.header
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                with _decompress_open(path) as f:
+                    text = f.read().decode("iso-8859-1")
+                rows = _lex_mysql_csv(text, cfg, n_read)
+                if skip_header and rows:
+                    rows = rows[1:]
+                yield pd.DataFrame(
+                    {
+                        f"_c{i}": [r[i] for r in rows]
+                        for i in range(n_read)
+                    },
+                    dtype=object,
+                )
+
+    return meta.mapInPandas(parse, schema=out_schema), header_names
 
 
 def _split_line_first(path: str, cfg: CSVConfig, spark=None) -> list[str]:
