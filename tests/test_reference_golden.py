@@ -498,3 +498,325 @@ def test_rowid_and_permutation_golden(spark, tmp_path):
     # session-random shard, so the exact inc values differ)
     assert t.filter(F.col("id").isNull()).count() == 0
     assert t.select("id").distinct().count() == 6
+
+
+# ---------------------------------------------------------------------------
+# golden batch 8 (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_character_sets_golden(spark, tmp_path):
+    """tests/character_sets: the reference's full charset matrix —
+    auto DETECTS per file (utf-8 then gb18030, reader.go:43-55),
+    explicit charsets decode STRICTLY (utf8mb4 over gb18030 bytes must
+    FAIL, never import U+FFFD mojibake), binary is the byte-preserving
+    passthrough (run.sh pins the mojibake column names it produces).
+    Found in r12: auto was aliased to utf-8, schema decode used
+    errors='replace'."""
+    import os
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    def run(dirname, charset, sub):
+        tgt = str(tmp_path / sub)
+        cfg = Config.from_toml(
+            None, source_dir=f"{REF}/character_sets/{dirname}",
+            target_dir=tgt, checkpoint_enable=False,
+            character_set=charset,
+        )
+        rep = Restorer(spark, cfg).run()
+        if not rep.ok:
+            return None
+        tbl = os.listdir(f"{tgt}/charsets")[0]
+        df = spark.read.parquet(f"{tgt}/charsets/{tbl}")
+        pk = df.columns[0]
+        return pk, df.agg(F.sum(F.col(f"`{pk}`"))).first()[0]
+
+    # gb18030 data: auto + explicit + binary succeed (sum 267; binary
+    # under the latin-1 mojibake name run.sh pins), utf8mb4 FAILS
+    assert run("gb18030", "auto", "a") == ("主键", 267)
+    assert run("gb18030", "gb18030", "b") == ("主键", 267)
+    assert run("gb18030", "utf8mb4", "c") is None
+    assert run("gb18030", "binary", "d") == ("Ö÷¼ü", 267)
+    # utf8mb4 data: every mode succeeds with sum 1119; gb18030 config
+    # yields exactly the mojibake name run.sh expects
+    assert run("utf8mb4", "auto", "e") == ("主键", 1119)
+    assert run("utf8mb4", "gb18030", "f") == ("涓婚敭", 1119)
+    assert run("utf8mb4", "utf8mb4", "g") == ("主键", 1119)
+    assert run("utf8mb4", "binary", "h")[1] == 1119
+    # mixed-charset data: only binary succeeds (sum 5291)
+    assert run("mixed", "auto", "i") is None
+    assert run("mixed", "gb18030", "j") is None
+    assert run("mixed", "utf8mb4", "k") is None
+    assert run("mixed", "binary", "m")[1] == 5291
+
+
+def test_generated_columns_golden(spark, tmp_path):
+    """tests/generated_columns: chained virtual/stored gencols
+    (nested a->b->c->d->e) and the various_types battery — pow, 9/16,
+    5e222 (the r12 tokenizer bug: scientific literals lexed as '5'),
+    sha1(repeat(x, gencol)), unhex, json_object, from_unixtime under
+    @@time_zone='-08:00', and AES_ENCRYPT under
+    @@block_encryption_mode='aes-256-cbc' (the r12 translation bug:
+    MySQL's 3rd arg is the IV, the key is XOR-folded, and Spark
+    PREPENDS the IV to CBC output where MySQL returns ciphertext
+    alone). run.sh pins every value checked here."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "-08:00")
+    try:
+        wh = _restore(
+            spark, tmp_path, f"{REF}/generated_columns/data",
+            block_encryption_mode="aes-256-cbc",
+        )
+        nested = spark.read.parquet(f"{wh}/gencol/nested")
+        r = nested.filter(F.col("a") == 100).first()
+        assert (r["b"], r["c"], r["d"], r["e"]) == (101, 102, 103, 104)
+
+        vt = spark.read.parquet(f"{wh}/gencol/various_types").first()
+        assert vt["int64"] == 3
+        assert int(vt["uint64"]) == 5764801
+        assert vt["float32"] == 0.5625
+        assert vt["float64"] == 5e222
+        assert vt["string"] == "6ad8402ba6610f04d3ec5c9875489a7bc8e259c5"
+        assert bytes(vt["bytes"]).hex().upper() == (
+            "6AD8402BA6610F04D3EC5C9875489A7BC8E259C5"
+        )
+        assert str(vt["decimal"]) == "1234.5678"
+        assert vt["duration"] == "1:2:3"
+        assert vt["enum"] == "c"
+        assert vt["bit"] == 3
+        assert vt["set"] == "c"
+        # timestamp(3) '1987-06-05 04:03:02.100' at -08:00 — compare the
+        # instant through the session zone
+        assert vt["time"].strftime("%Y-%m-%d %H:%M:%S.%f").startswith(
+            "1987-06-05 12:03:02.100"
+        )  # collect() renders in the driver's UTC; instant parity
+        import json as _json
+
+        assert _json.loads(vt["json"]) == {
+            "6ad8402ba6610f04d3ec5c9875489a7bc8e259c5": 0.5625
+        }
+        assert bytes(vt["aes"]).hex().upper() == (
+            "A876B03CFC8AF93D22D19E2220BD2375"
+        )
+        assert vt["tz"] == "1969-12-31 16:00:01"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_csv_golden(spark, tmp_path):
+    """tests/csv: the reference CSV dialect battery. threads (43 rows,
+    \\N nulls), escapes (backslash + doubling mixed, raw 0xFF and bare
+    CR/LF bytes inside a quoted BLOB field, literal \\n\\n\\n JSON
+    text), empty_strings ('\"\"\"\"' -> '\"'; empty unquoted = '', not
+    NULL). Every value here is a run.sh check_contains."""
+    from tidb_lightning_spark.sources.csv_source import CSVConfig
+
+    wh = _restore(
+        spark, tmp_path, f"{REF}/csv/data",
+        csv=CSVConfig(
+            separator=",", delimiter='"', header=False, not_null=False,
+            null=r"\N", backslash_escape=True, trim_last_sep=False,
+        ),
+    )
+    th = spark.read.parquet(f"{wh}/csv/threads")
+    got = th.agg(
+        F.count(F.lit(1)), F.sum("PROCESSLIST_TIME"),
+        F.sum("THREAD_OS_ID"), F.count("PROCESSLIST_STATE"),
+    ).first()
+    assert (got[0], got[1], int(got[2]), got[3]) == (
+        43, 322253, 303775702, 3
+    )
+    assert th.filter("PROCESSLIST_TIME IS NOT NULL").count() == 12
+
+    esc = {r["i"]: r for r in
+           spark.read.parquet(f"{wh}/csv/escapes").collect()}
+    assert esc[1]["t"] == "\\" and bytes(esc[1]["b"]).hex() == "ffffffff"
+    assert esc[1]["j"] == '{"?": []}'
+    assert esc[2]["t"] == '"' and bytes(esc[2]["b"]).hex() == "0d0a0d0a"
+    assert esc[2]["j"] == '"\\n\\n\\n"'  # literal backslash-n JSON text
+    assert esc[3]["t"] == "\n" and bytes(esc[3]["b"]).hex() == "5c2c5c2c"
+    assert esc[3]["j"] == '[",,,"]'
+
+    es = {r["id"]: r for r in
+          spark.read.parquet(f"{wh}/csv/empty_strings").collect()}
+    assert es[3]["a"] == '"'  # quote doubling: '""""' -> '"'
+    assert all(r["b"] == "" for r in es.values())  # never NULL, all ''
+    assert es[1]["a"] == "" and es[4]["a"] == ""
+
+
+def test_view_golden(spark, tmp_path, capsys):
+    """tests/view: view replay e2e — db1.v1 over db1.tbl and db0.v2
+    over db1.v1 (cross-db view-on-view) register through the warehouse
+    catalog (`cli sql`) and answer run.sh's aggregates."""
+    from tidb_lightning_spark import cli
+
+    wh = _restore(spark, tmp_path, f"{REF}/view/data")
+    rc = cli.main([
+        "sql", "--target", wh, "--format", "csv",
+        "SELECT count(*) AS c, sum(i) AS s FROM `db1.v1`",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "3,6"
+    rc = cli.main([
+        "sql", "--target", wh, "--format", "csv",
+        "SELECT s FROM `db0.v2`",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "test1"
+
+
+def test_issue_410_golden(spark, tmp_path):
+    """tests/issue_410: header CSV whose 26 column names are 40-char
+    identifiers; the single data row restores each column to its
+    single-letter value (run.sh checks A/Y/Z)."""
+    from tidb_lightning_spark.sources.csv_source import CSVConfig
+
+    wh = _restore(
+        spark, tmp_path, f"{REF}/issue_410/data",
+        csv=CSVConfig(header=True),
+    )
+    df = spark.read.parquet(f"{wh}/issue410/row_flow_d")
+    assert df.count() == 1
+    r = df.first()
+    a = "A123456789012345678901234567890123456789"
+    y = "Y12345678901234567890123456789012345678"
+    assert r[a] == "A" and r[y] == "Y" and r["Z"] == "Z"
+
+
+def test_row_format_v2_golden(spark, tmp_path):
+    """tests/row-format-v2: 50 rows; DISTINCT col14 = {NULL, 39}
+    (run.sh) — the row-format knob itself is a TiKV storage detail with
+    no Spark analog, the data contract is what's portable."""
+    wh = _restore(spark, tmp_path, f"{REF}/row-format-v2/data")
+    df = spark.read.parquet(f"{wh}/rowformatv2/t1")
+    assert df.count() == 50
+    got = {r[0] for r in df.select("col14").distinct().collect()}
+    assert got == {None, 39}
+
+
+def test_common_handle_golden(spark, tmp_path):
+    """tests/common_handle: non-integer composite PK (s, i) — the
+    clustered-index path. Fixture generated inline exactly as run.sh
+    does; expectations count(*)=6, sum(i)=21, and no hidden
+    _tidb_rowid (the PK IS the handle, sql2kv.go:343-355 analog)."""
+    src = tmp_path / "ch.mydump"
+    src.mkdir()
+    (src / "ch-schema-create.sql").write_text("CREATE DATABASE ch;\n")
+    (src / "ch.t-schema.sql").write_text(
+        "CREATE TABLE t(s varchar(32), i INT, j TINYINT, "
+        "PRIMARY KEY(s, i));\n"
+    )
+    (src / "ch.t.0.sql").write_text(
+        'INSERT INTO t (s, i, j) VALUES\n'
+        '  ("this_is_test1", 1, 1),\n'
+        '  ("this_is_test2", 2, 2),\n'
+        '  ("this_is_test3", 3, 3),\n'
+        '  ("this_is_test4", 4, 4),\n'
+        '  ("this_is_test5", 5, 5);\n'
+    )
+    (src / "ch.t.1.sql").write_text(
+        'INSERT INTO t(s, i, j) VALUES ("another test case", 6, 6);\n'
+    )
+    wh = _restore(spark, tmp_path, str(src))
+    df = spark.read.parquet(f"{wh}/ch/t")
+    got = df.agg(F.count(F.lit(1)), F.sum("i")).first()
+    assert tuple(got) == (6, 21)
+    # departure note: TiDB with clustered index makes (s, i) the handle
+    # (no hidden rowid); our warehouse keeps the deterministic
+    # _tidb_rowid for non-integer PKs (the non-clustered default) —
+    # assert it is dense and collision-free, the property Total_kvs=6
+    # actually guards
+    assert "_tidb_rowid" in df.columns
+    assert df.select("_tidb_rowid").distinct().count() == 6
+
+
+def test_source_linkfile_golden(spark, tmp_path):
+    """tests/source_linkfile: a source dir of SYMLINKS to the real
+    files must restore identically (run.sh generates CSVs then links
+    them; 1000 rows per table)."""
+    import os
+
+    from tidb_lightning_spark.sources.csv_source import CSVConfig
+
+    raw = tmp_path / "raw"
+    src = tmp_path / "linked"
+    raw.mkdir()
+    src.mkdir()
+    n = 1000
+    (raw / "linkfiles-schema-create.sql").write_text(
+        "CREATE DATABASE linkfiles;\n"
+    )
+    (raw / "linkfiles.t-schema.sql").write_text(
+        "CREATE TABLE t(s varchar(64), i INT, j TINYINT, "
+        "PRIMARY KEY(s, i));\n"
+    )
+    (raw / "linkfiles.t2-schema.sql").write_text(
+        "CREATE TABLE t2(i INT PRIMARY KEY, s varchar(32));\n"
+    )
+    with open(raw / "linkfiles.t.0.csv", "w") as f:
+        f.write("s,i,j\n")
+        for i in range(1, n + 1):
+            f.write(f'"thisisastringvalues_line{i}",{i},{i}\n')
+    with open(raw / "linkfiles.t2.0.csv", "w") as f:
+        f.write("i,s\n")
+        for i in range(1, n + 1):
+            f.write(f'{i},"test123ataettaet{i}"\n')
+    for name in os.listdir(raw):
+        os.symlink(raw / name, src / name)
+    wh = _restore(
+        spark, tmp_path, str(src), csv=CSVConfig(header=True),
+    )
+    assert spark.read.parquet(f"{wh}/linkfiles/t").count() == n
+    assert spark.read.parquet(f"{wh}/linkfiles/t2").count() == n
+
+
+def test_tool_1472_golden(spark, tmp_path):
+    """tests/tool_1472 (TOOL-1420): pre-calculated auto-increment
+    allocators must rebase past the loaded max even when the column is
+    a TINYINT (the original bug overflowed the tinyint range while
+    computing the rebase). Golden data through the JDBC backend into
+    embedded Derby; run.sh's post-import inserts pin the next identity
+    values: pk (rows 3,4) -> next a = 5; notpk (b values 6,9) ->
+    next b = 10."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    url = f"jdbc:derby:{tmp_path}/ee1472;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    cfg = Config.from_toml(
+        None,
+        source_dir=f"{REF}/tool_1472/data",
+        target_dir=str(tmp_path / "state"),
+        backend="jdbc",
+        jdbc_url=url,
+        jdbc_driver=driver,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    try:
+        # run.sh: insert into EE1472.pk values (); -> count 3, max 5
+        st.execute('INSERT INTO EE1472.pk ("a") VALUES (DEFAULT)')
+        rs = st.executeQuery(
+            'SELECT count("a"), max("a") FROM EE1472.pk'
+        )
+        rs.next()
+        assert (rs.getInt(1), rs.getInt(2)) == (3, 5)
+        rs.close()
+        # run.sh: insert into EE1472.notpk (a) values (3333); -> b = 10
+        st.execute('INSERT INTO EE1472.notpk ("a") VALUES (3333)')
+        rs = st.executeQuery(
+            'SELECT "b" FROM EE1472.notpk WHERE "a" = 3333'
+        )
+        rs.next()
+        assert rs.getInt(1) == 10
+        rs.close()
+    finally:
+        st.close()
+        conn.close()
