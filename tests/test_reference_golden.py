@@ -820,3 +820,148 @@ def test_tool_1472_golden(spark, tmp_path):
     finally:
         st.close()
         conn.close()
+
+
+@pytest.mark.parametrize("driver", ["file", "sqlite"])
+def test_checkpoint_chunks_golden(spark, tmp_path, driver):
+    """tests/checkpoint_chunks: the reference's failpoint suite over its
+    own generated fixture (5 single-row-INSERT dump files x 1000 rows).
+    A run is killed after every imported engine (FailIfImportedChunk
+    analog); each resume advances exactly one engine; the final table
+    is bit-exact (count 5000, sum 17502500 — run.sh's formula) and a
+    last run is a checkpoint no-op. Parametrized over BOTH checkpoint
+    drivers (reference run.sh drives mysql + file)."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    chunk_count, row_count = 5, 1000
+    d = tmp_path / "cpch.mydump"
+    d.mkdir()
+    (d / "cpch_tsr-schema-create.sql").write_text(
+        "CREATE DATABASE cpch_tsr;\n"
+    )
+    (d / "cpch_tsr.tbl-schema.sql").write_text(
+        "CREATE TABLE tbl(i BIGINT UNSIGNED PRIMARY KEY);\n"
+    )
+    for i in range(1, chunk_count + 1):
+        with open(d / f"cpch_tsr.tbl.{i}.sql", "w") as f:
+            for j in range(1, row_count + 1):
+                f.write(f"INSERT INTO tbl VALUES({i * row_count + j});\n")
+    size = max(
+        os.path.getsize(d / f"cpch_tsr.tbl.{i}.sql")
+        for i in range(1, chunk_count + 1)
+    )
+
+    def make_cfg():
+        cfg = Config.from_toml(
+            None, source_dir=str(d),
+            target_dir=str(tmp_path / "wh"),
+            checksum="required", engine_bytes=size + 10,
+        )
+        cfg.checkpoint_driver = driver
+        return cfg
+
+    orig = FilesSink.write_engine
+
+    def kill_after_one(self, df, db, table, engine, **kw):
+        if kill_after_one.calls == 1:
+            raise RuntimeError("failpoint: FailIfImportedChunk")
+        kill_after_one.calls += 1
+        return orig(self, df, db, table, engine, **kw)
+
+    # each killed run advances exactly one engine; the 5th run writes
+    # the last engine and completes (no further chunk to trip on)
+    for step in range(1, chunk_count + 1):
+        kill_after_one.calls = 0
+        FilesSink.write_engine = kill_after_one
+        try:
+            rep = Restorer(spark, make_cfg()).run()
+        finally:
+            FilesSink.write_engine = orig
+        if step < chunk_count:
+            assert not rep.ok, f"step {step} unexpectedly completed"
+            assert "failpoint" in rep.tables[0].error
+        else:
+            assert rep.ok, rep.tables[0].error
+
+    t = spark.read.parquet(str(tmp_path / "wh/cpch_tsr/tbl"))
+    got = t.agg(F.count("i"), F.sum("i")).first()
+    want_sum = row_count * chunk_count * (
+        (chunk_count + 2) * row_count + 1
+    ) // 2
+    assert (got[0], int(got[1])) == (chunk_count * row_count, want_sum)
+
+    # verify_checkpoint_noop: a final run makes no new engine writes
+    calls = {"n": 0}
+
+    def counting(self, df, db, table, engine, **kw):
+        calls["n"] += 1
+        return orig(self, df, db, table, engine, **kw)
+
+    FilesSink.write_engine = counting
+    try:
+        rep = Restorer(spark, make_cfg()).run()
+    finally:
+        FilesSink.write_engine = orig
+    assert rep.ok and rep.tables[0].status == "skipped"
+    assert calls["n"] == 0
+
+
+def test_tidb_duplicate_data_golden(spark, tmp_path):
+    """tests/tidb_duplicate_data: a run into a live target is killed
+    after SOME rows land (FailIfImportedSomeRows), the source mutates
+    old->new, and the resume's duplicate policy decides the outcome.
+    replace matches run.sh exactly (both rows 'new'). DOCUMENTED
+    DEPARTURE: the reference's tidb backend appends with per-row
+    ON DUPLICATE semantics, so its 'ignore' keeps the partially
+    imported 'old' row; our JDBC backend re-imports a changed source
+    through a STAGING SWAP (idempotent bulk-load semantics,
+    test_jdbc_reimport_replaces_without_duplicates), so the final
+    table always holds exactly the new source's rows — asserted here
+    so the departure is pinned, not silent."""
+    import shutil as _sh
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+    from tidb_lightning_spark.sinks.jdbc_sink import JDBCSink
+
+    src = tmp_path / "dup.mydump"
+    src.mkdir()
+    for f in os.listdir(f"{REF}/tidb_duplicate_data/data"):
+        _sh.copy(f"{REF}/tidb_duplicate_data/data/{f}", src / f)
+    url = f"jdbc:derby:{tmp_path}/dupdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def make_cfg(policy):
+        return Config.from_toml(
+            None, source_dir=str(src),
+            target_dir=str(tmp_path / "state"),
+            backend="jdbc", jdbc_url=url, jdbc_driver=driver,
+            on_duplicate=policy,
+        )
+
+    # phase 1: kill after the first write lands some rows
+    orig = JDBCSink.write_table
+
+    def fail_after_rows(self, df, info, dbtable, **kw):
+        orig(self, df.limit(1), info, dbtable, **kw)
+        raise RuntimeError("failpoint: FailIfImportedSomeRows")
+
+    JDBCSink.write_table = fail_after_rows
+    try:
+        rep = Restorer(spark, make_cfg("replace")).run()
+    finally:
+        JDBCSink.write_table = orig
+    assert not rep.ok
+
+    # source mutates old -> new (run.sh's sed)
+    p = src / "dup.dup.sql"
+    p.write_text(p.read_text().replace("old", "new"))
+
+    rep = Restorer(spark, make_cfg("replace")).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    props = {"driver": driver}
+    back = spark.read.jdbc(url, "dup.dup", properties=props)
+    rows = {r["pk"]: r["d"] for r in back.collect()}
+    assert rows == {1: "new", 2: "new"}  # run.sh replace expectations
