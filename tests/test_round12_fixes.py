@@ -207,3 +207,62 @@ def test_bare_datetime_rounds_to_whole_seconds(spark):
     info6 = _info("CREATE TABLE t (v DATETIME(6))", "v")
     got6 = _cast(spark, info6, ["2021-01-01 10:00:00.123456"])
     assert got6[0].microsecond == 123456
+
+
+# ---------------------------------------------------------------------------
+# Collation gap (r11 verdict item 5): parse COLLATE, warn at ingest
+# ---------------------------------------------------------------------------
+
+
+def test_collate_parsed_and_nonbinary_detected():
+    from tidb_lightning_spark.schema.ddl import parse_create_table
+
+    info = parse_create_table(
+        "CREATE TABLE t ("
+        " a VARCHAR(10) COLLATE utf8mb4_general_ci,"
+        " b VARCHAR(10) COLLATE utf8mb4_bin,"
+        " c TEXT CHARACTER SET utf8mb4 COLLATE utf8mb4_0900_ai_ci,"
+        " d INT"
+        ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci"
+    )
+    assert info.column("a").collation == "utf8mb4_general_ci"
+    assert info.column("b").collation == "utf8mb4_bin"
+    nonbin = info.non_binary_collations()
+    assert set(nonbin) == {"a", "c", "<table>"}
+    assert nonbin["<table>"] == "utf8mb4_unicode_ci"
+
+
+def test_ingest_warns_on_nonbinary_collation(spark, tmp_path, caplog):
+    """README 'Collations' contract: a non-binary collation in the DDL
+    warns at ingest (the warehouse compares by UTF-8 binary); *_bin
+    collations warn nothing."""
+    import logging
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "cl-schema-create.sql").write_text("CREATE DATABASE cl;")
+    (d / "cl.ci-schema.sql").write_text(
+        "CREATE TABLE ci (s VARCHAR(10) COLLATE utf8mb4_general_ci);"
+    )
+    (d / "cl.ci.0.csv").write_text("s\nAbc\n")
+    (d / "cl.bin-schema.sql").write_text(
+        "CREATE TABLE bin (s VARCHAR(10) COLLATE utf8mb4_bin);"
+    )
+    (d / "cl.bin.0.csv").write_text("s\nAbc\n")
+    cfg = Config.from_toml(
+        None, source_dir=str(d), target_dir=str(tmp_path / "wh"),
+        checkpoint_enable=False,
+    )
+    with caplog.at_level(logging.WARNING):
+        rep = Restorer(spark, cfg).run()
+    assert rep.ok
+    warns = [
+        r.message for r in caplog.records
+        if "non-binary collation" in r.message
+    ]
+    assert len(warns) == 1
+    assert "`cl`.`ci`" in warns[0] and "utf8mb4_general_ci" in warns[0]
+    assert "README" in warns[0]

@@ -1345,6 +1345,22 @@ class Restorer:
                 )
             info = parse_create_table(sql)
             info.db, info.name = tbl.db, tbl.name  # post-routing identity
+            nonbin = info.non_binary_collations()
+            if nonbin:
+                # documented comparison contract (README "Collations"):
+                # the warehouse compares strings by UTF-8 binary only;
+                # a case/accent-insensitive MySQL collation changes
+                # sort/equality semantics downstream — warn, don't fail
+                # (the reference honors collations end-to-end,
+                # tests/new_collation; SURVEY §1.3 flags the gap)
+                log.warning(
+                    "table `%s`.`%s` declares non-binary collation(s) %s: "
+                    "this warehouse compares strings by UTF-8 BINARY — "
+                    "ORDER BY / equality / DISTINCT over these columns may "
+                    "differ from MySQL (see README 'Collations')",
+                    tbl.db, tbl.name,
+                    ", ".join(f"{k}={v}" for k, v in sorted(nonbin.items())),
+                )
             return info
         # no-schema mode: infer (parquet has real types; CSV header gives
         # all-string columns typed as text)

@@ -36,6 +36,7 @@ class ColumnInfo:
     generated_stored: bool = False
     on_update_current: bool = False
     charset: str | None = None
+    collation: str | None = None
     comment: str | None = None
     primary_key: bool = False  # set from inline or table-level PK
     unique: bool = False
@@ -63,6 +64,26 @@ class TableInfo:
             if c.name.lower() == name.lower():
                 return c
         raise KeyError(name)
+
+    def non_binary_collations(self) -> dict[str, str]:
+        """column (or '<table>') -> declared collation, for every
+        collation whose comparison semantics differ from binary. The
+        warehouse compares strings by UTF-8 BINARY only (SURVEY §1.3;
+        the reference honors MySQL collations end-to-end,
+        restore.go:1865-1872 new_collation) — sorting or equality over
+        a case/accent-insensitive collation behaves differently here,
+        so ingest warns on these."""
+
+        def nonbin(c: str | None) -> bool:
+            return bool(c) and c.lower() != "binary" and not c.lower().endswith("_bin")
+
+        out = {
+            c.name: c.collation for c in self.columns if nonbin(c.collation)
+        }
+        tbl = self.table_options.get("collate")
+        if nonbin(tbl):
+            out["<table>"] = tbl
+        return out
 
     @property
     def column_names(self) -> list[str]:
@@ -470,7 +491,7 @@ def _parse_column_attrs(p: _P, col: ColumnInfo, info: TableInfo) -> None:
         elif p.eat_word("CHARSET"):
             col.charset = p.ident()
         elif p.eat_word("COLLATE"):
-            p.ident()
+            col.collation = p.ident()
         elif p.eat_word("ON"):
             p.eat_word("UPDATE")
             if p.at_word("CURRENT_TIMESTAMP", "NOW", "LOCALTIME", "LOCALTIMESTAMP"):
