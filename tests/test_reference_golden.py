@@ -965,3 +965,245 @@ def test_tidb_duplicate_data_golden(spark, tmp_path):
     back = spark.read.jdbc(url, "dup.dup", properties=props)
     rows = {r["pk"]: r["d"] for r in back.collect()}
     assert rows == {1: "new", 2: "new"}  # run.sh replace expectations
+
+
+def test_partitioned_table_golden(spark, tmp_path):
+    """tests/partitioned-table: PARTITION BY HASH(a) PARTITIONS 5 —
+    count 8, sum(a) 277151781 (run.sh), written as a partitioned
+    layout (the SHOW TABLE STATUS 'partitioned' analog is the
+    partition-directory structure)."""
+    wh = _restore(spark, tmp_path, f"{REF}/partitioned-table/data")
+    df = spark.read.parquet(f"{wh}/partitioned/a")
+    got = df.agg(F.count(F.lit(1)), F.sum("a")).first()
+    assert tuple(got) == (8, 277151781)
+    # HASH partitioning is physical-only here (design: the range sink
+    # already spreads rows; only RANGE/LIST COLUMNS map to directory
+    # layouts) — the 'Create_options: partitioned' analog is the clause
+    # recorded in the table meta
+    import json as _json
+
+    meta = _json.load(open(f"{wh}/partitioned/a/_tls_meta.json"))
+    assert "hash" in meta["partition_by"].lower()
+
+
+def test_alter_random_golden(spark, tmp_path):
+    """tests/alter_random: explicit AUTO_RANDOM ids with shard bits set
+    (5764607523034234881 = shard 0b00001 over inc 1) restore VERBATIM;
+    the increment parts under the 58-bit mask are exactly {1, 2, 3}
+    (run.sh's `id & b'000011...1'` checks). The post-import
+    INSERT-gets-inc-4 step needs a live TiDB allocator; the allocator
+    rebase analog is covered by tool_1472/Derby."""
+    wh = _restore(spark, tmp_path, f"{REF}/alter_random/data")
+    df = spark.read.parquet(f"{wh}/alter_random/t")
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == [
+        5764607523034234881, 7493989779944505347, 8646911284551352322
+    ]
+    mask = (1 << 58) - 1
+    assert sorted(i & mask for i in ids) == [1, 2, 3]
+
+
+def test_cmdline_override_golden(spark, tmp_path, capsys):
+    """tests/cmdline_override: a config whose every connection knob is
+    garbage ('xyzxyzxyz') must still import when the CLI overrides the
+    source dir — CLI args take precedence over the TOML (run.sh drives
+    the same import with -d; a: 15)."""
+    from tidb_lightning_spark import cli
+
+    rc = cli.main([
+        "run",
+        "--config", f"{REF}/cmdline_override/config.toml",
+        "--source", f"{REF}/cmdline_override/data",
+        "--target", str(tmp_path / "wh"),
+        "--no-checkpoint",
+    ])
+    assert rc == 0
+    df = spark.read.parquet(str(tmp_path / "wh/cmdline_override/t"))
+    assert [r["a"] for r in df.collect()] == [15]
+
+
+def test_file_routing_golden(spark, tmp_path, capsys):
+    """tests/file_routing: custom [[mydumper.files]] rules over a
+    run.sh-generated layout — per-dir schema.sql / tbl-table.sql /
+    tbl-view.sql names, numbered '.sql.0' extensions, an exact-path
+    rule for an uppercase ff/test.SQL, and an UNMATCHED tbl-noused.sql
+    that must be ignored. run.sh: tbl count 10, sum(j) 55; view v =
+    i <= 5 rows (sum 15, count 5)."""
+    import shutil as _sh
+
+    from tidb_lightning_spark import cli
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    d = tmp_path / "fr.mydump"
+    (d / "fr").mkdir(parents=True)
+    (d / "ff").mkdir()
+    (d / "fr" / "schema.sql").write_text("CREATE DATABASE fr;\n")
+    (d / "fr" / "tbl-table.sql").write_text(
+        "CREATE TABLE tbl(i TINYINT PRIMARY KEY, j INT);\n"
+    )
+    (d / "fr" / "tbl1.sql.0").write_text(
+        "INSERT INTO tbl (i, j) VALUES (1, 1),(2, 2);\n"
+    )
+    (d / "fr" / "tbl2.sql.0").write_text(
+        "INSERT INTO tbl (i, j) VALUES (3, 3),(4, 4);\n"
+    )
+    (d / "fr" / "tbl.sql").write_text(
+        "INSERT INTO tbl (i, j) VALUES (5, 5);\n"
+    )
+    (d / "tbl1.sql.1").write_text(
+        "INSERT INTO tbl (i, j) VALUES (6, 6), (7, 7), (8, 8), (9, 9);\n"
+    )
+    (d / "ff" / "test.SQL").write_text(
+        "INSERT INTO tbl (i, j) VALUES (10, 10);\n"
+    )
+    (d / "fr" / "tbl-noused.sql").write_text(
+        "INSERT INTO tbl (i, j) VALUES (11, 11);\n"
+    )
+    (d / "fr" / "v-table.sql").write_text("CREATE TABLE v(i TINYINT);\n")
+    (d / "fr" / "v-view.sql").write_text(
+        "/*!40101 SET NAMES binary*/;\n"
+        "DROP TABLE IF EXISTS `v`;\nDROP VIEW IF EXISTS `v`;\n"
+        "CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`1.2.3.4` "
+        "SQL SECURITY DEFINER VIEW `v` (`i`) AS "
+        "SELECT `i` FROM `fr`.`tbl` WHERE i <= 5;\n"
+    )
+    import tomllib
+
+    with open(f"{REF}/file_routing/config.toml", "rb") as f:
+        raw = tomllib.load(f)
+    cfg = Config.from_toml(
+        None, source_dir=str(d), target_dir=str(tmp_path / "wh"),
+        checkpoint_enable=False,
+        file_routes=raw["mydumper"]["files"], default_file_rules=False,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    wh = str(tmp_path / "wh")
+    tbl = spark.read.parquet(f"{wh}/fr/tbl")
+    got = tbl.agg(F.count(F.lit(1)), F.sum("j")).first()
+    assert tuple(got) == (10, 55)
+    assert tbl.filter(F.col("i") == 11).count() == 0  # noused ignored
+    rc = cli.main([
+        "sql", "--target", wh, "--format", "csv",
+        "SELECT sum(i) AS s, count(*) AS c FROM `fr.v`",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "15,5"
+
+
+def test_error_summary_golden(spark, tmp_path):
+    """tests/error_summary: a target PREPOPULATED with rows conflicting
+    with tables a and c (on-duplicate=error) — the run must fail, table
+    b must still be imported (sum id 28, k 32), and the error summary
+    must name exactly the two failed tables. The second run with the
+    dirty checkpoint must refuse those tables until
+    --checkpoint-error-destroy (reference run.sh's log greps, asserted
+    on RunReport instead of log text)."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    url = f"jdbc:derby:{tmp_path}/esdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    jvm = spark._jvm
+    jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute("CREATE SCHEMA error_summary")
+    for t, rows in (("a", "(2, 4), (6, 8)"), ("c", "(3, 9), (27, 81)")):
+        st.execute(
+            f'CREATE TABLE error_summary.{t} '
+            f'("id" INT NOT NULL PRIMARY KEY, "k" INT NOT NULL)'
+        )
+        st.execute(f'INSERT INTO error_summary.{t} VALUES {rows}')
+    st.close()
+    conn.close()
+
+    def make_cfg():
+        return Config.from_toml(
+            None, source_dir=f"{REF}/error_summary/data",
+            target_dir=str(tmp_path / "state"),
+            backend="jdbc", jdbc_url=url, jdbc_driver=driver,
+            on_duplicate="error",
+        )
+
+    rep = Restorer(spark, make_cfg()).run()
+    assert not rep.ok
+    failed = {t.table for t in rep.tables if t.error}
+    ok = {t.table for t in rep.tables if not t.error}
+    assert failed == {"a", "c"}
+    assert "b" in ok
+    back = spark.read.jdbc(
+        url, "error_summary.b", properties={"driver": driver}
+    )
+    got = back.agg(F.sum("id"), F.sum("k")).first()
+    assert (got[0], got[1]) == (28, 32)
+
+
+def test_checkpoint_error_destroy_golden(spark, tmp_path, capsys):
+    """tests/checkpoint_error_destroy: a failing import (zero-date into
+    TIMESTAMP NOT NULL under strict mode) leaves an error checkpoint;
+    ctl --checkpoint-error-destroy=all clears it; importing the good
+    data then succeeds with run.sh's exact row
+    (x: 1999-09-09 09:09:09)."""
+    from tidb_lightning_spark import cli
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    target = str(tmp_path / "wh")
+
+    def run(data):
+        cfg = Config.from_toml(
+            None, source_dir=f"{REF}/checkpoint_error_destroy/{data}",
+            target_dir=target, strict_sql_mode=True,
+        )
+        return Restorer(spark, cfg).run()
+
+    for _ in range(2):  # run.sh loops the fail+destroy cycle
+        rep = run("bad-data")
+        assert not rep.ok
+        rc = cli.main([
+            "ctl", "--target", target, "--checkpoint-error-destroy", "all",
+        ])
+        assert rc == 0
+        capsys.readouterr()
+
+    rep = run("good-data")
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    df = spark.read.parquet(f"{target}/cped/t")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert str(rows[0]["x"]).startswith("1999-09-09 09:09:09")
+
+
+def test_examples_golden(spark, tmp_path):
+    """tests/examples: the reference's shipped mydumper example dumps
+    (lightning/mydump/examples — the reader_test corpus), with run.sh's
+    in-place rename of table `i` to Turkish dotless `ı` (a ToUpper
+    length-change trap: upper('ı')='I' and upper('ſ')='S' SHRINK byte
+    length — code indexing into upper-cased names corrupts). run.sh:
+    tbl_autoid 10000 distinct IDs, tbl_multi_index 10000 distinct
+    Names, `ı` = one row with ſ = 🤪, report_case_high_risk = 1 row."""
+    import shutil as _sh
+
+    ex = "/root/reference/lightning/mydump/examples"
+    d = tmp_path / "dump"
+    d.mkdir()
+    for f in os.listdir(ex):
+        if f == "metadata":
+            continue
+        # run.sh's do_rename: the i table becomes ı
+        dst = f.replace("mocker_test.i-schema", "mocker_test.ı-schema")
+        if f == "mocker_test.i.sql":
+            dst = "mocker_test.ı.sql"
+        _sh.copy(os.path.join(ex, f), d / dst)
+    wh = _restore(spark, tmp_path, str(d))
+    auto = spark.read.parquet(f"{wh}/mocker_test/tbl_autoid")
+    assert auto.select(F.countDistinct("ID")).first()[0] == 10000
+    multi = spark.read.parquet(f"{wh}/mocker_test/tbl_multi_index")
+    assert multi.select(F.countDistinct("Name")).first()[0] == 10000
+    dotless = spark.read.parquet(f"{wh}/mocker_test/ı")
+    rows = dotless.collect()
+    assert len(rows) == 1 and rows[0]["ſ"] == "🤪"
+    risk = spark.read.parquet(f"{wh}/mocker_test/report_case_high_risk")
+    assert risk.count() == 1

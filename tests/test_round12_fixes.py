@@ -266,3 +266,63 @@ def test_ingest_warns_on_nonbinary_collation(spark, tmp_path, caplog):
     assert len(warns) == 1
     assert "`cl`.`ci`" in warns[0] and "utf8mb4_general_ci" in warns[0]
     assert "README" in warns[0]
+
+
+# ---------------------------------------------------------------------------
+# exact MySQL-dialect CSV lexer (unit level; e2e in test_reference_golden)
+# ---------------------------------------------------------------------------
+
+
+def test_exact_lexer_one_pass_semantics():
+    from tidb_lightning_spark.sources.csv_source import (
+        CSVConfig, _lex_mysql_csv,
+    )
+
+    cfg = CSVConfig(separator=",", delimiter='"', header=False,
+                    null=r"\N", backslash_escape=True)
+    # one-pass distinctions univocity destroys:
+    #   \\n -> literal backslash-n;  \n -> newline;  "" -> ";  \N -> NULL
+    text = (
+        '"\\\\n","\\n","""",\\N,plain\n'   # row 1
+        '"a""b","x\ny",end,,\n'            # row 2: doubling, embedded LF
+    )
+    rows = _lex_mysql_csv(text, cfg, 5)
+    assert rows[0] == ["\\n", "\n", '"', None, "plain"]
+    assert rows[1] == ['a"b', "x\ny", "end", "", ""]
+
+
+def test_exact_lexer_multichar_separator_and_trim():
+    from tidb_lightning_spark.sources.csv_source import (
+        CSVConfig, _lex_mysql_csv,
+    )
+
+    cfg = CSVConfig(separator="||", delimiter='"', header=False,
+                    null=r"\N", backslash_escape=True,
+                    trim_last_sep=True)
+    # a lone '|' inside an unquoted field is content, not a terminator;
+    # trim-last-separator drops the trailing empty field
+    rows = _lex_mysql_csv("a|b||c||\nd||e||\n", cfg, 2)
+    assert rows == [["a|b", "c"], ["d", "e"]]
+
+
+def test_exact_dialect_probe_is_bounded(tmp_path):
+    from tidb_lightning_spark.sources.csv_source import (
+        CSVConfig, EXACT_DIALECT_PROBE_FILES, needs_exact_dialect,
+    )
+
+    cfg = CSVConfig(separator=",", delimiter='"', backslash_escape=True)
+    clean = []
+    for i in range(EXACT_DIALECT_PROBE_FILES + 4):
+        p = tmp_path / f"f{i:03d}.csv"
+        p.write_text("a,b\n1,2\n")
+        clean.append(str(p))
+    assert not needs_exact_dialect(clean, cfg)
+    # a dirty file INSIDE the probe window triggers
+    (tmp_path / "f000.csv").write_text('a,b\n"x""y",2\n')
+    assert needs_exact_dialect(clean, cfg)
+    # a dirty file OUTSIDE the probe window does not (documented bound;
+    # force with csv.exact-dialect for such corpora)
+    (tmp_path / "f000.csv").write_text("a,b\n1,2\n")
+    last = tmp_path / f"f{EXACT_DIALECT_PROBE_FILES + 3:03d}.csv"
+    last.write_text('a,b\n"x""y",2\n')
+    assert not needs_exact_dialect(clean, cfg)

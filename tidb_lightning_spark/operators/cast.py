@@ -183,6 +183,20 @@ def cast_column(
             q = 10 ** (6 - p)
             shifted = F.unix_micros(tt) + F.lit(q // 2)
             tt = F.timestamp_micros(shifted - F.pmod(shifted, F.lit(q)))
+        if b == "timestamp":
+            # MySQL TIMESTAMP range is ['1970-01-01 00:00:01',
+            # '2038-01-19 03:14:07.999999'] UTC — far narrower than
+            # DATETIME's year 1000-9999. Out-of-range values are invalid
+            # (strict errors, non-strict zeroes -> NULL here); reference
+            # golden tests/checkpoint_error_destroy feeds
+            # '1111-11-11 11:11:11' into TIMESTAMP NOT NULL and expects
+            # the import to fail.
+            us = F.unix_micros(tt)
+            tt = F.when(
+                (us >= F.lit(1_000_000))
+                & (us <= F.lit(2147483647_999999)),
+                tt,
+            )
         return F.when(zero, F.lit(None)).otherwise(tt.cast(spark_t))
 
     if b in ("char", "varchar") and info.mysql.length:

@@ -755,6 +755,12 @@ class Restorer:
                 "checksum": rep.checksum,
                 "pinned_timestamp": self.pinned_ts,
             }
+            if info.partition_by:
+                # the SHOW TABLE STATUS 'Create_options: partitioned'
+                # analog (tests/partitioned-table): HASH/KEY partitioning
+                # is physical-only here (the range sink spreads rows),
+                # but the declared clause stays visible in the catalog
+                meta["partition_by"] = info.partition_by
             # ANALYZE (L3): per-column stats into the table meta; feeds size
             # estimation the way ANALYZE TABLE feeds the optimizer
             # (restore.go:2215-2220)
@@ -1118,14 +1124,15 @@ class Restorer:
             )
 
             # ONE readback scan serves count + checksum + rebase max.
-            # Full value-level verification only makes sense on the swap
-            # path (the readback covers exactly the delivered rows); on a
-            # direct append into a pre-populated table the readback mixes
-            # old rows in, so verification degrades to a delivered-row
-            # count check (the reference's tidb backend performs no
-            # readback verification at all on its appends).
+            # The value-level triple is computed on BOTH paths: on the
+            # swap path it covers exactly the delivered rows; on a direct
+            # append it covers the WHOLE final table — which is exactly
+            # the reference's post-restore ADMIN CHECKSUM semantics
+            # (checksum.go:104-147, tests/error_summary): a target that
+            # already held rows before the import MUST fail verification,
+            # because the table no longer equals what was imported.
             aggs = [F.count(F.lit(1)).alias("rows___")]
-            if want_cks and use_swap:
+            if want_cks:
                 canon = canonical_row(cols)
                 aggs.append(
                     F.sum(F.length(canon)).cast("bigint").alias("bytes___")
@@ -1164,19 +1171,22 @@ class Restorer:
             else:
                 rep.rows = row["rows___"] - (final_count or 0)
                 if want_cks:
-                    readback = ingest_cks  # delivered-row triple
-                    if rep.rows != ingest_cks.kvs:
-                        _verify_failed(
-                            f"append count mismatch `{tbl.db}`.`{tbl.name}`:"
-                            f" delivered {ingest_cks.kvs} rows but the "
-                            f"table grew by {rep.rows}"
-                        )
-                    log.info(
-                        "append into pre-populated `%s`.`%s`: verified "
-                        "delivered-row count only (value-level readback "
-                        "cannot isolate appended rows)",
-                        tbl.db, tbl.name,
+                    readback = Checksum(
+                        row["rows___"], row["bytes___"] or 0,
+                        row["value___"] or 0,
                     )
+                    if ingest_cks != readback:
+                        # reference ADMIN CHECKSUM parity
+                        # (tests/error_summary): the final table holds
+                        # rows this import did not deliver — the
+                        # pre-populated conflict case the reference
+                        # flags as 'checksum mismatched'
+                        _verify_failed(
+                            f"checksum mismatch `{tbl.db}`.`{tbl.name}`: "
+                            f"ingest {ingest_cks} != table {readback} "
+                            f"(table pre-populated with "
+                            f"{final_count or 0} rows before the import)"
+                        )
 
             # Import step: verified staging table swaps into place. A
             # crash between DROP and RENAME is repaired by the recovery

@@ -626,16 +626,21 @@ _MYSQL_CSV_CTRL = {
 }
 
 
+# bounded trigger probe: the sample is per-GROUP, not per-file — a
+# 100k-file table must not cost 100k driver reads on the happy path
+EXACT_DIALECT_PROBE_FILES = 16
+
+
 def needs_exact_dialect(paths: list[str], cfg: CSVConfig, spark=None) -> bool:
-    """Sample-based trigger: quote-doubling or doubled backslashes in the
-    first MiB of any file. Bounded sample — a file whose first MiB is
-    clean but whose tail doubles quotes stays on the fast path (same
-    bound as charset detection; exact mode can be forced by setting
-    mydumper.csv.exact-dialect)."""
+    """Sample-based trigger: quote-doubling or doubled backslashes in
+    the first MiB of up to EXACT_DIALECT_PROBE_FILES files of the scan
+    group. Doubly bounded — a file outside the probe set (or whose
+    first MiB is clean) stays on the fast path; exact mode can be
+    forced for such corpora with mydumper.csv.exact-dialect = true."""
     if not (cfg.delimiter and cfg.backslash_escape):
         return False
     dd = (cfg.delimiter + cfg.delimiter).encode("utf-8", "ignore")
-    for p in paths:
+    for p in paths[:EXACT_DIALECT_PROBE_FILES]:
         with _decompress_open(p, spark) as f:
             raw = f.read(CHARSET_DETECT_SAMPLE)
         if dd in raw or b"\\\\" in raw:
@@ -678,9 +683,22 @@ def _lex_mysql_csv(
                 i += len(quote)
             row.append(unesc.sub(_sub, body))
         else:
-            m = ubody.match(text, i)
-            body = m.group(0)
-            i = m.end()
+            body = ""
+            while True:
+                m = ubody.match(text, i)
+                body += m.group(0)
+                i = m.end()
+                # a lone sep[0] that does NOT start the full (multi-char)
+                # separator is field content, not a terminator
+                if (
+                    i < n
+                    and text[i] == sep[0]
+                    and not text.startswith(sep, i)
+                ):
+                    body += text[i]
+                    i += 1
+                    continue
+                break
             if body == nulltext and not cfg.not_null:
                 row.append(None)
             else:
