@@ -1207,3 +1207,80 @@ def test_examples_golden(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["ſ"] == "🤪"
     risk = spark.read.parquet(f"{wh}/mocker_test/report_case_high_risk")
     assert risk.count() == 1
+
+
+@pytest.mark.parametrize("driver", ["file", "sqlite"])
+def test_checkpoint_timestamp_golden(spark, tmp_path, driver):
+    """tests/checkpoint_timestamp: CURRENT_TIMESTAMP defaults filled
+    across KILLED-AND-RESUMED runs must all carry ONE timestamp — the
+    reference persists the task timestamp in its checkpoint
+    (TaskCheckpoint; run.sh pins COUNT(ts)=98, COUNT(DISTINCT ts)=1
+    after five kill/resume steps). Found in r12: pinned_ts was stamped
+    fresh per Restorer, so engines imported after a resume differed
+    from those before the kill."""
+    import time as _time
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    d = tmp_path / "cpts.mydump"
+    d.mkdir()
+    (d / "cpts-schema-create.sql").write_text("create database cpts;\n")
+    (d / "cpts.cpts-schema.sql").write_text(
+        "create table cpts (ts datetime(6) not null default "
+        "current_timestamp(6), key(ts));\n"
+    )
+    row14 = "insert into cpts values " + ", ".join(["()"] * 14) + ";\n"
+    (d / "cpts.cpts.1.sql").write_text(row14 * 4)  # 56 rows
+    (d / "cpts.cpts.2.sql").write_text(row14 * 3)  # 42 rows -> 98 total
+    size = max(
+        os.path.getsize(d / f"cpts.cpts.{i}.sql") for i in (1, 2)
+    )
+
+    def make_cfg():
+        cfg = Config.from_toml(
+            None, source_dir=str(d), target_dir=str(tmp_path / "wh"),
+            engine_bytes=size + 10,
+        )
+        cfg.checkpoint_driver = driver
+        return cfg
+
+    orig = FilesSink.write_engine
+
+    def kill_after_one(self, df, db, table, engine, **kw):
+        if kill_after_one.calls == 1:
+            raise RuntimeError("failpoint: FailIfImportedChunk")
+        kill_after_one.calls += 1
+        return orig(self, df, db, table, engine, **kw)
+
+    kill_after_one.calls = 0
+    FilesSink.write_engine = kill_after_one
+    try:
+        rep = Restorer(spark, make_cfg()).run()
+    finally:
+        FilesSink.write_engine = orig
+    assert not rep.ok
+    _time.sleep(1.2)  # a fresh strftime would now differ
+    rep = Restorer(spark, make_cfg()).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+
+    df = spark.read.parquet(str(tmp_path / "wh/cpts/cpts"))
+    got = df.agg(
+        F.count("ts").alias("a"), F.countDistinct("ts").alias("b")
+    ).first()
+    assert (got["a"], got["b"]) == (98, 1)
+    old_ts = {r[0] for r in df.select("ts").distinct().collect()}
+
+    # a COMPLETED task retires its meta: when file 2 later changes, the
+    # re-import stamps a FRESH timestamp for the re-written engine while
+    # the unchanged engine keeps its rows (engine-level resume) — the
+    # table now holds exactly {old ts, fresh ts}, proving the retired
+    # task meta was not inherited
+    _time.sleep(1.2)
+    (d / "cpts.cpts.2.sql").write_text(row14 * 4)  # signature changes
+    rep = Restorer(spark, make_cfg()).run()
+    assert rep.ok
+    df2 = spark.read.parquet(str(tmp_path / "wh/cpts/cpts"))
+    new_ts = {r[0] for r in df2.select("ts").distinct().collect()}
+    assert len(new_ts) == 2 and old_ts < new_ts

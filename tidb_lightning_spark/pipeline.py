@@ -260,8 +260,22 @@ class Restorer:
             ),
         )
         # pinned timestamp for CURRENT_TIMESTAMP defaults (determinism —
-        # session.go:203, restore.go:2490-2496)
-        self.pinned_ts = time.strftime("%Y-%m-%d %H:%M:%S")
+        # session.go:203, restore.go:2490-2496). PERSISTED in the
+        # checkpoint as task metadata and reused on resume: rows imported
+        # before and after a kill must share ONE default timestamp
+        # (reference TaskCheckpoint; tests/checkpoint_timestamp pins
+        # COUNT(DISTINCT ts)=1 across five killed-and-resumed runs). The
+        # task meta is retired when a run completes, so the next task
+        # stamps fresh.
+        task_rec = self.checkpoints.get("__task__", "__meta__")
+        self.pinned_ts = task_rec.get("pinned_ts")
+        if not self.pinned_ts:
+            self.pinned_ts = time.strftime("%Y-%m-%d %H:%M:%S")
+            if cfg.checkpoint_enable:
+                self.checkpoints.update(
+                    "__task__", "__meta__", "loaded",
+                    pinned_ts=self.pinned_ts,
+                )
         self.pauser = Pauser(cfg.target_dir)
         # per-table caches released in restore_table's finally: only the
         # SQL-dump branch registers here (see _read_and_transform — the
@@ -382,6 +396,11 @@ class Restorer:
             with ThreadPoolExecutor(max_workers=conc) as ex:
                 report.tables.extend(ex.map(_restore_one, tables))
         report.seconds = time.time() - t0
+        if report.ok:
+            # task finished: retire the task meta so the NEXT import
+            # stamps a fresh CURRENT_TIMESTAMP default (only an
+            # incomplete task's resume must reuse the old one)
+            self.checkpoints.remove("__task__", "__meta__")
         metrics.update_progress(
             status="ok" if report.ok else "failed", current=None,
             seconds=round(report.seconds, 3),
