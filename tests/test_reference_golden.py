@@ -1284,3 +1284,87 @@ def test_checkpoint_timestamp_golden(spark, tmp_path, driver):
     df2 = spark.read.parquet(str(tmp_path / "wh/cpts/cpts"))
     new_ts = {r[0] for r in df2.select("ts").distinct().collect()}
     assert len(new_ts) == 2 and old_ts < new_ts
+
+
+def test_concurrent_restore_golden(spark, tmp_path):
+    """tests/concurrent-restore: 8 one-row tables imported with
+    table-concurrency > 1 — every table lands exactly once (the
+    reference stresses parallel table restore; our thread-local cache
+    registries are what this pins)."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    d = tmp_path / "restore_conc.mydump"
+    d.mkdir()
+    (d / "restore_conc-schema-create.sql").write_text(
+        "CREATE DATABASE restore_conc;\n"
+    )
+    n = 8
+    for i in range(1, n + 1):
+        (d / f"restore_conc.tbl{i}-schema.sql").write_text(
+            f"CREATE TABLE tbl{i}(i TINYINT);\n"
+        )
+        (d / f"restore_conc.tbl{i}.sql").write_text(
+            f"INSERT INTO tbl{i} VALUES (1);\n"
+        )
+    cfg = Config.from_toml(
+        None, source_dir=str(d), target_dir=str(tmp_path / "wh"),
+        checkpoint_enable=False, table_concurrency=4,
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    assert len(rep.tables) == n
+    for i in range(1, n + 1):
+        df = spark.read.parquet(str(tmp_path / f"wh/restore_conc/tbl{i}"))
+        assert [r["i"] for r in df.collect()] == [1]
+
+
+def test_checkpoint_columns_golden(spark, tmp_path):
+    """tests/checkpoint_columns: a PERMUTED column list (INSERT INTO
+    tbl (j, i) ...) killed mid-write resumes to the exact final state
+    with no duplicates — run.sh ends at count 2 with (i,j) = (1,3),
+    (2,4). Our staged JDBC commit discards the partial write, so the
+    intermediate count differs (0, not 1) but the exactly-once final
+    state is the same."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+    from tidb_lightning_spark.sinks.jdbc_sink import JDBCSink
+
+    d = tmp_path / "cp.mydump"
+    d.mkdir()
+    (d / "cp_tsr-schema-create.sql").write_text("CREATE DATABASE cp_tsr;\n")
+    (d / "cp_tsr.tbl-schema.sql").write_text(
+        "CREATE TABLE tbl(i TINYINT PRIMARY KEY, j INT);\n"
+    )
+    (d / "cp_tsr.tbl.sql").write_text(
+        "INSERT INTO tbl (j, i) VALUES (3, 1),(4, 2);\n"
+    )
+    url = f"jdbc:derby:{tmp_path}/cpcol;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    def make_cfg():
+        return Config.from_toml(
+            None, source_dir=str(d), target_dir=str(tmp_path / "state"),
+            backend="jdbc", jdbc_url=url, jdbc_driver=driver,
+        )
+
+    orig = JDBCSink.write_table
+
+    def fail_mid_write(self, df, dbname, name, **kw):
+        orig(self, df.limit(1), dbname, name, **kw)
+        raise RuntimeError("failpoint: FailAfterWriteRows")
+
+    JDBCSink.write_table = fail_mid_write
+    try:
+        rep = Restorer(spark, make_cfg()).run()
+    finally:
+        JDBCSink.write_table = orig
+    assert not rep.ok
+
+    rep = Restorer(spark, make_cfg()).run()
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    back = spark.read.jdbc(
+        url, "cp_tsr.tbl", properties={"driver": driver}
+    )
+    rows = sorted((r["i"], r["j"]) for r in back.collect())
+    assert rows == [(1, 3), (2, 4)]
