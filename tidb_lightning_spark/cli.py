@@ -687,6 +687,8 @@ def _ctl(args) -> int:
         destroyed = 0
         for key, rec in list(store.dump()["tables"].items()):
             db, tbl = key.strip("`").split("`.`")
+            if db == "__task__":
+                continue  # task metadata (pinned timestamp), not a table
             if sel != "all" and f"{db}.{tbl}" != sel:
                 continue
             # destroy only tables that did NOT finish (reference
@@ -707,6 +709,8 @@ def _ctl(args) -> int:
         lifted = 0
         for key, rec in list(store.dump()["tables"].items()):
             db, tbl = key.strip("`").split("`.`")
+            if db == "__task__":
+                continue  # task metadata (pinned timestamp), not a table
             if sel != "all" and f"{db}.{tbl}" != sel:
                 continue
             # 'closed' is the post-import downgrade a required-checksum
