@@ -641,8 +641,14 @@ def needs_exact_dialect(paths: list[str], cfg: CSVConfig, spark=None) -> bool:
         return False
     dd = (cfg.delimiter + cfg.delimiter).encode("utf-8", "ignore")
     for p in paths[:EXACT_DIALECT_PROBE_FILES]:
-        with _decompress_open(p, spark) as f:
-            raw = f.read(CHARSET_DETECT_SAMPLE)
+        try:
+            with _decompress_open(p, spark) as f:
+                raw = f.read(CHARSET_DETECT_SAMPLE)
+        except NotImplementedError:
+            # compressed remote files can't be driver-peeked — they stay
+            # on the fast path (the executor scan decompresses natively);
+            # force csv.exact-dialect for such corpora when needed
+            continue
         if dd in raw or b"\\\\" in raw:
             return True
     return False
