@@ -326,3 +326,30 @@ def test_exact_dialect_probe_is_bounded(tmp_path):
     last = tmp_path / f"f{EXACT_DIALECT_PROBE_FILES + 3:03d}.csv"
     last.write_text('a,b\n"x""y",2\n')
     assert not needs_exact_dialect(clean, cfg)
+
+
+def test_exact_lexer_reference_unescape_contract():
+    """parser.go:272-302 + csv_parser.go:108-117 parity: unknown escapes
+    DROP the backslash (\\N -> N, \\% -> %), a QUOTED "\\N" is null
+    under the WithNull flavor (raw compare before unescape), and a
+    custom null text compares AFTER unescaping."""
+    from tidb_lightning_spark.sources.csv_source import (
+        CSVConfig, _lex_mysql_csv,
+    )
+
+    cfg = CSVConfig(separator=",", delimiter='"', header=False,
+                    null=r"\N", backslash_escape=True)
+    rows = _lex_mysql_csv('"\\N",\\N,"\\%x",\\Q\n', cfg, 4)
+    assert rows[0] == [None, None, "%x", "Q"]
+
+    # custom null text: compared after unescape ('X' written as '\X')
+    cfg2 = CSVConfig(separator=",", delimiter='"', header=False,
+                     null="X", backslash_escape=True)
+    rows = _lex_mysql_csv("\\X,Y\n", cfg2, 2)
+    assert rows[0] == [None, "Y"]
+
+    # no-escape flavor: backslash is data, doubling still collapses
+    cfg3 = CSVConfig(separator=",", delimiter='"', header=False,
+                     null=r"\N", backslash_escape=False)
+    rows = _lex_mysql_csv('"a""b",\\N,"c\\d"\n', cfg3, 3)
+    assert rows[0] == ['a"b', None, "c\\d"]

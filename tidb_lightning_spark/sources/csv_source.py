@@ -663,19 +663,48 @@ def _lex_mysql_csv(
 
     sep, quote, nulltext = cfg.separator, cfg.delimiter, cfg.null
     q = re.escape(quote)
-    # quoted body: escapes, doubled quotes, or plain runs
-    qbody = re.compile(rf"(?:\\.|{q}{q}|[^{q}\\])*", re.S)
-    # unquoted body: escapes or anything except separator-start/newline
-    ubody = re.compile(rf"(?:\\.|[^\\{re.escape(sep[0])}\r\n])*", re.S)
-    unesc = re.compile(rf"\\(.)|{q}{q}", re.S)
+    s0 = re.escape(sep[0])
+    if cfg.backslash_escape:
+        # quoted body: escapes, doubled quotes, or plain runs
+        qbody = re.compile(rf"(?:\\.|{q}{q}|[^{q}\\])*", re.S)
+        # unquoted body: escapes or anything except separator/newline
+        ubody = re.compile(rf"(?:\\.|[^\\{s0}\r\n])*", re.S)
+        unesc_re = re.compile(rf"\\(.)|{q}{q}", re.S)
 
-    def _sub(m) -> str:
-        ch = m.group(1)
-        if ch is None:
-            return quote  # doubled quote
-        if ch in ("%", "_"):
-            return "\\" + ch  # MySQL keeps the backslash for LIKE escapes
-        return _MYSQL_CSV_CTRL.get(ch, ch)
+        def _sub(m) -> str:
+            ch = m.group(1)
+            if ch is None:
+                return quote  # doubled quote
+            # reference parity (parser.go:284-301): every unknown
+            # escape DROPS its backslash (\N -> N, \% -> %) — only the
+            # six control escapes map
+            return _MYSQL_CSV_CTRL.get(ch, ch)
+
+        def unescape_body(b: str) -> str:
+            return unesc_re.sub(_sub, b)
+    else:
+        # no escape flavor: backslash is ordinary data; doubling still
+        # collapses inside quotes (csv_parser.go scan-level handling)
+        qbody = re.compile(rf"(?:{q}{q}|[^{q}])*", re.S)
+        ubody = re.compile(rf"[^{s0}\r\n]*", re.S)
+        qq = quote + quote
+
+        def unescape_body(b: str) -> str:
+            return b.replace(qq, quote)
+
+    # null detection (csv_parser.go:108-115): with backslash-escape and
+    # null='\N' (the WithNull flavor) the DEQUOTED RAW content is
+    # compared before unescaping — so a QUOTED "\N" is null too; with a
+    # different null text the comparison happens AFTER unescaping
+    with_null = cfg.backslash_escape and nulltext == r"\N"
+
+    def _field(body: str) -> str | None:
+        if cfg.not_null:
+            return unescape_body(body)
+        if with_null:
+            return None if body == r"\N" else unescape_body(body)
+        out = unescape_body(body)
+        return None if out == nulltext else out
 
     rows: list[list[str | None]] = []
     row: list[str | None] = []
@@ -687,7 +716,7 @@ def _lex_mysql_csv(
             i = m.end()
             if text.startswith(quote, i):
                 i += len(quote)
-            row.append(unesc.sub(_sub, body))
+            row.append(_field(body))
         else:
             body = ""
             while True:
@@ -705,10 +734,7 @@ def _lex_mysql_csv(
                     i += 1
                     continue
                 break
-            if body == nulltext and not cfg.not_null:
-                row.append(None)
-            else:
-                row.append(unesc.sub(_sub, body))
+            row.append(_field(body))
         if text.startswith(sep, i):
             i += len(sep)
             continue
