@@ -1618,9 +1618,13 @@ class Restorer:
                 else:
                     raw_read = False
                     if bin_cols:
-                        eff0 = csv_source.effective_charset(
-                            paths[0], self.cfg.csv.character_set, self.spark
-                        )
+                        try:
+                            eff0 = csv_source.effective_charset(
+                                paths[0], self.cfg.csv.character_set,
+                                self.spark,
+                            )
+                        except NotImplementedError:
+                            eff0 = "utf-8"  # compressed remote: no peek
                         raw_read = eff0 in ("utf-8", "us-ascii", "ascii")
                     csv_cfg = self.cfg.csv
                     if raw_read:

@@ -541,7 +541,13 @@ def read_csv_files(
     # detects per file, reader.go:43-55; one table's files sharing a
     # charset is mydumper's invariant — a disagreeing file fails the
     # strict transcode loudly rather than corrupting)
-    charset = effective_charset(paths[0], cfg.character_set, spark)
+    try:
+        charset = effective_charset(paths[0], cfg.character_set, spark)
+    except NotImplementedError:
+        # compressed REMOTE file under 'auto': no driver peek — assume
+        # utf-8 (the executor scan decompresses natively; a legacy
+        # charset there requires an explicit character-set anyway)
+        charset = "utf-8"
     if charset not in SPARK_NATIVE_CHARSETS:
         paths = transcode_to_utf8(paths, charset)
         cfg = dataclasses.replace(cfg, character_set="utf-8")
@@ -639,7 +645,16 @@ def needs_exact_dialect(paths: list[str], cfg: CSVConfig, spark=None) -> bool:
     forced for such corpora with mydumper.csv.exact-dialect = true."""
     if not (cfg.delimiter and cfg.backslash_escape):
         return False
-    dd = (cfg.delimiter + cfg.delimiter).encode("utf-8", "ignore")
+    import re as _re
+
+    dd = _re.escape((cfg.delimiter + cfg.delimiter).encode("utf-8", "ignore"))
+    # ONLY the byte patterns the fast path actually corrupts: a doubled
+    # quote, or a doubled backslash immediately followed by a control
+    # letter / N (the `\\n`-vs-`\n` and `\\N`-vs-null ambiguities the
+    # univocity lexer destroys). A plain `\\` elsewhere (Windows paths,
+    # regexes in data) round-trips fine and must NOT flip a whole scan
+    # group onto the slow lexer.
+    trigger = _re.compile(dd + rb"|\\\\[0bnrtZN]")
     for p in paths[:EXACT_DIALECT_PROBE_FILES]:
         try:
             with _decompress_open(p, spark) as f:
@@ -649,7 +664,7 @@ def needs_exact_dialect(paths: list[str], cfg: CSVConfig, spark=None) -> bool:
             # on the fast path (the executor scan decompresses natively);
             # force csv.exact-dialect for such corpora when needed
             continue
-        if dd in raw or b"\\\\" in raw:
+        if trigger.search(raw):
             return True
     return False
 
