@@ -353,3 +353,90 @@ def test_exact_lexer_reference_unescape_contract():
                      null=r"\N", backslash_escape=False)
     rows = _lex_mysql_csv('"a""b",\\N,"c\\d"\n', cfg3, 3)
     assert rows[0] == ['a"b', None, "c\\d"]
+
+
+def test_exact_lexer_reference_battery():
+    """The reference's own csv_parser_test.go cases, run verbatim
+    against the exact lexer: RFC4180 examples, TestMySQL, TestCRLF
+    (blank-line skipping), TestQuotedSeparator, TestSpecialChars
+    (no-escape flavor), TestContinuation (trim-last-sep), and
+    TestBackslashAsSep/Delim."""
+    import pytest as _pytest
+
+    from tidb_lightning_spark.sources.csv_source import (
+        CSVConfig, _lex_mysql_csv,
+    )
+
+    plain = CSVConfig(separator=",", delimiter='"', header=False,
+                      null="", backslash_escape=False)
+    # RFC4180 ex.1/2: trailing newline or not
+    assert _lex_mysql_csv("aaa,bbb,ccc\nzzz,yyy,xxx\n", plain, 3) == [
+        ["aaa", "bbb", "ccc"], ["zzz", "yyy", "xxx"]
+    ]
+    assert _lex_mysql_csv("aaa,bbb,ccc\nzzz,yyy,xxx", plain, 3) == [
+        ["aaa", "bbb", "ccc"], ["zzz", "yyy", "xxx"]
+    ]
+    # ex.6: line breaks within quoted fields
+    assert _lex_mysql_csv('"aaa","b\nbb","ccc"\nzzz,yyy,xxx', plain, 3) == [
+        ["aaa", "b\nbb", "ccc"], ["zzz", "yyy", "xxx"]
+    ]
+    # ex.7: quote doubling
+    assert _lex_mysql_csv('"aaa","b""bb","ccc"', plain, 3) == [
+        ["aaa", 'b"bb', "ccc"]
+    ]
+
+    # TestMySQL (backslash escape + \N null)
+    my = CSVConfig(separator=",", delimiter='"', header=False,
+                   null=r"\N", backslash_escape=True)
+    got = _lex_mysql_csv('"\\"","\\\\","\\?"\n"\\\n",\\N,\\\\N', my, 3)
+    assert got == [['"', "\\", "?"], ["\n", None, r"\N"]]
+
+    # TestCRLF: \r, \r\n and \n all terminate; consecutive newlines and
+    # whitespace-only lines are SKIPPED
+    assert _lex_mysql_csv("a\rb\r\nc\n\n\n\nd", plain, 1) == [
+        ["a"], ["b"], ["c"], ["d"]
+    ]
+    assert _lex_mysql_csv(" \r\n\r\n0,,abc\r\n \r\n1,x,y\r\n", plain, 3) == [
+        ["0", None, "abc"], ["1", "x", "y"]
+    ]
+
+    # TestQuotedSeparator
+    assert _lex_mysql_csv('",",\',\'', plain, 3) == [[",", "'", "'"]]
+
+    # TestSpecialChars (no escape flavor: backslash is data)
+    assert _lex_mysql_csv("\x00", plain, 1) == [["\x00"]]
+    assert _lex_mysql_csv("0\\", plain, 1) == [["0\\"]]
+    assert _lex_mysql_csv("\\", plain, 1) == [["\\"]]
+    assert _lex_mysql_csv("0\v", plain, 1) == [["0\v"]]
+    assert _lex_mysql_csv("\n\r", plain, 1) == []
+    assert _lex_mysql_csv('"""",0', plain, 2) == [['"', "0"]]
+
+    # TestContinuation (escape + trim-last-sep)
+    cont = CSVConfig(separator=",", delimiter='"', header=False,
+                     null=r"\N", backslash_escape=True,
+                     trim_last_sep=True)
+    got = _lex_mysql_csv(
+        '"abcdef",\\njklm,nop\r\n"""""","\\n",a,', cont, 3
+    )
+    assert got == [
+        ["abcdef", "\njklm", "nop"], ['""', "\n", "a"]
+    ]
+
+    # TestBackslashAsSep / AsDelim (no escape)
+    bsep = CSVConfig(separator="\\", delimiter='"', header=False,
+                     null="", backslash_escape=False)
+    assert _lex_mysql_csv("0\\", bsep, 2) == [["0", None]]
+    assert _lex_mysql_csv("\\", bsep, 2) == [[None, None]]
+    bdel = CSVConfig(separator=",", delimiter="\\", header=False,
+                     null="", backslash_escape=False)
+    assert _lex_mysql_csv("\\\\", bdel, 1) == [[None]]
+
+    # TestSyntaxError: the reference ERRORS on these
+    err = CSVConfig(separator=",", delimiter='"', header=False,
+                    null=r"\N", backslash_escape=True)
+    for bad in ['"???', "\\", '"\\', '0"', "0\\", '"\v', '"""',
+                '"\r', '"\x01', '"x"?']:
+        with _pytest.raises(ValueError):
+            _lex_mysql_csv(bad, err, 1)
+    with _pytest.raises(ValueError):
+        _lex_mysql_csv('"\\', plain, 1)  # unterminated, no-escape too

@@ -673,18 +673,27 @@ def _lex_mysql_csv(
     text: str, cfg: CSVConfig, n_read: int
 ) -> list[list[str | None]]:
     """One-pass MySQL CSV lex of a whole file's (byte-preserving) text.
-    Returns rows of n_read fields (None = SQL NULL / missing)."""
+    Returns rows of n_read fields (None = SQL NULL / missing).
+
+    Strictness follows the reference parser exactly
+    (csv_parser_test.go contract, pinned in
+    tests/test_round12_fixes.py): unterminated quoted fields, a
+    dangling backslash, a quote inside an unquoted field, and content
+    between a closing quote and the next separator/newline are ERRORS;
+    empty and whitespace-only unquoted lines are SKIPPED (never emitted
+    as one-empty-field rows)."""
     import re
 
     sep, quote, nulltext = cfg.separator, cfg.delimiter, cfg.null
-    q = re.escape(quote)
+    q = re.escape(quote) if quote else ""
     s0 = re.escape(sep[0])
+    exclude = s0 + (q if quote else "")
     if cfg.backslash_escape:
         # quoted body: escapes, doubled quotes, or plain runs
         qbody = re.compile(rf"(?:\\.|{q}{q}|[^{q}\\])*", re.S)
-        # unquoted body: escapes or anything except separator/newline
-        ubody = re.compile(rf"(?:\\.|[^\\{s0}\r\n])*", re.S)
-        unesc_re = re.compile(rf"\\(.)|{q}{q}", re.S)
+        # unquoted body: escapes or anything except sep/quote/newline
+        ubody = re.compile(rf"(?:\\.|[^\\{exclude}\r\n])*", re.S)
+        unesc_re = re.compile(rf"\\(.)|{q}{q}" if quote else r"\\(.)", re.S)
 
         def _sub(m) -> str:
             ch = m.group(1)
@@ -701,11 +710,11 @@ def _lex_mysql_csv(
         # no escape flavor: backslash is ordinary data; doubling still
         # collapses inside quotes (csv_parser.go scan-level handling)
         qbody = re.compile(rf"(?:{q}{q}|[^{q}])*", re.S)
-        ubody = re.compile(rf"[^{s0}\r\n]*", re.S)
+        ubody = re.compile(rf"[^{exclude}\r\n]*", re.S)
         qq = quote + quote
 
         def unescape_body(b: str) -> str:
-            return b.replace(qq, quote)
+            return b.replace(qq, quote) if quote else b
 
     # null detection (csv_parser.go:108-115): with backslash-escape and
     # null='\N' (the WithNull flavor) the DEQUOTED RAW content is
@@ -721,16 +730,37 @@ def _lex_mysql_csv(
         out = unescape_body(body)
         return None if out == nulltext else out
 
+    def _err(msg: str, pos: int) -> ValueError:
+        ctx = text[max(0, pos - 20):pos + 20]
+        return ValueError(
+            f"CSV syntax error at offset {pos}: {msg} (near {ctx!r})"
+        )
+
     rows: list[list[str | None]] = []
     row: list[str | None] = []
+    had_quote = had_sep = False
+    blank = True  # every field so far whitespace-only & unquoted
     i, n = 0, len(text)
     while i < n:
-        if text.startswith(quote, i):
+        if quote and text.startswith(quote, i):
+            had_quote = True
+            blank = False
             m = qbody.match(text, i + len(quote))
             body = m.group(0)
             i = m.end()
-            if text.startswith(quote, i):
-                i += len(quote)
+            if not text.startswith(quote, i):
+                # EOF inside the field, or a dangling backslash before
+                # EOF (errUnterminatedQuotedField / errDanglingBackslash)
+                raise _err("unterminated quoted field", i)
+            i += len(quote)
+            # after the closing quote only a separator, newline or EOF
+            # may follow (reference rejects `"x"?` — MySQL's LOAD would
+            # keep it as-is, every CSV parser disagrees; error is the
+            # reference's pick)
+            if i < n and not (
+                text.startswith(sep, i) or text[i] in "\r\n"
+            ):
+                raise _err("unexpected content after closing quote", i)
             row.append(_field(body))
         else:
             body = ""
@@ -749,8 +779,20 @@ def _lex_mysql_csv(
                     i += 1
                     continue
                 break
+            if (
+                cfg.backslash_escape
+                and i < n
+                and text[i] == "\\"
+                and not text.startswith(sep, i)
+            ):
+                raise _err("dangling backslash", i)
+            if quote and i < n and text.startswith(quote, i):
+                raise _err("quote inside unquoted field", i)
+            if body.strip():
+                blank = False
             row.append(_field(body))
         if text.startswith(sep, i):
+            had_sep = True
             i += len(sep)
             continue
         # row terminator (or EOF)
@@ -760,13 +802,16 @@ def _lex_mysql_csv(
             i += 1
         if cfg.trim_last_sep and row and row[-1] == "":
             row.pop()
-        rows.append(row)
+        # reference skips empty and whitespace-only unquoted lines
+        # entirely (TestCRLF: c\n\n\n\nd is two rows; whitespace-line
+        # test): never emit them as one-field rows
+        if not (blank and not had_sep and len(row) <= 1):
+            rows.append(row)
         row = []
-    if row:
+        had_quote = had_sep = False
+        blank = True
+    if row and not (blank and not had_sep and len(row) <= 1):
         rows.append(row)
-    # drop a trailing completely-empty row from a final newline
-    if rows and rows[-1] in ([""], [None], []):
-        rows.pop()
     return [
         r[:n_read] + [None] * (n_read - len(r)) if len(r) != n_read else r
         for r in rows
