@@ -440,3 +440,53 @@ def test_exact_lexer_reference_battery():
             _lex_mysql_csv(bad, err, 1)
     with _pytest.raises(ValueError):
         _lex_mysql_csv('"\\', plain, 1)  # unterminated, no-escape too
+
+
+def test_sqldump_reference_syntax_battery():
+    """mydump/parser_test.go TestVariousSyntax, run against the scanner:
+    quoted table names (backtick AND ANSI double-quote — r12 gap),
+    float forms preserved verbatim, hex/bit/bool literals, comment
+    interleaving, control escapes, and empty binary literals (b'' was
+    '0', reference says empty)."""
+    from tidb_lightning_spark.sources.sqldump_source import (
+        parse_insert_statements,
+    )
+
+    def rows(sql):
+        return [r for s in parse_insert_statements(sql) for r in s.rows]
+
+    assert rows("INSERT INTO foobar VALUES (1, 2);") == [["1", "2"]]
+    assert rows("INSERT INTO `foobar` VALUES (3, 4);") == [["3", "4"]]
+    assert rows('INSERT INTO "foobar" VALUES (5, 6);') == [["5", "6"]]
+    assert rows(
+        "INSERT INTO t VALUES (7, -8, Null, '9'), "
+        "(b'10', 0b11, 0x12, x'13'), (\"14\", True, False, 0);"
+    ) == [
+        ["7", "-8", None, "9"],
+        ["2", "3", "\x12", "\x13"],
+        ["14", "1", "0", "0"],
+    ]
+    # float FORMS survive verbatim (typing happens at cast time)
+    assert rows(
+        "INSERT INTO t VALUES (.15, 1.6, 17.), (1e39, 1e-40, 1e+41), "
+        "(-.57E+1, -0.0, 00000);"
+    ) == [
+        [".15", "1.6", "17."],
+        ["1e39", "1e-40", "1e+41"],
+        ["-.57E+1", "-0.0", "00000"],
+    ]
+    # control escapes incl. unknown \a -> a
+    assert rows("INSERT INTO t VALUES ('\\0\\b\\n\\r\\t\\Z\\'\\a');") == [
+        ["\x00\x08\n\r\t\x1a'a"]
+    ]
+    # empty binary literals: both empty (b'' used to yield '0')
+    assert rows("INSERT INTO t VALUES (b'', x'', B'', X'');") == [
+        ["", "", "", ""]
+    ]
+    # comment-only input and comment interleaving
+    assert rows("/* comment */; -- comment") == []
+    assert rows(
+        "-- comment /* ...\ninsert into xxx -- comment\n"
+        "values -- comment\n(true, false), -- comment\n"
+        "(null, 00000); -- comment ... */"
+    ) == [["1", "0"], [None, "00000"]]

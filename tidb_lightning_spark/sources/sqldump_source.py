@@ -94,14 +94,19 @@ class _Scanner:
 
     def ident(self) -> str:
         self.skip_ws_comments()
-        if self.peek() == "`":
+        # backtick-quoted (MySQL) or double-quoted (ANSI_QUOTES — the
+        # reference accepts INSERT INTO "foobar",
+        # mydump/parser_test.go TestVariousSyntax) identifiers; the
+        # quote char doubles to escape itself
+        qc = self.peek()
+        if qc in ('`', '"'):
             self.pos += 1
             out = []
             t, n = self.text, len(self.text)
             while self.pos < n:
-                if t[self.pos] == "`":
-                    if self.pos + 1 < n and t[self.pos + 1] == "`":
-                        out.append("`")
+                if t[self.pos] == qc:
+                    if self.pos + 1 < n and t[self.pos + 1] == qc:
+                        out.append(qc)
                         self.pos += 2
                         continue
                     self.pos += 1
@@ -259,7 +264,10 @@ def _hex_to_str(body: str) -> str:
 
 
 def _bits_to_str(body: str) -> str:
-    return str(int(body, 2)) if body else "0"
+    # b'' is the EMPTY bit string (reference: empty BinaryLiteral,
+    # parser_test.go TestVariousSyntax) — '' casts to 0 for numeric
+    # targets and to empty bytes for binary ones, exactly like x''
+    return str(int(body, 2)) if body else ""
 
 
 @dataclass
