@@ -223,7 +223,7 @@ class _Scanner:
             return _bits_to_str(w[2:])
         if (
             (u[-1:] == "E" and u[:-1].replace(".", "", 1).isdigit())
-            and self.peek() in "+-"
+            and self.peek() in ("+", "-")
         ):
             # scientific notation with a signed exponent ('1e+16',
             # '1.5E-07'): word() stops at the sign — MySQL emits these for
@@ -247,7 +247,7 @@ class _Scanner:
     def signed_number(self) -> str:
         self.skip_ws_comments()
         sign = ""
-        if self.peek() in "+-":
+        if self.peek() in ("+", "-"):
             sign = self.text[self.pos]
             self.pos += 1
         v = self.value()
@@ -432,7 +432,7 @@ def parse_insert_statements(text: str) -> Iterator[Statement]:
                 if not sc.try_char(")"):
                     while True:
                         sc.skip_ws_comments()
-                        if sc.peek() in "+-":
+                        if sc.peek() in ("+", "-"):
                             row.append(sc.signed_number())
                         else:
                             row.append(sc.value())
