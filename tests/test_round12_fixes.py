@@ -490,3 +490,39 @@ def test_sqldump_reference_syntax_battery():
         "values -- comment\n(true, false), -- comment\n"
         "(null, 00000); -- comment ... */"
     ) == [["1", "0"], [None, "00000"]]
+
+
+def test_sqldump_scanner_never_raises_raw_exceptions():
+    """mydump/parser_test.go TestSyntaxError + TestMoreSyntaxError
+    (fuzz-collected) corpus: every malformed input either parses to
+    zero statements (bare garbage — legal here because our chunks are
+    statement-aligned, unlike the reference's mid-statement chunks) or
+    raises SQLDumpError, NEVER a raw IndexError/KeyError (r12 found
+    'INSERT INTO t VALUES (3,' crashing at the EOF sign check:
+    '' in '+-' is True)."""
+    from tidb_lightning_spark.sources.sqldump_source import (
+        SQLDumpError, parse_insert_statements,
+    )
+
+    corpus = [
+        "('xxx)", "(`xxx)", "(/* xxx)", "('\\')", "(", "(1", "(1,",
+        "(values)", "3", "(`values`)", "/* ...",
+        " usin0", "- ", "-,", "-;", "-", "-(", "-/", '-"', "-`",
+        ", '0\\0", ",/*000", "; con0", "''", "'", "'\\", "'0''00",
+        "(''''0", "(fals0", "(x'000", "*", "/", "/**", "/*00*0",
+        '"', '""', '"\\', '``', "`````0", "0 ", "0,", "0;", "0",
+        "\x00;", "\xd9/", "\xde0 b'0",
+        "INSERT INTO t VALUES (3,",
+        "INSERT INTO t VALUES (3, -",
+        "INSERT INTO t VALUES (1,2),(3",
+        "INSERT INTO t VALUES (1,'ab",
+        "INSERT INTO t VALUES (1,2); INSERT INTO t VALUES (3,",
+        "insert into t values (convert('a' using",
+        "(" * 100,
+    ]
+    for bad in corpus:
+        try:
+            for stmt in parse_insert_statements(bad):
+                stmt.rows  # force
+        except SQLDumpError:
+            pass  # clean, typed failure
