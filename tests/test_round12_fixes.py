@@ -526,3 +526,41 @@ def test_sqldump_scanner_never_raises_raw_exceptions():
                 stmt.rows  # force
         except SQLDumpError:
             pass  # clean, typed failure
+
+
+def test_schema_read_reader_test_contract():
+    """mydump/reader_test.go contract for schema reads: leading block
+    comments are skipped, GBK-commented DDL decodes under 'auto'
+    (D7DC B0B8 C0FD = 总案例), and gibberish errors instead of
+    importing mojikabe."""
+    import pytest as _pytest
+
+    from tidb_lightning_spark.schema.ddl import (
+        parse_create_database, parse_create_table,
+    )
+    from tidb_lightning_spark.sources.csv_source import decode_file_bytes
+
+    # TestExportStatementWithComment: comment statement before the DDL
+    sql = (
+        "\n/* whatever blabla\n multiple lines comment\n */;\n"
+        "CREATE DATABASE whatever;\n"
+    )
+    assert parse_create_database(sql) == "whatever"
+
+    # TestExportStatementGBK under 'auto'
+    raw = (
+        b"CREATE TABLE a (b int(11) COMMENT '"
+        + bytes([0xD7, 0xDC, 0xB0, 0xB8, 0xC0, 0xFD])
+        + b"');\n"
+    )
+    text = decode_file_bytes(raw, "auto", "x.sql")
+    info = parse_create_table(text)
+    assert info.column("b").comment == "总案例"  # 总案例
+
+    # TestExportStatementGibberishError
+    junk = (
+        b"\x9e\x02\xdc\xfbZ/=n\xf3\xf2N8\xc1\xf2\xe9\xaa\xd0\x85"
+        b"\xc5}\x97\x07\xae6\x97\x99\x9c\x08\xcb\xe8;"
+    )
+    with _pytest.raises(ValueError, match="auto"):
+        decode_file_bytes(junk, "auto", "junk.sql")
