@@ -564,3 +564,65 @@ def test_schema_read_reader_test_contract():
     )
     with _pytest.raises(ValueError, match="auto"):
         decode_file_bytes(junk, "auto", "junk.sql")
+
+
+def test_loader_strictness_reference_contract(tmp_path):
+    """mydump/loader_test.go layout-validation battery: a table whose
+    db has no schema-create file, duplicated db/table schema files, and
+    a view without its host table schema are STARTUP errors (fail
+    loudly, never guess); routing-created target dbs and shard-merged
+    schema duplicates stay legal; no-schema mode lifts the checks."""
+    import os
+
+    import pytest as _pytest
+
+    from tidb_lightning_spark.sources.loader import discover
+    from tidb_lightning_spark.sources.table_router import TableRouter
+
+    def mk(name, files):
+        d = tmp_path / name
+        for f, content in files:
+            p = d / f
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_text(content)
+        return str(d)
+
+    # TestTableNoHostDB / TestDataNoHostDB
+    d = mk("nohost", [("notdb-schema-create.sql", "CREATE DATABASE notdb;"),
+                      ("db.tbl-schema.sql", "CREATE TABLE tbl (a int);")])
+    with _pytest.raises(FileNotFoundError, match="cannot find db 'db'"):
+        discover(d)
+    # TestDuplicatedDB
+    d = mk("dupdb", [("a/db-schema-create.sql", "x"),
+                     ("b/db-schema-create.sql", "x")])
+    with _pytest.raises(ValueError, match="duplicated item"):
+        discover(d)
+    # TestDuplicatedTable
+    d = mk("duptbl", [("db-schema-create.sql", "x"),
+                      ("a/db.tbl-schema.sql", "x"),
+                      ("b/db.tbl-schema.sql", "x")])
+    with _pytest.raises(ValueError, match="duplicated item"):
+        discover(d)
+    # TestViewNoHostTable
+    d = mk("viewnohost", [("db-schema-create.sql", "x"),
+                          ("db.v-schema-view.sql", "CREATE VIEW v AS SELECT 1;")])
+    with _pytest.raises(FileNotFoundError, match="miss host table"):
+        discover(d)
+    # TestDataWithoutSchema: no-schema mode lifts everything
+    d = mk("noschema", [("db.tbl.sql", "INSERT INTO tbl VALUES (1);")])
+    r = discover(d, no_schema=True)
+    assert [(t.db, t.name) for t in r.sorted_tables()] == [("db", "tbl")]
+    # shard merge: multiple source schemas for ONE routed target is fine
+    d = mk("merge", [
+        ("sh-schema-create.sql", "CREATE DATABASE sh;"),
+        ("sh.t0-schema.sql", "CREATE TABLE t0 (a int);"),
+        ("sh.t1-schema.sql", "CREATE TABLE t1 (a int);"),
+        ("sh.t0.csv", "a\n1\n"),
+        ("sh.t1.csv", "a\n2\n"),
+    ])
+    router = TableRouter([{
+        "schema-pattern": "sh", "table-pattern": "t*",
+        "target-schema": "m", "target-table": "u",
+    }], case_sensitive=False)
+    r = discover(d, table_router=router)
+    assert [(t.db, t.name) for t in r.sorted_tables()] == [("m", "u")]

@@ -163,12 +163,22 @@ def discover(
 
     # filter (loader.go:333-338), then shard-merge route (loader.go:340-416)
     routed_away: dict[str, int] = {}
+    routed_targets: set[str] = set()  # dbs created by table routing
+    merged_tables: set[tuple[str, str]] = set()  # shard-merge targets
     for path, res, size in routed:
         if res.type == "schema-schema":
             if not table_filter.match_schema(res.schema):
                 ignored.append(path)
                 continue
-            db_of(res.schema).schema_file = path
+            db = db_of(res.schema)
+            if db.schema_file is not None and db.schema_file != path:
+                # loader.go:322-326 / loader_test TestDuplicatedDB: two
+                # schema-create files for one db is a layout error
+                raise ValueError(
+                    f"invalid database schema file, duplicated item - "
+                    f"{path}"
+                )
+            db.schema_file = path
             continue
         if not table_filter.match_table(res.schema, res.name):
             ignored.append(path)
@@ -180,9 +190,22 @@ def discover(
         )
         if schema != res.schema:
             routed_away[res.schema] = routed_away.get(res.schema, 0) + 1
+        if (schema, name) != (res.schema, res.name):
+            merged_tables.add((schema, name))
+            routed_targets.add(schema)
         tbl = table_of(schema, name)
         if res.type == "table-schema":
-            # first shard's schema wins for a merged target (schema dedup)
+            # first shard's schema wins for a merged target (schema
+            # dedup); an UNROUTED duplicate — the same db.tbl-schema.sql
+            # in two dirs — is a layout error (loader_test
+            # TestDuplicatedTable)
+            if (
+                tbl.schema_file is not None
+                and (schema, name) not in merged_tables
+            ):
+                raise ValueError(
+                    f"invalid table schema file, duplicated item - {path}"
+                )
             if tbl.schema_file is None:
                 tbl.schema_file = path
         elif res.type == "view-schema":
@@ -213,6 +236,39 @@ def discover(
                 raise FileNotFoundError(
                     f"missing table schema file for `{tbl.db}`.`{tbl.name}` "
                     f"(set no-schema=true to infer from data)"
+                )
+            if (
+                not no_schema
+                and tbl.view_schema_file is not None
+                and tbl.schema_file is None
+            ):
+                # loader_test TestViewNoHostTable: a -schema-view.sql
+                # needs its companion table-schema placeholder
+                raise FileNotFoundError(
+                    f"invalid view schema file, miss host table schema "
+                    f"for view '{tbl.name}'"
+                )
+
+    if not no_schema:
+        # loader.go host-db checks (loader_test TestTableNoHostDB /
+        # TestDataNoHostDB): every table's db needs a schema-create file
+        # unless the db was materialized by table ROUTING (the router
+        # target inherits existence from its sources)
+        for name, db in dbs.items():
+            if (
+                db.tables
+                and db.schema_file is None
+                and name not in routed_targets
+            ):
+                first = next(iter(db.tables.values()))
+                ref = (
+                    first.schema_file
+                    or first.view_schema_file
+                    or (first.data_files[0].path if first.data_files else "?")
+                )
+                raise FileNotFoundError(
+                    f"invalid schema file, cannot find db '{name}' - {ref} "
+                    f"(add {name}-schema-create.sql or set no-schema=true)"
                 )
 
     # drop source dbs fully routed away (loader.go:404-415); an empty db
