@@ -626,3 +626,68 @@ def test_loader_strictness_reference_contract(tmp_path):
     }], case_sensitive=False)
     r = discover(d, table_router=router)
     assert [(t.db, t.name) for t in r.sorted_tables()] == [("m", "u")]
+
+
+def test_loader_router_reference_layout(tmp_path):
+    """mydump/loader_test.go TestRouter, structure-for-structure: a0
+    fully routed away (dropped), a1 keeps its unrouted s1 + view v1,
+    b.u shard-merges three source tables' data files in order, c0
+    renames to c, the empty d0 survives, and the e0.f0 VIEW routes to
+    v.vv."""
+    from tidb_lightning_spark.sources.loader import discover
+    from tidb_lightning_spark.sources.table_router import TableRouter
+
+    files = {
+        "a0-schema-create.sql": "CREATE DATABASE a0;",
+        "a0.t0-schema.sql": "CREATE TABLE t0(a int);",
+        "a0.t0.1.sql": "INSERT INTO t0 VALUES (1);",
+        "a0.t1-schema.sql": "CREATE TABLE t1(a int);",
+        "a0.t1.1.sql": "INSERT INTO t1 VALUES (2);",
+        "a1-schema-create.sql": "CREATE DATABASE a1;",
+        "a1.s1-schema.sql": "CREATE TABLE s1(a int);",
+        "a1.s1.1.sql": "INSERT INTO s1 VALUES (3);",
+        "a1.t2-schema.sql": "CREATE TABLE t2(a int);",
+        "a1.t2.1.sql": "INSERT INTO t2 VALUES (4);",
+        "a1.v1-schema.sql": "CREATE TABLE v1(a int);",
+        "a1.v1-schema-view.sql": "CREATE VIEW v1 (a) AS SELECT 1;",
+        "c0-schema-create.sql": "CREATE DATABASE c0;",
+        "c0.t3-schema.sql": "CREATE TABLE t3(a int);",
+        "c0.t3.1.sql": "INSERT INTO t3 VALUES (5);",
+        "d0-schema-create.sql": "CREATE DATABASE d0;",
+        "e0-schema-create.sql": "CREATE DATABASE e0;",
+        "e0.f0-schema.sql": "CREATE TABLE f0(a int);",
+        "e0.f0-schema-view.sql": "CREATE VIEW f0 (a) AS SELECT 1;",
+    }
+    for f, c in files.items():
+        (tmp_path / f).write_text(c)
+    router = TableRouter([
+        {"schema-pattern": "a*", "table-pattern": "t*",
+         "target-schema": "b", "target-table": "u"},
+        {"schema-pattern": "c*", "target-schema": "c"},
+        {"schema-pattern": "e*", "table-pattern": "f*",
+         "target-schema": "v", "target-table": "vv"},
+    ], case_sensitive=False)
+    r = discover(str(tmp_path), table_router=router)
+    import os
+
+    got = {
+        (db, t.name): (
+            [os.path.basename(f.path) for f in t.data_files],
+            os.path.basename(t.schema_file) if t.schema_file else None,
+            t.view_schema_file is not None,
+        )
+        for db, m in r.databases.items()
+        for t in m.tables.values()
+    }
+    assert got == {
+        ("a1", "s1"): (["a1.s1.1.sql"], "a1.s1-schema.sql", False),
+        ("a1", "v1"): ([], "a1.v1-schema.sql", True),
+        ("b", "u"): (
+            ["a0.t0.1.sql", "a0.t1.1.sql", "a1.t2.1.sql"],
+            "a0.t0-schema.sql", False,
+        ),
+        ("c", "t3"): (["c0.t3.1.sql"], "c0.t3-schema.sql", False),
+        ("v", "vv"): ([], "e0.f0-schema.sql", True),
+    }
+    assert set(r.databases) == {"a1", "b", "c", "d0", "v"}  # a0 dropped
+    assert not r.databases["d0"].tables  # empty db survives
