@@ -1,7 +1,16 @@
-"""Round-12 fixes (driver ADVICE items): BWList replaces the -f filter
-(never intersects it), BWList typo'd keys fail loudly, the spool cache's
-per-writer tmp names, 64-member SET masks with bit 63 set, and bare
-DATETIME defaulting to fsp=0 like MySQL."""
+"""Round-12 fixes and reference unit-test mining.
+
+ADVICE items: BWList replaces the -f filter (never intersects it),
+BWList typo'd keys fail loudly, the spool cache's per-writer tmp names,
+64-member SET masks with bit 63 set, bare DATETIME = fsp 0.
+
+Reference *_test.go batteries run verbatim against our components:
+the exact MySQL-dialect CSV lexer (csv_parser_test.go — RFC4180,
+TestMySQL, CRLF/blank-line skipping, syntax errors, flavors), the
+SQL-dump scanner (parser_test.go — TestVariousSyntax, the fuzz
+corpus as a never-raw-exception contract), schema reads
+(reader_test.go), and loader layout validation + TestRouter structure
+(loader_test.go). Plus the collation warning contract (SURVEY §1.3)."""
 
 from __future__ import annotations
 
