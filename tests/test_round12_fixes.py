@@ -700,3 +700,203 @@ def test_loader_router_reference_layout(tmp_path):
     }
     assert set(r.databases) == {"a1", "b", "c", "d0", "v"}  # a0 dropped
     assert not r.databases["d0"].tables  # empty db survives
+
+
+# ---------------------------------------------------------------------------
+# config_test.go mining: Adjust()-contract battery
+# ---------------------------------------------------------------------------
+
+
+def _cfg_from(tmp_path, body: str):
+    from tidb_lightning_spark.config import Config
+
+    p = tmp_path / "t.toml"
+    p.write_text('[mydumper]\ndata-source-dir = "/x"\n' + body)
+    return Config.from_toml(str(p))
+
+
+def test_backslash_separator_with_escape_is_error(tmp_path):
+    """config.go:510-516 / config_test.go:374-389: '\\' can't be the
+    separator or delimiter while backslash-escape is on."""
+    with pytest.raises(ValueError, match="as CSV separator"):
+        _cfg_from(
+            tmp_path,
+            "[mydumper.csv]\nseparator = '\\'\nbackslash-escape = true\n",
+        )
+    with pytest.raises(ValueError, match="as CSV delimiter"):
+        _cfg_from(
+            tmp_path,
+            "[mydumper.csv]\ndelimiter = '\\'\nbackslash-escape = true\n",
+        )
+    # with escaping off both are legal (config_test.go case 4/8)
+    cfg = _cfg_from(
+        tmp_path,
+        "[mydumper.csv]\nseparator = '\\'\nbackslash-escape = false\n",
+    )
+    assert cfg.csv.separator == "\\"
+    # exact equality: a multi-char separator CONTAINING '\' is fine
+    # (config_test.go case 9: separator='\s', delimiter='\d')
+    cfg = _cfg_from(
+        tmp_path,
+        "[mydumper.csv]\nseparator = '\\s'\ndelimiter = '\\d'\n",
+    )
+    assert cfg.csv.separator == "\\s"
+
+
+def test_invalid_sql_mode_is_startup_error(tmp_path):
+    """config_test.go:391-396: an unknown sql_mode component refuses
+    startup instead of silently flipping strictness."""
+    with pytest.raises(ValueError, match="valid SQL_MODE"):
+        _cfg_from(tmp_path, '[tidb]\nsql-mode = "invalid-sql-mode"\n')
+    # valid compound modes parse; either strict flavor enables strict
+    cfg = _cfg_from(
+        tmp_path,
+        '[tidb]\nsql-mode = "STRICT_ALL_TABLES,NO_ZERO_DATE"\n',
+    )
+    assert cfg.strict_sql_mode
+    cfg = _cfg_from(tmp_path, '[tidb]\nsql-mode = "TRADITIONAL"\n')
+    assert cfg.strict_sql_mode
+    cfg = _cfg_from(tmp_path, '[tidb]\nsql-mode = "ANSI_QUOTES"\n')
+    assert not cfg.strict_sql_mode
+
+
+def test_route_rule_empty_patterns_are_startup_errors(tmp_path):
+    """config_test.go:398-412 (tidb-tools router.Valid parity)."""
+    with pytest.raises(ValueError, match="schema pattern of table route"):
+        _cfg_from(
+            tmp_path,
+            '[[routes]]\nschema-pattern = ""\ntable-pattern = "shard_*"\n',
+        )
+    with pytest.raises(ValueError, match="target schema of table route"):
+        _cfg_from(
+            tmp_path,
+            '[[routes]]\nschema-pattern = "schema_*"\ntable-pattern = ""\n',
+        )
+    # a complete rule passes
+    cfg = _cfg_from(
+        tmp_path,
+        '[[routes]]\nschema-pattern = "schema_*"\n'
+        'target-schema = "merged"\n',
+    )
+    assert cfg.routes[0]["target-schema"] == "merged"
+
+
+def test_file_route_abs_path_relativized_or_refused(tmp_path):
+    """config_test.go:137-155: an absolute [[mydumper.files]] path
+    outside the source dir is a startup error; inside, it's rewritten
+    source-relative (the router matches relative keys — an absolute
+    path left as-is would silently never route)."""
+    from tidb_lightning_spark.config import Config
+
+    src = tmp_path / "src"
+    src.mkdir()
+    outside = str(tmp_path / "elsewhere" / "1.sql")
+    p = tmp_path / "t.toml"
+    p.write_text(
+        "[mydumper]\n"
+        f'data-source-dir = "{src}"\n'
+        "[[mydumper.files]]\n"
+        f'path = "{outside}"\n'
+        'type = "sql"\nschema = "test"\ntable = "tbl"\n'
+    )
+    with pytest.raises(ValueError, match="is not in source dir"):
+        Config.from_toml(str(p))
+
+    inside = str(src / "test_dir" / "1.sql")
+    p.write_text(
+        "[mydumper]\n"
+        f'data-source-dir = "{src}"\n'
+        "[[mydumper.files]]\n"
+        f'path = "{inside}"\n'
+        'type = "sql"\nschema = "test"\ntable = "tbl"\n'
+    )
+    cfg = Config.from_toml(str(p))
+    assert cfg.file_routes[0]["path"] == "test_dir/1.sql"
+
+
+def test_cron_duration_parse_contract(tmp_path):
+    """config_test.go:453-460: '13m20s' parses, '13x20s' is refused —
+    the cron knobs are Spark-obsolete but a malformed duration still
+    fails loudly like any other typo'd key."""
+    from tidb_lightning_spark.config import _go_duration
+
+    assert _go_duration("cron.switch-mode", "13m20s") == 13 * 60 + 20.0
+    assert _go_duration("cron.x", "1.5h") == 5400.0
+    with pytest.raises(ValueError, match="unknown unit"):
+        _go_duration("cron.switch-mode", "13x20s")
+    cfg = _cfg_from(tmp_path, '[cron]\nswitch-mode = "5m"\n')
+    assert cfg is not None
+    with pytest.raises(ValueError, match="unknown unit"):
+        _cfg_from(tmp_path, '[cron]\nlog-progress = "13x20s"\n')
+
+
+def test_post_restore_tristate_contract(tmp_path):
+    """config_test.go:572-619: booleans map to required/off; an invalid
+    op level is refused."""
+    cfg = _cfg_from(tmp_path, "[post-restore]\nchecksum = true\n")
+    assert cfg.checksum == "required"
+    cfg = _cfg_from(tmp_path, "[post-restore]\nchecksum = false\n")
+    assert cfg.checksum == "off"
+    cfg = _cfg_from(tmp_path, '[post-restore]\nanalyze = "optional"\n')
+    assert cfg.analyze == "optional"
+    with pytest.raises(ValueError, match="tristate"):
+        _cfg_from(tmp_path, '[post-restore]\nchecksum = "req"\n')
+
+
+# ---------------------------------------------------------------------------
+# region_test.go mining: AllocateEngineIDs exact distributions
+# ---------------------------------------------------------------------------
+
+
+def _engine_hist(ids):
+    hist = {}
+    for i in ids:
+        hist[i] = hist.get(i, 0) + 1
+    return hist
+
+
+def test_allocate_engine_ids_reference_distributions():
+    """region_test.go:107-186 verbatim: 700 unit-size files under every
+    (batch size, ratio, concurrency) case must land in the reference's
+    exact engine histogram — the Beta-ratio pipeline curve is pinned,
+    not approximated."""
+    from tidb_lightning_spark.pipeline import allocate_engine_ids
+
+    sizes = [1.0] * 700
+
+    # batch size > total => everything in engine 0
+    assert _engine_hist(allocate_engine_ids(sizes, 1000, 0.5, 1000)) == {0: 700}
+
+    assert _engine_hist(allocate_engine_ids(sizes, 200, 0.5, 1000)) == {
+        0: 170, 1: 213, 2: 317,
+    }
+
+    assert _engine_hist(allocate_engine_ids(sizes, 200, 0.6, 1000)) == {
+        0: 160, 1: 208, 2: 332,
+    }
+
+    assert _engine_hist(allocate_engine_ids(sizes, 100, 0.5, 1000)) == {
+        0: 93, 1: 105, 2: 122, 3: 153, 4: 227,
+    }
+
+    # engines > table concurrency: batch resets to uniform past N
+    assert _engine_hist(allocate_engine_ids(sizes, 50, 0.5, 4)) == {
+        0: 50, 1: 59, 2: 73, 3: 110, 4: 50, 5: 50, 6: 50, 7: 50,
+        8: 50, 9: 50, 10: 50, 11: 50, 12: 8,
+    }
+
+    # zero ratio = uniform
+    assert _engine_hist(allocate_engine_ids(sizes, 100, 0.0, 1000)) == {
+        i: 100 for i in range(7)
+    }
+
+
+def test_batch_import_ratio_config_wiring(tmp_path):
+    """mydumper.batch-import-ratio: parsed, invalid resets to 0.75
+    (config_test.go:203-210), unset keeps the uniform default."""
+    cfg = _cfg_from(tmp_path, "batch-import-ratio = 0.5\n")
+    assert cfg.batch_import_ratio == 0.5
+    cfg = _cfg_from(tmp_path, "batch-import-ratio = -1\n")
+    assert cfg.batch_import_ratio == 0.75
+    cfg = _cfg_from(tmp_path, "")
+    assert cfg.batch_import_ratio is None

@@ -44,6 +44,10 @@ class Config:
     # generated columns (the reference reads the live target's global at
     # restore start; the files backend has no target, so it's a config)
     block_encryption_mode: str = "aes-128-ecb"
+    # raw [tidb] sql-mode string, validated against MySQL's mode names
+    # (reference: mysql.GetSQLMode in Adjust, config.go:530-537 — an
+    # invalid mode is a startup error, config_test.go:391-396)
+    sql_mode: str = ""
     jdbc_url: str = ""
     jdbc_driver: str = ""  # JDBC driver class (e.g. Derby embedded)
     jdbc_table_prefix: str = ""
@@ -57,6 +61,13 @@ class Config:
     # this is imported as multiple independently-committed engines so a
     # failed run resumes from the last finished engine, not from zero
     engine_bytes: int = 100 * 1024**3
+    # reference mydumper.batch-import-ratio (config.go:700-709, default
+    # 0.75 there): opt-in here — when set, engines are allocated with
+    # the reference's exact non-uniform Beta-ratio curve
+    # (pipeline.allocate_engine_ids); unset keeps uniform ~engine_bytes
+    # groups, the Spark-first default (the curve's purpose — pipelining
+    # a serial import step — is obsolete under Spark's scheduler)
+    batch_import_ratio: float | None = None
     # driver-side parallel table restores (reference
     # lightning.table-concurrency, config.go:352-408 — default 6 there).
     # Spark already parallelizes WITHIN a table across all cores, so the
@@ -113,6 +124,11 @@ class Config:
             "duplicate-resolution", cfg.duplicate_resolution
         )
         cfg.engine_bytes = _size(my.get("batch-size", cfg.engine_bytes))
+        if "batch-import-ratio" in my:
+            r = float(my["batch-import-ratio"])
+            # Adjust() parity (config_test.go:203-210): an out-of-[0,1)
+            # ratio resets to the reference default 0.75
+            cfg.batch_import_ratio = r if 0.0 <= r < 1.0 else 0.75
         lightning = raw.get("lightning", {})
         cfg.table_concurrency = int(
             lightning.get("table-concurrency", cfg.table_concurrency)
@@ -125,7 +141,14 @@ class Config:
         cfg.analyze = _tristate(post.get("analyze", "optional"))
         tidb = raw.get("tidb", {})
         if tidb.get("sql-mode", ""):
-            cfg.strict_sql_mode = "STRICT_TRANS_TABLES" in tidb["sql-mode"].upper()
+            cfg.sql_mode = tidb["sql-mode"]
+            up = tidb["sql-mode"].upper()
+            # either strict flavor enables strict semantics, and
+            # TRADITIONAL implies both (mysql-server sys_vars combination)
+            cfg.strict_sql_mode = any(
+                m in up
+                for m in ("STRICT_TRANS_TABLES", "STRICT_ALL_TABLES", "TRADITIONAL")
+            )
         # [tidb] jdbc-url/jdbc-driver: the live-database target of the
         # jdbc/tidb backend (reference [tidb] host/port/user connection)
         cfg.jdbc_url = tidb.get("jdbc-url", cfg.jdbc_url)
@@ -192,6 +215,44 @@ class Config:
             or c.delimiter.startswith(c.separator)
         ):
             raise ValueError("csv.separator and csv.delimiter must not be prefixes")
+        if c.backslash_escape:
+            # config.go:510-516: '\' can't be both the escape character
+            # and a structural separator/delimiter — an unescapable
+            # ambiguity, refused at startup (config_test.go:374-389;
+            # exact equality — '\s' as a multi-char separator is fine)
+            if c.separator == "\\":
+                raise ValueError(
+                    "invalid config: cannot use '\\' as CSV separator "
+                    "when `mydumper.csv.backslash-escape` is true"
+                )
+            if c.delimiter == "\\":
+                raise ValueError(
+                    "invalid config: cannot use '\\' as CSV delimiter "
+                    "when `mydumper.csv.backslash-escape` is true"
+                )
+        if self.sql_mode:
+            # MySQL rejects unknown sql_mode components (config.go:530-537;
+            # config_test.go:391-396) — silently accepting a typo'd mode
+            # flips strictness semantics without telling the user
+            for part in self.sql_mode.upper().split(","):
+                if part.strip() and part.strip() not in _SQL_MODES:
+                    raise ValueError(
+                        "invalid config: `tidb.sql-mode` must be a valid "
+                        f"SQL_MODE: unknown mode {part.strip()!r}"
+                    )
+        for rule in self.routes:
+            # tidb-tools router.Valid() parity (config_test.go:398-412):
+            # a rule with an empty schema pattern or no target schema is
+            # a startup error, never a silently-unmatched rule
+            if not rule.get("schema-pattern"):
+                raise ValueError(
+                    "schema pattern of table route rule should not be empty"
+                )
+            if not rule.get("target-schema"):
+                raise ValueError(
+                    "target schema of table route rule should not be empty"
+                )
+        self._relativize_file_routes()
         if self.routes and self.file_routes:
             raise ValueError("can't configure both [routes] and [[mydumper.files]]")
         if self.on_duplicate not in ("replace", "ignore", "error"):
@@ -202,6 +263,10 @@ class Config:
             )
         if self.table_concurrency < 1:
             raise ValueError("lightning.table-concurrency must be >= 1")
+        for key, val in (self.raw.get("cron") or {}).items():
+            # cron cadences are Spark-obsolete but still PARSED so a
+            # malformed duration fails loudly (config_test.go:453-460)
+            _go_duration(f"cron.{key}", val)
         if self.bw_list and self.filter is not None:
             # reference parity (config.go:655-660): the legacy
             # [black-white-list] REPLACES mydumper.filter — defining a
@@ -217,6 +282,31 @@ class Config:
                     "invalid config: `mydumper.filter` and "
                     "`black-white-list` cannot be simultaneously defined"
                 )
+
+    def _relativize_file_routes(self) -> None:
+        """Absolute [[mydumper.files]] paths must live inside the source
+        dir and are rewritten relative to it (config.go Adjust,
+        config_test.go:137-155) — the router matches '/'-separated
+        source-relative keys, so an absolute path left as-is would
+        silently never route."""
+        import os
+
+        src = self.source_dir
+        if "://" in src:  # remote roots: keys are already relative
+            return
+        src_abs = os.path.abspath(src) if src else ""
+        for rule in self.file_routes:
+            p = rule.get("path", "")
+            if not p or not os.path.isabs(p):
+                continue
+            if not src_abs:
+                continue
+            rel = os.path.relpath(os.path.abspath(p), src_abs)
+            if rel.startswith(".."):
+                raise ValueError(
+                    f"file route path '{p}' is not in source dir '{src}'"
+                )
+            rule["path"] = rel.replace(os.sep, "/")
 
 
 # the full reference TOML surface (config.go + global.go toml tags) plus
@@ -316,6 +406,51 @@ def _unknown_keys(raw: dict[str, Any]) -> list[str]:
     out: list[str] = []
     walk(raw, _KNOWN_KEYS, "", out)
     return out
+
+
+# MySQL 5.7/8.0 sql_mode component names + combination modes
+# (mysql-server sql/sys_vars.cc sql_mode_names; the reference validates
+# via parser/mysql.GetSQLMode)
+_SQL_MODES = {
+    "ALLOW_INVALID_DATES", "ANSI_QUOTES", "ERROR_FOR_DIVISION_BY_ZERO",
+    "HIGH_NOT_PRECEDENCE", "IGNORE_SPACE", "NO_AUTO_CREATE_USER",
+    "NO_AUTO_VALUE_ON_ZERO", "NO_BACKSLASH_ESCAPES", "NO_DIR_IN_CREATE",
+    "NO_ENGINE_SUBSTITUTION", "NO_FIELD_OPTIONS", "NO_KEY_OPTIONS",
+    "NO_TABLE_OPTIONS", "NO_UNSIGNED_SUBTRACTION", "NO_ZERO_DATE",
+    "NO_ZERO_IN_DATE", "ONLY_FULL_GROUP_BY", "PAD_CHAR_TO_FULL_LENGTH",
+    "PIPES_AS_CONCAT", "REAL_AS_FLOAT", "STRICT_ALL_TABLES",
+    "STRICT_TRANS_TABLES", "TIME_TRUNCATE_FRACTIONAL",
+    # combination modes
+    "ANSI", "DB2", "MAXDB", "MSSQL", "MYSQL323", "MYSQL40", "ORACLE",
+    "POSTGRESQL", "TRADITIONAL",
+}
+
+_DURATION_UNITS = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+    "s": 1.0, "m": 60.0, "h": 3600.0,
+}
+
+
+def _go_duration(name: str, v) -> float:
+    """Parse a Go-style duration ('13m20s', '1.5h') -> seconds; raise on
+    unknown units (reference config.Duration.UnmarshalText,
+    config_test.go:453-460 pins the '13x20s' rejection)."""
+    import re as _re
+
+    s = str(v).strip()
+    if not s:
+        raise ValueError(f"invalid `{name}` duration: empty")
+    total, pos = 0.0, 0
+    for m in _re.finditer(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)", s):
+        if m.start() != pos:
+            break
+        total += float(m.group(1)) * _DURATION_UNITS[m.group(2)]
+        pos = m.end()
+    if pos != len(s):
+        raise ValueError(
+            f"invalid `{name}` duration {s!r}: unknown unit"
+        )
+    return total
 
 
 def _charset(name: str) -> str:

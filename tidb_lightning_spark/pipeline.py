@@ -186,6 +186,68 @@ def _readback_pass(
     return rows, cks, stats
 
 
+def allocate_engine_ids(
+    data_file_sizes: list,
+    batch_size: float,
+    batch_import_ratio: float,
+    table_concurrency: float,
+) -> list[int]:
+    """Exact reference engine allocation (AllocateEngineIDs,
+    region.go:60-129): non-uniform batch sizes growing by
+    B_{i+1} = B_i * (R/(N-i) + 1) so each engine's sorted output lands
+    just as the previous import drains — the engine count N solves
+    Total/B1 = (N - 1/Beta(N,R))/(1-R) by brute-force search. Ratio 0
+    degrades to uniform batches; totals <= batch_size stay one engine.
+    Distributions pinned verbatim against region_test.go:107-186."""
+    import math
+
+    total = float(sum(data_file_sizes))
+    if total <= batch_size or not data_file_sizes:
+        return [0] * len(data_file_sizes)
+
+    cur_id = 0
+    cur_size = 0.0
+    cur_batch = batch_size
+
+    ratio = total * (1 - batch_import_ratio) / batch_size
+    n = math.ceil(ratio)
+    if batch_import_ratio > 0.0:
+        inv_beta = math.exp(
+            math.lgamma(n + batch_import_ratio)
+            - math.lgamma(n)
+            - math.lgamma(batch_import_ratio)
+        )
+    else:
+        inv_beta = 0.0
+    n = float(n)
+    while True:
+        if n <= 0 or n > table_concurrency:
+            n = table_concurrency
+            break
+        real_ratio = n - inv_beta
+        if real_ratio >= ratio:
+            # not enough engines: shrink the first batch to keep the
+            # pipeline smooth
+            cur_batch = total * (1 - batch_import_ratio) / real_ratio
+            break
+        inv_beta *= 1 + batch_import_ratio / n  # Gamma(x+1) = x*Gamma(x)
+        n += 1.0
+
+    ids: list[int] = []
+    for size in data_file_sizes:
+        ids.append(cur_id)
+        cur_size += size
+        if cur_size >= cur_batch:
+            cur_size = 0.0
+            cur_id += 1
+            i = float(cur_id)
+            if i >= n:
+                cur_batch = batch_size
+            else:
+                cur_batch *= batch_import_ratio / (n - i) + 1.0
+    return ids
+
+
 class Pauser:
     """Driver-side pause gate (reference common/pause.go + HTTP
     /pause|/resume, lightning.go:589-623): a flag file under the
@@ -1341,11 +1403,26 @@ class Restorer:
     # ------------------------------------------------------------------
     def _plan_engines(self, data_files) -> list[list]:
         """Deterministic file groups of ~engine_bytes each (reference
-        AllocateEngineIDs, region.go:60-129, minus the Beta-ratio batch
-        shaping Spark's scheduler obsoletes). Files keep discovery order,
-        so the same source always yields the same plan — the property
-        resume depends on."""
+        AllocateEngineIDs, region.go:60-129). By default the Beta-ratio
+        batch shaping is dropped — it exists to pipeline the reference's
+        serial import() step, which Spark's scheduler obsoletes — and
+        grouping is uniform. Configuring `mydumper.batch-import-ratio`
+        opts into the reference's exact non-uniform allocation (pinned
+        against region_test.go:107-186 distributions), matching its
+        engine/resume granularity. Files keep discovery order, so the
+        same source always yields the same plan — the property resume
+        depends on."""
         limit = max(1, self.cfg.engine_bytes)
+        ratio = self.cfg.batch_import_ratio
+        if ratio is not None and ratio > 0.0:
+            sizes = [f.file_size for f in data_files]
+            ids = allocate_engine_ids(
+                sizes, float(limit), ratio, float(self.cfg.table_concurrency)
+            )
+            engines = [[] for _ in range(max(ids, default=0) + 1)]
+            for f, eid in zip(data_files, ids):
+                engines[eid].append(f)
+            return [e for e in engines if e]
         engines: list[list] = []
         cur: list = []
         cur_bytes = 0
