@@ -900,3 +900,134 @@ def test_batch_import_ratio_config_wiring(tmp_path):
     assert cfg.batch_import_ratio == 0.75
     cfg = _cfg_from(tmp_path, "")
     assert cfg.batch_import_ratio is None
+
+
+# ---------------------------------------------------------------------------
+# parquet_parser_test.go mining: TIME logical types + TestParquetVariousTypes
+# ---------------------------------------------------------------------------
+
+
+def _write_time_parquet(path, n=2, with_null=False):
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tm = [datetime.time(17, 26, 15, 123000)] * n
+    if with_null:
+        tm[-1] = None
+    t = pa.table(
+        {
+            "k": pa.array(range(n), pa.int32()),
+            "tmillis": pa.array(tm, pa.time32("ms")),
+            "tmicros": pa.array(tm, pa.time64("us")),
+        }
+    )
+    pq.write_table(t, path)
+
+
+def test_parquet_time_columns_arrow_fallback(spark, tmp_path):
+    """Spark's native reader refuses parquet TIME(MILLIS/MICROS) columns
+    ([PARQUET_TYPE_ILLEGAL]); the reference reads them as MySQL TIME
+    strings (parquet_parser.go:333-343, parquet_parser_test.go:84-157
+    expects '17:26:15.123' for both units). The Arrow fallback scan
+    converts per-file, NULLs survive, and the real _metadata struct
+    carries (file_path, row_index) for resume-stable row ids."""
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    p = str(tmp_path / "t.parquet")
+    _write_time_parquet(p, n=3, with_null=True)
+    df = read_table(spark, p)
+    rows = {r["k"]: r for r in df.collect()}
+    assert rows[0]["tmillis"] == "17:26:15.123"
+    assert rows[0]["tmicros"] == "17:26:15.123"
+    assert rows[2]["tmillis"] is None
+    assert rows[2]["tmicros"] is None
+    # real metadata: in-file row index for footer-based rowid allocation
+    assert [rows[k]["_metadata"]["row_index"] for k in (0, 1, 2)] == [0, 1, 2]
+    # non-TIME tables stay on the native vectorized reader (no real
+    # _metadata column in the schema)
+    import pandas as pd
+
+    plain = str(tmp_path / "plain.parquet")
+    pd.DataFrame({"a": [1, 2]}).to_parquet(plain)
+    assert "_metadata" not in read_table(spark, plain).columns
+
+
+def test_parquet_various_types_reference_values(spark, tmp_path):
+    """TestParquetVariousTypes (parquet_parser_test.go:84-157): DATE,
+    TIMESTAMP millis/micros and DECIMAL over INT32/INT64/BYTE_ARRAY all
+    restore the reference's exact rendered values through the normal
+    native-reader + MySQL-cast chain."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tidb_lightning_spark.sources.parquet_source import read_table
+
+    p = str(tmp_path / "v.parquet")
+    t = pa.table(
+        {
+            "date": pa.array([datetime.date(2020, 10, 29)], pa.date32()),
+            "tsmillis": pa.array(
+                [datetime.datetime(2020, 10, 29, 17, 27, 52, 356000)],
+                pa.timestamp("ms"),
+            ),
+            "tsmicros": pa.array(
+                [datetime.datetime(2020, 10, 29, 17, 27, 52, 356956)],
+                pa.timestamp("us"),
+            ),
+            "decimal1": pa.array([decimal.Decimal("-123456.78")], pa.decimal128(9, 2)),
+            "decimal2": pa.array([decimal.Decimal("0.0456")], pa.decimal128(4, 4)),
+            "decimal3": pa.array(
+                [decimal.Decimal("1234567890123456.78")], pa.decimal128(18, 2)
+            ),
+            "decimal5": pa.array(
+                [decimal.Decimal("-1234567890123456.78")], pa.decimal128(20, 2)
+            ),
+            "decimal6": pa.array([decimal.Decimal("-0.0001")], pa.decimal128(4, 4)),
+        }
+    )
+    pq.write_table(t, p)
+    df = read_table(spark, p)
+    r = df.collect()[0]
+    assert str(r["date"]) == "2020-10-29"
+    assert r["tsmillis"] == datetime.datetime(2020, 10, 29, 17, 27, 52, 356000)
+    assert r["tsmicros"] == datetime.datetime(2020, 10, 29, 17, 27, 52, 356956)
+    assert str(r["decimal1"]) == "-123456.78"
+    assert str(r["decimal2"]) == "0.0456"
+    assert str(r["decimal3"]) == "1234567890123456.78"
+    assert str(r["decimal5"]) == "-1234567890123456.78"
+    assert str(r["decimal6"]) == "-0.0001"
+
+
+def test_parquet_time_table_end_to_end(spark, tmp_path):
+    """A TIME-typed parquet dump restores through the full pipeline —
+    including auto-increment backfill, which drives the footer-based
+    row-id allocation over the fallback's real _metadata struct."""
+    import os as _os
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    d = str(tmp_path / "dump")
+    _os.makedirs(d)
+    open(f"{d}/tdb-schema-create.sql", "w").write("CREATE DATABASE tdb;")
+    open(f"{d}/tdb.shifts-schema.sql", "w").write(
+        "CREATE TABLE shifts (id INT PRIMARY KEY AUTO_INCREMENT, "
+        "k INT, tmillis TIME, tmicros TIME);"
+    )
+    _write_time_parquet(f"{d}/tdb.shifts.0.parquet", n=4)
+    target = str(tmp_path / "wh")
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=target, checkpoint_enable=False
+    )
+    rep = Restorer(spark, cfg).run()
+    assert rep.ok, [t.error for t in rep.tables]
+    out = spark.read.parquet(f"{target}/tdb/shifts")
+    rows = sorted((r["id"], r["tmillis"]) for r in out.collect())
+    assert [r[0] for r in rows] == [1, 2, 3, 4]
+    assert all("17:26:15" in str(r[1]) for r in rows)
+    assert "_metadata" not in out.columns

@@ -1478,6 +1478,8 @@ class Restorer:
 
             info = TableInfo(db=tbl.db, name=tbl.name)
             for name in df.columns:
+                if name == "_metadata":
+                    continue  # the Arrow-fallback scan's real metadata col
                 info.columns.append(ColumnInfo(name=name, mysql=MySQLType("text")))
             return info
         from tidb_lightning_spark.schema.ddl import ColumnInfo

@@ -63,9 +63,152 @@ def _probe_nano_ts_columns(path: str) -> list[str]:
     ]
 
 
+def _probe_time_columns(path: str) -> list[str]:
+    """Columns with a parquet TIME(MILLIS/MICROS) logical type — ILLEGAL
+    for Spark's native reader ([PARQUET_TYPE_ILLEGAL]) but read by the
+    reference as MySQL TIME strings (parquet_parser.go:333-343)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    if "://" in path and not path.startswith("file:"):
+        return []  # remote: native read raises PARQUET_TYPE_ILLEGAL itself
+    p = file_uri_to_path(path)
+    probe = p
+    if os.path.isdir(p):
+        files = sorted(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+        if not files:
+            return []
+        probe = files[0]
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return []
+    return [f.name for f in schema if pt.is_time(f.type)]
+
+
+def _expand_local_files(paths: list[str]) -> list[str]:
+    files: list[str] = []
+    for p in paths:
+        lp = file_uri_to_path(p)
+        if os.path.isdir(lp):
+            files.extend(
+                sorted(glob.glob(os.path.join(lp, "**", "*.parquet"), recursive=True))
+            )
+        else:
+            files.append(lp)
+    return files
+
+
+def _arrow_fallback_read(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Distributed pyarrow scan for tables Spark's native reader refuses
+    (TIME logical-type columns, reference parquet_parser.go:333-343):
+    one task per file reads Arrow batches and converts
+
+      * TIME(MILLIS/MICROS) -> 'HH:MM:SS.mmm' strings (micros truncated
+        to millis like setDatumByInt; zero-padded where the reference's
+        '%d:%d:%d.%3d' space-pads — MySQL TIME parses both identically),
+      * TIMESTAMP(NANOS) -> microsecond timestamps,
+
+    and emits a real `_metadata` struct (file_path, row_index) so the
+    pipeline's footer-based resume-stable row-id allocation works
+    unchanged. Parallelism is file-granular — fine for the multi-file
+    dumps this path exists for; single huge TIME-typed files should be
+    pre-normalized. Everything else stays on the native vectorized
+    reader."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    from tidb_lightning_spark import _shipping
+
+    files = _expand_local_files(paths)
+    if not files:
+        return spark.read.parquet(*paths)  # let Spark raise its own error
+    schema_arrow = pq.read_schema(files[0])
+    fields = []
+    for f in schema_arrow:
+        if pt.is_time(f.type):
+            fields.append(T.StructField(f.name, T.StringType(), True))
+        elif pt.is_timestamp(f.type) and f.type.unit == "ns":
+            fields.append(T.StructField(f.name, T.TimestampType(), True))
+        else:
+            fields.append(T.StructField(f.name, from_arrow_type(f.type), True))
+    fields.append(
+        T.StructField(
+            "_metadata",
+            T.StructType(
+                [
+                    T.StructField("file_path", T.StringType(), False),
+                    T.StructField("row_index", T.LongType(), False),
+                ]
+            ),
+            False,
+        )
+    )
+    out_schema = T.StructType(fields)
+    data_cols = [f.name for f in schema_arrow]
+
+    def scan(iterator):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq  # noqa: F811 (executor-side import)
+        import pyarrow.types as pt  # noqa: F811
+
+        to_ms = {"s": ("*", 1000), "ms": ("*", 1), "us": ("//", 1000), "ns": ("//", 1000000)}
+
+        for pdf in iterator:
+            for fpath in pdf["path"]:
+                pf = pq.ParquetFile(fpath)
+                row_base = 0
+                for batch in pf.iter_batches():
+                    n = batch.num_rows
+                    cols = {}
+                    for name, col in zip(batch.schema.names, batch.columns):
+                        t = col.type
+                        if pt.is_time(t):
+                            width = "int64" if t.bit_width == 64 else "int32"
+                            raw = pd.Series(
+                                col.cast(width).to_pandas()
+                            ).astype("Int64")
+                            op, k = to_ms[t.unit]
+                            ms = raw * k if op == "*" else raw // k
+                            frac = ms % 1000
+                            s = ms // 1000
+                            out = (
+                                (s // 3600).astype(str).str.zfill(2)
+                                + ":"
+                                + ((s // 60) % 60).astype(str).str.zfill(2)
+                                + ":"
+                                + (s % 60).astype(str).str.zfill(2)
+                                + "."
+                                + frac.astype(str).str.zfill(3)
+                            )
+                            cols[name] = out.where(ms.notna(), None)
+                        elif pt.is_timestamp(t) and t.unit == "ns":
+                            cols[name] = col.cast(pa.timestamp("us")).to_pandas()
+                        else:
+                            cols[name] = col.to_pandas()
+                    out_pdf = pd.DataFrame(cols, columns=data_cols)
+                    out_pdf["_metadata"] = [
+                        {"file_path": fpath, "row_index": row_base + i}
+                        for i in range(n)
+                    ]
+                    row_base += n
+                    yield out_pdf
+
+    _shipping.ensure_shipped(spark)
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+    return files_df.mapInPandas(scan, schema=out_schema)
+
+
 def read_table(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """Read a parquet table, normalizing nano timestamps to micros."""
     paths = [path] if isinstance(path, str) else list(path)
+    if any(_probe_time_columns(p) for p in paths):
+        return _arrow_fallback_read(spark, paths)
     nanos = sorted({c for p in paths for c in _probe_nano_ts_columns(p)})
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
