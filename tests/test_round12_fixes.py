@@ -1031,3 +1031,29 @@ def test_parquet_time_table_end_to_end(spark, tmp_path):
     assert [r[0] for r in rows] == [1, 2, 3, 4]
     assert all("17:26:15" in str(r[1]) for r in rows)
     assert "_metadata" not in out.columns
+
+
+# ---------------------------------------------------------------------------
+# bytesize_test.go mining: the ByteSize decode contract
+# ---------------------------------------------------------------------------
+
+
+def test_bytesize_decode_contract():
+    """bytesize_test.go:30-113 verbatim (minus TOML-native type cases
+    tomllib already enforces): suffixed strings, spacing, float
+    truncation, and loud rejection of negatives/booleans/garbage."""
+    from tidb_lightning_spark.config import _size
+
+    assert _size(10000) == 10000
+    assert _size(107_374_182_400) == 107_374_182_400
+    assert _size("10k") == 10 * 1024
+    assert _size("10PiB") == 10 * 1024**5
+    assert _size("10 KB") == 10 * 1024
+    assert _size("32768") == 32768
+    assert _size(256.0) == 256
+    assert _size(256.9) == 256
+    assert _size(10e9) == 10_000_000_000
+    assert _size("2.5MB") == 5 * 512 * 1024
+    for bad in (-1, "invalid value", True, "-5k"):
+        with pytest.raises(ValueError, match="invalid size"):
+            _size(bad)

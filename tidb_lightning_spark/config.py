@@ -471,14 +471,30 @@ def _charset(name: str) -> str:
 
 
 def _size(v) -> int:
-    """'100GiB' / '64MB' / plain int -> bytes (config.go ByteSize)."""
-    if isinstance(v, int):
-        return v
+    """'100GiB' / '64MB' / plain int -> bytes (config.ByteSize backed by
+    docker units.RAMInBytes; bytesize_test.go:30-113 pins the contract:
+    k..P suffixes with optional i/B, '10 KB' spacing, float truncation,
+    and 'invalid size' for negatives/booleans/garbage)."""
+    if isinstance(v, bool):
+        raise ValueError(f"invalid size: '{str(v).lower()}'")
+    if isinstance(v, (int, float)):
+        if v < 0:
+            raise ValueError(f"invalid size: '{v}'")
+        return int(v)
     s = str(v).strip().lower().removesuffix("b").removesuffix("i")
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
-    if s and s[-1] in units:
-        return int(float(s[:-1]) * units[s[-1]])
-    return int(float(s))
+    units = {
+        "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5,
+    }
+    try:
+        if s and s[-1] in units:
+            n = float(s[:-1]) * units[s[-1]]
+        else:
+            n = float(s)
+    except ValueError:
+        raise ValueError(f"invalid size: '{v}'") from None
+    if n < 0:
+        raise ValueError(f"invalid size: '{v}'")
+    return int(n)
 
 
 def _tristate(v) -> str:

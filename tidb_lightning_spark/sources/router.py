@@ -71,7 +71,11 @@ DEFAULT_FILE_RULES: list[dict] = [
     },
 ]
 
-_VAR = re.compile(r"\$(?:(\$)|(\d+)|([A-Za-z_]\w*)|\{(\w+)\})")
+# Go regexp.Expand reference syntax: $$ literal, ${name}, or $name where
+# name is the LONGEST run of word chars — so `$1_` is the (nonexistent)
+# name "1_", never group 1 plus a literal underscore
+# (router_test.go:187-228 pins both the expansions and the rejections)
+_VAR = re.compile(r"\$(?:(\$)|\{(\w+)\}|([A-Za-z0-9_]+))")
 
 
 @dataclass(frozen=True)
@@ -84,22 +88,43 @@ class RouteResult:
 
 
 def _expand(template: str, m: re.Match) -> str:
-    """Go regexp.Expand semantics: $1 / $name / ${name}; unmatched -> ''."""
+    """Go regexp.Expand semantics: $1 / $name / ${name}; a valid group
+    that didn't participate in the match -> ''."""
 
     def sub(v: re.Match) -> str:
         if v.group(1):
             return "$"
-        ref = v.group(2) or v.group(3) or v.group(4)
+        ref = v.group(2) or v.group(3)
         try:
             idx = int(ref)
         except ValueError:
             idx = ref
         try:
             return m.group(idx) or ""
-        except IndexError:
+        except (IndexError, re.error):
             return ""
 
     return _VAR.sub(sub, template)
+
+
+def _validate_template(tmpl: str, regex: re.Pattern, field: str) -> None:
+    """Build-time reference check (NewFileRouter, mydump/router.go —
+    router_test.go:31-40,57-63,223-228): every $ref in a route template
+    must name a real capture group; `$6` past the group count and
+    `$schema` with no (?P<schema>...) are config errors at startup,
+    never silently-empty expansions."""
+    for v in _VAR.finditer(tmpl):
+        if v.group(1):
+            continue  # $$ literal
+        ref = v.group(2) or v.group(3)
+        if ref.isdigit():
+            if int(ref) > regex.groups:
+                raise ValueError(
+                    f"invalid capture group index '${ref}' in field "
+                    f"{field!r} (pattern has {regex.groups} groups)"
+                )
+        elif ref not in regex.groupindex:
+            raise ValueError(f"invalid named capture '${ref}' in field {field!r}")
 
 
 class _Rule:
@@ -134,6 +159,14 @@ class _Rule:
                 raise ValueError("field 'schema' match pattern can't be empty")
             if self.type_tmpl != "schema-schema" and raw.get("table") is None:
                 raise ValueError("field 'table' match pattern can't be empty")
+        for fname, tmpl in (
+            ("type", self.type_tmpl),
+            ("schema", self.schema_tmpl),
+            ("table", self.table_tmpl),
+            ("key", self.key_tmpl),
+            ("compression", self.compression_tmpl),
+        ):
+            _validate_template(tmpl, self.regex, fname)
 
     def route(self, path: str) -> RouteResult | None:
         m = self.regex.search(path)
