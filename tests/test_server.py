@@ -271,3 +271,107 @@ def test_progress_tables_lists_all(server, tmp_path):
     # the page itself references the endpoint and renders table rows
     _, page = _req(base, "/web")
     assert "/progress/tables" in page
+
+
+# ---------------------------------------------------------------------------
+# configlist_test.go + lightning.go PATCH/DELETE mining (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_move_front_back_reference_contract():
+    """configlist_test.go:107-132: MoveToFront/MoveToBack are
+    idempotent, unknown ids return False, and the relative order of the
+    other entries is preserved."""
+    gate = threading.Event()
+    queue = TaskQueue(lambda tid, cfg: gate.wait(timeout=10) or {"ok": True})
+    try:
+        # block the worker on a sacrificial task so 1/2/3 stay queued
+        queue.submit({"target": "/tmp/block"})
+        t1 = queue.submit({"target": "/tmp/1"})
+        t2 = queue.submit({"target": "/tmp/2"})
+        t3 = queue.submit({"target": "/tmp/3"})
+        import time
+
+        deadline = time.time() + 5
+        while queue.status()["queue"][:1] != [t1] and time.time() < deadline:
+            time.sleep(0.01)
+        assert queue.status()["queue"] == [t1, t2, t3]
+
+        assert queue.move_to_front(t2)
+        assert queue.status()["queue"] == [t2, t1, t3]
+        assert queue.move_to_front(t2)  # idempotent
+        assert queue.status()["queue"] == [t2, t1, t3]
+        assert not queue.move_to_front(123456)
+        assert queue.status()["queue"] == [t2, t1, t3]
+
+        assert queue.move_to_back(t2)
+        assert queue.status()["queue"] == [t1, t3, t2]
+        assert queue.move_to_back(t2)
+        assert queue.status()["queue"] == [t1, t3, t2]
+        assert not queue.move_to_back(123456)
+        assert queue.status()["queue"] == [t1, t3, t2]
+    finally:
+        gate.set()
+        queue.shutdown()
+
+
+def test_patch_front_back_http(server):
+    """lightning.go:517-546: PATCH /tasks/<id>/front|back over HTTP;
+    unknown verb is 400, unknown id 404, and the queue-jumped task runs
+    next."""
+    base, queue, gate, ran = server
+    ids = [
+        json.loads(_req(base, "/tasks", "POST", {"target": f"/tmp/w{i}"})[1])["id"]
+        for i in range(4)
+    ]
+    # ids[0] is (or will be) running; the rest are queued
+    import time
+
+    deadline = time.time() + 5
+    while queue.status()["current"] != ids[0] and time.time() < deadline:
+        time.sleep(0.01)
+    assert queue.status()["queue"] == ids[1:]
+
+    _req(base, f"/tasks/{ids[3]}/front", "PATCH")
+    assert queue.status()["queue"] == [ids[3], ids[1], ids[2]]
+    _req(base, f"/tasks/{ids[3]}/back", "PATCH")
+    assert queue.status()["queue"] == [ids[1], ids[2], ids[3]]
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(base, f"/tasks/{ids[1]}/sideways", "PATCH")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(base, "/tasks/99999/front", "PATCH")
+    assert ei.value.code == 404
+
+    gate.set()
+    assert queue.wait_idle(timeout=10)
+
+
+def test_delete_running_task_cancels(tmp_path):
+    """lightning.go:482-515: DELETE of the RUNNING task cancels it (the
+    reference cancels the task context; here the canceller hook fires)
+    and the worker records the failure, freeing the queue."""
+    cancelled = threading.Event()
+    started = threading.Event()
+
+    def runner(tid, cfg):
+        started.set()
+        if not cancelled.wait(timeout=10):
+            return {"ok": True}
+        raise RuntimeError("task cancelled")
+
+    queue = TaskQueue(runner, canceller=lambda tid, cfg: cancelled.set())
+    try:
+        tid = queue.submit({"target": "/tmp/x"})
+        assert started.wait(timeout=10)
+        assert queue.status()["current"] == tid
+        assert queue.delete(tid)  # running -> cancel, not 404
+        assert queue.wait_idle(timeout=10)
+        res = queue.get(tid)["result"]
+        assert res["ok"] is False and "cancelled" in res["error"]
+        # finished tasks are no longer cancellable/removable
+        assert not queue.delete(tid)
+    finally:
+        cancelled.set()
+        queue.shutdown()

@@ -257,15 +257,35 @@ class Pauser:
 
     def __init__(self, target_dir: str, poll_s: float = 2.0):
         self.flag = os.path.join(target_dir, "_tls_pause")
+        # cooperative abort gate (reference: per-task context cancel,
+        # lightning.go:482-515): DELETE /tasks/<current> writes this;
+        # in-flight Spark jobs die via the job-group cancel, and this
+        # flag aborts the run at the next commit-unit boundary so the
+        # retry wrapper / between-jobs driver work can't resurrect it
+        self.cancel_flag = os.path.join(target_dir, "_tls_cancel")
         self.poll_s = poll_s
 
+    def check_cancelled(self) -> None:
+        # the flag is consumed when honored; it must NOT be cleared at
+        # run start — a cancel issued while the task's Spark session is
+        # still starting up lands before run() begins, and eating it
+        # there completes the very task the user just cancelled
+        if os.path.exists(self.cancel_flag):
+            try:
+                os.remove(self.cancel_flag)
+            except OSError:
+                pass
+            raise IngestError("task cancelled (DELETE /tasks of the running task)")
+
     def wait_if_paused(self) -> None:
+        self.check_cancelled()
         waited = False
         while os.path.exists(self.flag):
             if not waited:
                 log.info("paused (flag %s present); waiting...", self.flag)
                 waited = True
             time.sleep(self.poll_s)
+            self.check_cancelled()
         if waited:
             log.info("resumed")
 

@@ -7,7 +7,13 @@ with the stdlib only:
     GET  /tasks               {"current": id|null, "queue": [ids]}
     POST /tasks               submit a task (JSON config) -> {"id": N}
     GET  /tasks/<id>          the submitted config
-    DELETE /tasks/<id>        drop a *queued* (not running) task
+    DELETE /tasks/<id>        drop a queued task, or CANCEL the running
+                              one (reference handleDeleteOneTask,
+                              lightning.go:482-515 — cancels the task
+                              context; here: Spark job-group cancel)
+    PATCH /tasks/<id>/front   move a queued task to the queue head
+    PATCH /tasks/<id>/back    move a queued task to the queue tail
+                              (lightning.go:517-546 + configlist.go)
     GET  /progress/task       overall progress JSON (lightning.go:562)
     GET  /progress/table?t=db.tbl   per-table checkpoint (lightning.go:573)
     GET  /pause               {"paused": bool}        (lightning.go:589-606)
@@ -40,8 +46,12 @@ log = logging.getLogger("tls.server")
 class TaskQueue:
     """Serial task executor (reference taskCh, lightning.go:216-254)."""
 
-    def __init__(self, runner):
+    def __init__(self, runner, canceller=None):
         self._runner = runner  # (task_id, cfg_dict) -> result dict
+        # optional (task_id) -> None hook that aborts the RUNNING task
+        # (the reference cancels the task's context; the pipeline analog
+        # is a Spark job-group cancel — see pipeline_canceller)
+        self._canceller = canceller
         self._lock = threading.Lock()
         self._cv = threading.Condition(self._lock)
         self._next_id = 1
@@ -76,15 +86,43 @@ class TaskQueue:
             return out
 
     def delete(self, tid: int) -> bool:
-        """Remove a queued task; running/finished tasks are not touchable
-        (the reference cancels the running task's context — a Spark job
-        group cancel would be the analog; out of scope here)."""
+        """Remove a queued task, or cancel the RUNNING one via the
+        canceller hook (reference handleDeleteOneTask,
+        lightning.go:482-515: the running task's context is cancelled;
+        queued tasks are removed from the list). Finished/unknown ids
+        return False -> 404."""
+        cancel = cfg = None
         with self._lock:
             if tid in self._queue:
                 self._queue.remove(tid)
                 self._configs.pop(tid, None)
                 return True
-            return False
+            if tid == self._current and self._canceller is not None:
+                cancel = self._canceller
+                cfg = self._configs.get(tid)
+        if cancel is not None:
+            cancel(tid, cfg)  # outside the lock: the worker must finish
+            return True
+        return False
+
+    def move_to_front(self, tid: int) -> bool:
+        """Queue-jump a queued task (reference ConfigList.MoveToFront,
+        configlist.go — configlist_test.go:107-132: idempotent, unknown
+        ids return False, order of the others is preserved)."""
+        with self._lock:
+            if tid not in self._queue:
+                return False
+            self._queue.remove(tid)
+            self._queue.insert(0, tid)
+            return True
+
+    def move_to_back(self, tid: int) -> bool:
+        with self._lock:
+            if tid not in self._queue:
+                return False
+            self._queue.remove(tid)
+            self._queue.append(tid)
+            return True
 
     def shutdown(self) -> None:
         with self._cv:
@@ -139,7 +177,17 @@ def pipeline_runner(tid: int, cfg_dict: dict) -> dict:
         strict_sql_mode=cfg_dict.get("strict"),
         checksum=cfg_dict.get("checksum"),
     )
-    report = Restorer(get_spark(app_name="tls-server"), cfg).run()
+    spark = get_spark(app_name="tls-server")
+    # tag every job this task submits so DELETE /tasks/<id> can cancel it
+    # from another thread (reference: per-task context cancel,
+    # lightning.go:482-515); interruptOnCancel kills in-flight tasks too
+    spark.sparkContext.setJobGroup(
+        f"tls-task-{tid}", f"spark-lightning task {tid}", interruptOnCancel=True
+    )
+    try:
+        report = Restorer(spark, cfg).run()
+    finally:
+        spark.sparkContext.setJobGroup("", "")
     return {
         "ok": report.ok,
         "seconds": round(report.seconds, 3),
@@ -374,9 +422,27 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, IndexError):
             return self._error(400, "invalid task ID")
         ok = self.server.queue.delete(tid)  # type: ignore[attr-defined]
-        self._json(200, {}) if ok else self._error(
-            404, "task not queued (already running or unknown)"
-        )
+        self._json(200, {}) if ok else self._error(404, "task ID not found")
+
+    def do_PATCH(self) -> None:  # noqa: N802
+        """PATCH /tasks/<id>/front|back (reference handlePatchOneTask,
+        lightning.go:517-546): reorder the pending queue; unknown verbs
+        are 400, unknown/non-queued ids 404."""
+        parts = urlparse(self.path).path.strip("/").split("/")
+        if len(parts) != 3 or parts[0] != "tasks":
+            return self._error(404, "not found")
+        try:
+            tid = int(parts[1])
+        except ValueError:
+            return self._error(400, "invalid task ID")
+        q = self.server.queue  # type: ignore[attr-defined]
+        if parts[2] == "front":
+            ok = q.move_to_front(tid)
+        elif parts[2] == "back":
+            ok = q.move_to_back(tid)
+        else:
+            return self._error(400, "unknown patch action")
+        self._json(200, {}) if ok else self._error(404, "task ID not found")
 
 
 class StatusServer(ThreadingHTTPServer):
@@ -389,10 +455,33 @@ class StatusServer(ThreadingHTTPServer):
         self.target_dir = target_dir
 
 
+def pipeline_canceller(tid: int, cfg_dict: dict | None) -> None:
+    """Abort a running pipeline task two ways at once: cancel its Spark
+    job group (kills in-flight stages) AND write the target's
+    `_tls_cancel` flag, which the pipeline's Pauser consumes at the next
+    commit-unit boundary — so driver-side work between jobs and the
+    retry wrapper can't resurrect the task. Checkpoints make a
+    resubmitted task resume from the last committed engine."""
+    if cfg_dict and cfg_dict.get("target"):
+        try:
+            os.makedirs(cfg_dict["target"], exist_ok=True)
+            open(os.path.join(cfg_dict["target"], "_tls_cancel"), "w").close()
+        except OSError:
+            log.warning("could not write cancel flag for task %d", tid)
+    from tidb_lightning_spark.session import get_spark
+
+    get_spark(app_name="tls-server").sparkContext.cancelJobGroup(
+        f"tls-task-{tid}"
+    )
+
+
 def serve(addr: str, target_dir: str | None = None, runner=None) -> None:
     """Blocking server-mode entry (cli serve). addr is 'host:port'."""
     host, _, port = addr.rpartition(":")
-    queue = TaskQueue(runner or pipeline_runner)
+    queue = TaskQueue(
+        runner or pipeline_runner,
+        canceller=None if runner else pipeline_canceller,
+    )
     srv = StatusServer((host or "0.0.0.0", int(port)), queue, target_dir)
     log.info("status server listening on %s", addr)
     try:
