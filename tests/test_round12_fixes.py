@@ -1057,3 +1057,92 @@ def test_bytesize_decode_contract():
     for bad in (-1, "invalid value", True, "-5k"):
         with pytest.raises(ValueError, match="invalid size"):
             _size(bad)
+
+
+# ---------------------------------------------------------------------------
+# restore_test.go TestVerifyCheckpoint mining: refuse resume under a
+# changed config
+# ---------------------------------------------------------------------------
+
+
+def test_verify_checkpoint_refuses_changed_config(spark, tmp_path):
+    """restore_test.go:123-219: a checkpoint is only valid under the
+    config that created it — resuming with a different source dir /
+    backend facet / version errors with the reference's message shape;
+    lightning.check-requirements=false skips the refusal."""
+    import os as _os
+    import shutil
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import IngestError, Restorer
+    from tidb_lightning_spark.sinks.files_sink import FilesSink
+
+    d = str(tmp_path / "dump")
+    _os.makedirs(d)
+    open(f"{d}/v-schema-create.sql", "w").write("CREATE DATABASE v;")
+    open(f"{d}/v.t-schema.sql", "w").write(
+        "CREATE TABLE t (a INT PRIMARY KEY, b VARCHAR(10));"
+    )
+    for i in range(2):
+        rows = "\n".join(f"{i * 100 + j},x{j}" for j in range(100))
+        open(f"{d}/v.t.{i:03d}.csv", "w").write("a,b\n" + rows + "\n")
+    sizes = [_os.path.getsize(f"{d}/v.t.{i:03d}.csv") for i in range(2)]
+    target = str(tmp_path / "wh")
+
+    def make_cfg(**kw):
+        return Config.from_toml(
+            None, source_dir=d, target_dir=target,
+            engine_bytes=max(sizes) + 10, checksum="off", **kw,
+        )
+
+    # failpoint: die after the first engine, leaving a task checkpoint
+    orig = FilesSink.write_engine
+    calls = {"n": 0}
+
+    def failing(self, df, db, table, engine, **kw):
+        if calls["n"] == 1:
+            raise RuntimeError("failpoint")
+        calls["n"] += 1
+        return orig(self, df, db, table, engine, **kw)
+
+    FilesSink.write_engine = failing
+    try:
+        rep = Restorer(spark, make_cfg()).run()
+    finally:
+        FilesSink.write_engine = orig
+    assert not rep.ok
+
+    # changed source dir -> refused with the reference message shape
+    d2 = str(tmp_path / "dump2")
+    shutil.copytree(d, d2)
+    with pytest.raises(IngestError, match=r"config 'mydumper.data-source-dir' value .* different from checkpoint value"):
+        Restorer(spark, Config.from_toml(
+            None, source_dir=d2, target_dir=target,
+            engine_bytes=max(sizes) + 10, checksum="off",
+        ))
+
+    # changed backend facet -> refused
+    with pytest.raises(IngestError, match=r"config 'tikv-importer.output-format'"):
+        Restorer(spark, make_cfg(output_format="orc"))
+
+    # changed version -> refused
+    import tidb_lightning_spark as pkg
+
+    real = pkg.__version__
+    pkg.__version__ = "99.0.0"
+    try:
+        with pytest.raises(IngestError, match="checkpoint was created at"):
+            Restorer(spark, make_cfg())
+    finally:
+        pkg.__version__ = real
+
+    # check-requirements=false skips the refusal (reference parity) and
+    # the resume completes even under the changed source dir
+    rep2 = Restorer(spark, Config.from_toml(
+        None, source_dir=d2, target_dir=target,
+        engine_bytes=max(sizes) + 10, checksum="off",
+        check_requirements=False,
+    )).run()
+    assert rep2.ok, [t.error for t in rep2.tables]
+    got = spark.read.parquet(f"{target}/v/t").count()
+    assert got == 200

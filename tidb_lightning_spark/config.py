@@ -74,6 +74,10 @@ class Config:
     # default here is 1; raise it for many-small-tables workloads where a
     # single table can't fill the cluster
     table_concurrency: int = 1
+    # reference lightning.check-requirements (config.go; also gates
+    # verifyCheckpoint, restore_test.go:192-200): false skips the
+    # resume-config-consistency refusal
+    check_requirements: bool = True
     raw: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
@@ -132,6 +136,9 @@ class Config:
         lightning = raw.get("lightning", {})
         cfg.table_concurrency = int(
             lightning.get("table-concurrency", cfg.table_concurrency)
+        )
+        cfg.check_requirements = bool(
+            lightning.get("check-requirements", cfg.check_requirements)
         )
         cp = raw.get("checkpoint", {})
         cfg.checkpoint_enable = cp.get("enable", True)

@@ -186,6 +186,44 @@ def _readback_pass(
     return rows, cks, stats
 
 
+def _task_fingerprint(cfg) -> dict:
+    """The config facets a checkpoint is only valid under (reference
+    verifyCheckpoint, restore.go — backend, source, target identity)."""
+    return {
+        "tikv-importer.backend": cfg.backend,
+        "mydumper.data-source-dir": cfg.source_dir,
+        "tidb.jdbc-url": cfg.jdbc_url,
+        "tikv-importer.output-format": cfg.output_format,
+    }
+
+
+def _verify_task_checkpoint(cfg, task_rec: dict) -> None:
+    """Refuse to resume under a config that differs from the one the
+    checkpoint was created with (restore_test.go:123-219). Message shape
+    matches the reference; remediation mirrors its hint."""
+    from tidb_lightning_spark import __version__
+
+    saved = task_rec.get("cfg_fingerprint") or {}
+    if not saved:
+        return  # pre-fingerprint checkpoint: nothing to compare
+    for key, now in _task_fingerprint(cfg).items():
+        was = saved.get(key)
+        if was is not None and was != now:
+            raise IngestError(
+                f"config '{key}' value '{now}' different from checkpoint "
+                f"value '{was}'. You may set 'lightning.check-requirements "
+                "= false' to skip this check, or run `cli ctl "
+                "--checkpoint-remove` to restart from scratch"
+            )
+    was_ver = task_rec.get("version")
+    if was_ver and was_ver != __version__:
+        raise IngestError(
+            f"lightning version is '{__version__}', but checkpoint was "
+            f"created at '{was_ver}'. You may set "
+            "'lightning.check-requirements = false' to skip this check"
+        )
+
+
 def allocate_engine_ids(
     data_file_sizes: list,
     batch_size: float,
@@ -351,12 +389,26 @@ class Restorer:
         # stamps fresh.
         task_rec = self.checkpoints.get("__task__", "__meta__")
         self.pinned_ts = task_rec.get("pinned_ts")
-        if not self.pinned_ts:
+        if self.pinned_ts:
+            # resuming an interrupted task: the checkpoint was built for
+            # ONE config — silently continuing under a different backend
+            # or source dir writes garbage, so refuse like the reference
+            # (verifyCheckpoint, restore.go; restore_test.go:123-219:
+            # "config '<key>' value '<new>' different from checkpoint
+            # value <old>"). lightning.check-requirements=false skips,
+            # also per the reference.
+            if cfg.check_requirements:
+                _verify_task_checkpoint(cfg, task_rec)
+        else:
             self.pinned_ts = time.strftime("%Y-%m-%d %H:%M:%S")
             if cfg.checkpoint_enable:
+                from tidb_lightning_spark import __version__
+
                 self.checkpoints.update(
                     "__task__", "__meta__", "loaded",
                     pinned_ts=self.pinned_ts,
+                    cfg_fingerprint=_task_fingerprint(cfg),
+                    version=__version__,
                 )
         self.pauser = Pauser(cfg.target_dir)
         # per-table caches released in restore_table's finally: only the
