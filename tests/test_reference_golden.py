@@ -1146,16 +1146,25 @@ def test_checkpoint_error_destroy_golden(spark, tmp_path, capsys):
     ctl --checkpoint-error-destroy=all clears it; importing the good
     data then succeeds with run.sh's exact row
     (x: 1999-09-09 09:09:09)."""
+    import shutil as _sh
+
     from tidb_lightning_spark import cli
     from tidb_lightning_spark.config import Config
     from tidb_lightning_spark.pipeline import Restorer
 
     target = str(tmp_path / "wh")
+    # run.sh swaps bad/good CONTENT at one fixed source path — keeping
+    # the path stable also keeps the task checkpoint's config
+    # fingerprint valid across the fail->destroy->retry cycle
+    # (verifyCheckpoint would rightly refuse a CHANGED source dir)
+    src = str(tmp_path / "src")
 
     def run(data):
+        if os.path.isdir(src):
+            _sh.rmtree(src)
+        _sh.copytree(f"{REF}/checkpoint_error_destroy/{data}", src)
         cfg = Config.from_toml(
-            None, source_dir=f"{REF}/checkpoint_error_destroy/{data}",
-            target_dir=target, strict_sql_mode=True,
+            None, source_dir=src, target_dir=target, strict_sql_mode=True,
         )
         return Restorer(spark, cfg).run()
 

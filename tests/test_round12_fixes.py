@@ -1146,3 +1146,44 @@ def test_verify_checkpoint_refuses_changed_config(spark, tmp_path):
     assert rep2.ok, [t.error for t in rep2.tables]
     got = spark.read.parquet(f"{target}/v/t").count()
     assert got == 200
+
+
+def test_csv_column_count_mismatch_errors(spark, tmp_path):
+    """restore_test.go:1043-1078 (TestEncodeLoopColumnsMismatch): a CSV
+    row with MORE fields than the table has columns fails the import
+    with a column-count-mismatch error — Spark's narrower schema was
+    silently dropping the surplus values."""
+    import os as _os
+
+    from tidb_lightning_spark.config import Config
+    from tidb_lightning_spark.pipeline import Restorer
+
+    d = str(tmp_path / "dump")
+    _os.makedirs(d)
+    open(f"{d}/db-schema-create.sql", "w").write("CREATE DATABASE db;")
+    open(f"{d}/db.t-schema.sql", "w").write("CREATE TABLE t (a INT, b INT, c INT);")
+    open(f"{d}/db.t.000.csv", "w").write("1,2,3,4\r\n4,5,6,7\r\n")
+    import dataclasses
+
+    cfg = Config.from_toml(
+        None, source_dir=d, target_dir=str(tmp_path / "wh"), checksum="off"
+    )
+    cfg.csv = dataclasses.replace(cfg.csv, header=False)
+    rep = Restorer(spark, cfg).run()
+    assert not rep.ok
+    assert "column count mismatch" in (rep.tables[0].error or "")
+
+    # exact-width rows still import (incl. trailing empty field staying
+    # a FIELD, which is a mismatch for a 3-column table)
+    d2 = str(tmp_path / "dump_ok")
+    _os.makedirs(d2)
+    open(f"{d2}/db-schema-create.sql", "w").write("CREATE DATABASE db;")
+    open(f"{d2}/db.t-schema.sql", "w").write("CREATE TABLE t (a INT, b INT, c INT);")
+    open(f"{d2}/db.t.000.csv", "w").write("1,2,3\r\n4,5,6\r\n")
+    cfg2 = Config.from_toml(
+        None, source_dir=d2, target_dir=str(tmp_path / "wh2"), checksum="off"
+    )
+    cfg2.csv = dataclasses.replace(cfg2.csv, header=False)
+    rep2 = Restorer(spark, cfg2).run()
+    assert rep2.ok, [t.error for t in rep2.tables]
+    assert spark.read.parquet(str(tmp_path / "wh2/db/t")).count() == 2

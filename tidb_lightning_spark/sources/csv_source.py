@@ -556,8 +556,17 @@ def read_csv_files(
         width = len(_split_line_first(paths[0], cfg, spark))
 
     n_read = width + (1 if cfg.trim_last_sep else 0)
+    # one extra probe column (PERMISSIVE mode only): a row carrying MORE
+    # fields than the table has columns must ERROR like the reference
+    # ("column count mismatch, expected N, got M",
+    # restore_test.go:1043-1078 encodeLoop) — the narrower schema alone
+    # makes Spark silently DROP the surplus values. Under FAILFAST the
+    # widened schema would flag every normal-width row as malformed, and
+    # Spark's own MALFORMED_CSV_RECORD already fails overflow there.
+    overflow = f"_c{n_read}" if not strict else None
+    n_schema = n_read + (1 if overflow else 0)
     schema = T.StructType(
-        [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n_read)]
+        [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n_schema)]
     )
     reader = (
         spark.read.format("csv")
@@ -600,11 +609,36 @@ def read_csv_files(
     # text is ordinary data and empties are still ''.
     from pyspark.sql import functions as F
 
+    # overflow guard: NULL (and a no-op under coalesce) unless the row
+    # really carried an extra field, in which case the task fails with
+    # the reference's column-count-mismatch error. Folded into the first
+    # kept column so the optimizer can't prune the probe read away.
+    overflow_check = (
+        F.when(
+            F.col(overflow).isNotNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"column count mismatch, expected {width}, got at "
+                        f"least {width + 1} (extra field: "
+                    ),
+                    F.col(overflow),
+                    F.lit(")"),
+                )
+            ),
+        )
+        if overflow
+        else None
+    )
     out_cols = []
     for c in df.columns:
+        if c == overflow:
+            continue
         v = F.coalesce(F.col(c), F.lit(""))
         if not cfg.not_null:
             v = F.when(v == cfg.null, F.lit(None)).otherwise(v)
+        if not out_cols and overflow_check is not None:
+            v = F.coalesce(overflow_check, v)
         out_cols.append(v.alias(c))
     df = df.select(*out_cols)
     return df, header_names
