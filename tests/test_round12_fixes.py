@@ -1187,3 +1187,30 @@ def test_csv_column_count_mismatch_errors(spark, tmp_path):
     rep2 = Restorer(spark, cfg2).run()
     assert rep2.ok, [t.error for t in rep2.tables]
     assert spark.read.parquet(str(tmp_path / "wh2/db/t")).count() == 2
+
+
+def test_unknown_header_columns_error(spark):
+    """restore_test.go:620-646 (TestInitializeColumns): a CSV header /
+    INSERT column list naming columns the table doesn't have errors
+    with 'unknown columns in header [e d]' — silently dropping them
+    NULLed the real column a typo'd header meant to fill. Known
+    permutations (reorder, subset, _tidb_rowid) keep working."""
+    from tidb_lightning_spark.operators.transform import permute_columns
+
+    info = parse_create_table("CREATE TABLE t (a INT, b INT, c INT)")
+    df = spark.createDataFrame(
+        [("1", "2", "3", "4")], "_c0 string, _c1 string, _c2 string, _c3 string"
+    )
+    with pytest.raises(ValueError, match=r"unknown columns in header \[e d\]"):
+        permute_columns(df, info, ["e", "b", "c", "d"])
+    with pytest.raises(ValueError, match=r"unknown columns in header \[d\]"):
+        permute_columns(df, info, ["_tidb_rowid", "b", "a", "d"])
+    # reference-permutation equivalents still map (initializeColumns
+    # {2,1,3,0} case: rowid + reorder)
+    out = permute_columns(df, info, ["_tidb_rowid", "b", "a", "c"])
+    r = out.collect()[0]
+    assert (r["a"], r["b"], r["c"], r["_tidb_rowid"]) == ("3", "2", "4", "1")
+    # subset header: missing schema columns become NULL for defaults
+    df2 = spark.createDataFrame([("9",)], "_c0 string")
+    r2 = permute_columns(df2, info, ["b"]).collect()[0]
+    assert (r2["a"], r2["b"], r2["c"]) == (None, "9", None)

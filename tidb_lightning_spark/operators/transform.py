@@ -62,13 +62,22 @@ def permute_columns(
                 f"column names for `{info.name}`"
             )
         lower_map = {}
+        unknown: list[str] = []
         for fc, dc in zip(file_columns, data_cols):
             name = known.get(fc.lower())
             if name is None:
-                # unknown file column -> ignored (reference errors unless
-                # it's _tidb_rowid; we log-and-drop, closer to ETL reality)
+                unknown.append(fc)
                 continue
             lower_map[name] = dc
+        if unknown:
+            # reference parity (initializeColumns, restore.go:2055-2165;
+            # restore_test.go:620-646): a header naming columns the table
+            # doesn't have is an ERROR — silently dropping them NULLs the
+            # real column a typo'd header meant to fill
+            raise ValueError(
+                f"unknown columns in header [{' '.join(unknown)}] for "
+                f"`{info.name}`"
+            )
         for col in info.columns:
             src = lower_map.get(col.name)
             if src is not None:
