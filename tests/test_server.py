@@ -375,3 +375,17 @@ def test_delete_running_task_cancels(tmp_path):
     finally:
         cancelled.set()
         queue.shutdown()
+
+
+def test_delete_status_codes_reference(server):
+    """lightning_test.go:289-320: DELETE /tasks and /tasks/ and a
+    non-numeric id are 400; an unknown id is 404."""
+    base, queue, gate, ran = server
+    for path in ("/tasks", "/tasks/", "/tasks/abcdef"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(base, path, "DELETE")
+        assert ei.value.code == 400, path
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(base, "/tasks/123456", "DELETE")
+    assert ei.value.code == 404
+    gate.set()

@@ -415,6 +415,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_DELETE(self) -> None:  # noqa: N802
         path = urlparse(self.path).path
+        if path in ("/tasks", "/tasks/"):
+            # lightning_test.go:289-304: a DELETE without a task id is a
+            # 400 (invalid id), not a 404
+            return self._error(400, "invalid task ID")
         if not path.startswith("/tasks/"):
             return self._error(404, "not found")
         try:
