@@ -441,7 +441,14 @@ def main() -> None:
     # to replace the committed prior-round baseline with junk the
     # sf/reps guards below would then reject — making the next round's
     # regression gate vacuous (this exact accident happened in r10).
-    full_name = "BENCH_FULL.json" if reps >= 2 else "BENCH_FULL.local.json"
+    # The tracked baseline only makes sense at the driver's SF (0.1):
+    # a committed run at another SF nullifies the regression gate (the
+    # sf guard below discards it), so route those to the side file too
+    # (this exact accident happened in r12 with an sf0.01 run).
+    sf_is_default = float(sf) == 0.1 if sf.replace(".", "").isdigit() else False
+    full_name = (
+        "BENCH_FULL.json" if (reps >= 2 and sf_is_default) else "BENCH_FULL.local.json"
+    )
     full_path = os.path.join(here, full_name)
     # Baseline = the COMMITTED BENCH_FULL.json (git HEAD), not the working
     # file: this run overwrites the working file below, so reading it as
