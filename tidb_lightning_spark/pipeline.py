@@ -367,6 +367,8 @@ class Restorer:
             self.jdbc_sink = JDBCSink(
                 cfg.jdbc_url, properties=props, on_duplicate=cfg.on_duplicate
             )
+        # per-db cache of TARGET-fetched table models (no-schema + jdbc)
+        self._remote_models: dict[str, dict] = {}
         # resolve trash dirs stranded by a crash between Import's renames
         self.sink.sweep_trash()
         self.checkpoints = open_checkpoint_store(
@@ -1205,6 +1207,14 @@ class Restorer:
                 # never treat it as an externally pre-populated table
                 or staged is not None
             )
+            if tbl.schema_file is None:
+                # no-schema: the table object is the USER's (the model
+                # was fetched from the target) — deliver INTO it like the
+                # reference's tidb backend, never drop-and-swap a table
+                # we did not define (the staging copy would be rebuilt
+                # from the fetched model and lose target-side
+                # constraints/indexes beyond it)
+                use_swap = False
             if use_swap:
                 self.jdbc_sink.drop_table(self.spark, staging_dbtable)
                 self.jdbc_sink.ensure_table(self.spark, info, staging_dbtable)
@@ -1271,6 +1281,7 @@ class Restorer:
             # connection, which at scale would serialize the scan.
             written = self._jdbc_readback_df(write_dbtable, info).select(*cols)
             auto_cols = [c for c in info.columns if c.auto_increment]
+            rand_cols = [c for c in info.columns if c.auto_random_bits]
             from tidb_lightning_spark.functions.checksum import (
                 canonical_row,
                 row_hash64,
@@ -1295,6 +1306,21 @@ class Restorer:
                 aggs.append(
                     F.max(F.col(auto_cols[0].name).cast("long"))
                     .alias("auto_max___")
+                )
+            elif rand_cols:
+                # AUTO_RANDOM rebase base = max INCREMENTAL part: the
+                # composed id carries hash shard bits in the top, so the
+                # raw max would overshoot the allocator by ~2^shard_bits
+                # (reference rebases the allocator's rowid base,
+                # tidb.go:384-395 AlterAutoRandom)
+                c0 = rand_cols[0]
+                inc_mask = (1 << (63 - c0.auto_random_bits)) - 1
+                aggs.append(
+                    F.max(
+                        F.col(c0.name).cast("long").bitwiseAND(
+                            F.lit(inc_mask)
+                        )
+                    ).alias("auto_max___")
                 )
             row = written.agg(*aggs).collect()[0].asDict()
 
@@ -1442,11 +1468,21 @@ class Restorer:
         from tidb_lightning_spark.sinks.jdbc_sink import JDBCSink, execute_ddl
 
         auto_cols = [c for c in info.columns if c.auto_increment]
+        rand_cols = [c for c in info.columns if c.auto_random_bits]
         if auto_cols and auto_max is not None:
             JDBCSink.rebase_auto_increment(
                 self.spark, self.cfg.jdbc_url, dbname, tbl.name,
                 auto_cols[0].name, auto_max + 1,
                 properties=self.jdbc_sink.properties,
+            )
+        elif rand_cols and auto_max is not None:
+            # auto-random tables rebase AUTO_RANDOM_BASE, never
+            # AUTO_INCREMENT (restore/tidb.go:384-395; tidb_test.go
+            # TestAlterAutoRandom) — auto_max is already the masked
+            # incremental part from the readback aggregation
+            JDBCSink.rebase_auto_random(
+                self.spark, self.cfg.jdbc_url, dbname, tbl.name,
+                auto_max + 1, properties=self.jdbc_sink.properties,
             )
         if self.cfg.analyze != "off":
             if self.jdbc_sink.dialect == "derby":
@@ -1540,6 +1576,38 @@ class Restorer:
                     ", ".join(f"{k}={v}" for k, v in sorted(nonbin.items())),
                 )
             return info
+        # no-schema + live JDBC target: trust the TARGET's own schema
+        # (reference semantics — the tidb backend under `no-schema = true`
+        # skips restoreSchema and reads table models FROM the target,
+        # LoadSchemaInfo -> FetchRemoteTableModels, restore.go /
+        # backend/tidb.go, pinned by backend/tidb_test.go). The table
+        # must already exist there; a missing table is an error with
+        # remediation, never silently re-inferred from data.
+        if self.jdbc_sink is not None:
+            dbname = f"{self.cfg.jdbc_table_prefix}{tbl.db}"
+            models = self._remote_models.get(dbname)
+            if models is None:
+                from tidb_lightning_spark.sinks.jdbc_sink import (
+                    fetch_remote_table_models,
+                )
+
+                models = fetch_remote_table_models(
+                    self.spark, self.cfg.jdbc_url, dbname,
+                    self.jdbc_sink.properties,
+                )
+                self._remote_models[dbname] = models
+            for tname, remote in models.items():
+                # Derby upper-cases unquoted created names; match loosely
+                if tname.lower() == tbl.name.lower():
+                    remote.db, remote.name = tbl.db, tbl.name
+                    return remote
+            raise IngestError(
+                f"no-schema mode: table `{tbl.db}`.`{tbl.name}` not found "
+                f"at the JDBC target (database {dbname!r}) — no-schema "
+                f"restores into a live database require the tables to be "
+                f"created there first (reference tidb-backend semantics), "
+                f"or provide {tbl.name}-schema.sql"
+            )
         # no-schema mode: infer (parquet has real types; CSV header gives
         # all-string columns typed as text)
         first = tbl.data_files[0]
