@@ -51,6 +51,9 @@ _DRIVER_PRIORITY = [
     "kn_bigram_lm",
     "kn_bigram_inputs",
     "kn_bigram_singlediv",
+    # r12 NEW operators
+    "dedup_duplicate_lines",
+    "inverted_index_postings",
     # the 29 r9-vintage entries — stalest in the registry, no driver
     # check since r9 (r11 verdict item 2)
     "q9_product_profit",

@@ -596,3 +596,32 @@ def test_kn_bigram_twins_share_the_lm_plan_shape(spark):
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, name
         assert "InMemoryTableScan" in plan, name
         assert n_exchanges(plan) <= 5, name
+
+
+def test_dedup_duplicate_lines_no_window_no_join_skew(spark):
+    """dedup_duplicate_lines (r12): the keep-first sweep is pure
+    map-side-combinable aggregation — NO row_number window over the
+    line-hash key (a boilerplate line in 10^8 docs would make a hot
+    window partition); text dies in the scan (shuffles carry the
+    60-bit hash + fixed-width counters only); one parquet scan."""
+    plan = plan_of(spark, "dedup_duplicate_lines")
+    assert "Window" not in plan, "keeper rule must not window over h"
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # the raw text column never reaches an exchange
+    for seg in plan.split("Exchange")[1:]:
+        first_line = seg.split("\n")[0]
+        assert "text" not in first_line, first_line
+
+
+def test_inverted_index_two_level_agg_no_distinct_shuffle(spark):
+    """inverted_index_postings (r12): the classic two-level index build
+    — (gram, doc_id, tf) partial counts then the phrase-level rollup;
+    no separate DISTINCT shuffle of raw occurrences, no join at all,
+    one parquet scan, presentation via TakeOrdered (no global sort of
+    the index)."""
+    plan = plan_of(spark, "inverted_index_postings")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert n_exchanges(plan) <= 3, plan

@@ -9366,3 +9366,197 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     D.cache_release(base)
     D.cache_release(pairs)
     return out
+
+
+@register(
+    "dedup_duplicate_lines",
+    f"""
+    WITH ls AS (
+      SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS a
+      FROM documents
+    ), raw AS (
+      SELECT doc_id, unnest(a) AS line0 FROM ls
+    ), lines AS (
+      SELECT doc_id, {TX.sql_hash60("trim(line0)")} AS h,
+             length(trim(line0)) AS len
+      FROM raw WHERE trim(line0) != ''
+    ), per_hd AS (
+      SELECT h, doc_id, count(*) AS k, max(len) AS len
+      FROM lines GROUP BY h, doc_id
+    ), per_h AS (
+      SELECT h, min(doc_id) AS d0, CAST(sum(k) AS BIGINT) AS total
+      FROM per_hd GROUP BY h
+    ), joined AS (
+      SELECT per_hd.doc_id,
+             k,
+             len,
+             CASE WHEN total > 1
+                  THEN k - (CASE WHEN per_hd.doc_id = d0 THEN 1 ELSE 0 END)
+                  ELSE 0 END AS removed
+      FROM per_hd JOIN per_h ON per_hd.h = per_h.h
+    )
+    SELECT doc_id,
+           CAST(sum(k) AS BIGINT) AS n_lines,
+           CAST(sum(removed) AS BIGINT) AS n_removed,
+           CAST(sum(removed * len) AS BIGINT) AS chars_removed
+    FROM joined
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-LINE removal profile — the C4/MassiveText
+    boilerplate pass (Raffel et al. 2020 §2.2 discard repeated spans;
+    Rae et al. 2021 §A1.2 remove all but one of any line duplicated
+    across the corpus): navigation menus, cookie banners and license
+    headers repeat verbatim across millions of pages while the hosting
+    documents stay unique, so whole-document tiers (exact fingerprint,
+    MinHash) never see them and ExactSubstr only catches runs >= K
+    tokens. Per document: non-empty line count, lines a keep-first
+    sweep would remove (the single kept copy lives in the smallest
+    doc_id holding the line), and exact characters removed.
+
+    Scale shape: lines hash to 60-bit longs IN the scan (text dies
+    there; length rides along as an int). Everything after is map-side
+    combinable aggregation — (h, doc_id) partial counts, then per-h
+    stats, then one equi-join back on h, then the per-doc rollup — so
+    a boilerplate line occurring in 10^8 documents reduces to one row
+    per (h, doc) before any shuffle and never creates a hot window
+    partition (no row_number over the line key, on purpose). Exchanges
+    carry only (h, doc_id, k, len) fixed-width columns."""
+    d = widen(spark, sf_dir, "documents")
+    raw = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+        ).alias("line0"),
+    )
+    lines = (
+        raw.select(
+            "doc_id",
+            TX.hash60(F.trim(F.col("line0"))).alias("h"),
+            F.length(F.trim(F.col("line0"))).alias("len"),
+        )
+        .filter(F.col("len") > 0)
+    )
+    # cached: feeds BOTH the per-h stats and the join-back side — one
+    # corpus scan total (the cached table is already reduced to one row
+    # per (line-hash, doc), fixed-width columns only)
+    per_hd = D.cache_acquire(
+        lines.groupBy("h", "doc_id").agg(
+            F.count(F.lit(1)).alias("k"), F.max("len").alias("len")
+        )
+    )
+    per_h = per_hd.groupBy("h").agg(
+        F.min("doc_id").alias("d0"),
+        F.sum("k").cast("long").alias("total"),
+    )
+    joined = per_hd.join(per_h, "h").select(
+        "doc_id",
+        "k",
+        "len",
+        F.when(
+            F.col("total") > 1,
+            F.col("k")
+            - F.when(F.col("doc_id") == F.col("d0"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("removed"),
+    )
+    out = (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_lines"),
+            F.sum("removed").cast("long").alias("n_removed"),
+            F.sum(F.col("removed") * F.col("len"))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .orderBy("doc_id")
+    )
+    return D._unpersist_on_gc(out, per_hd)
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {TX.SQL_TOKENS.format(col='lower(text)')} AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2
+                         THEN list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])
+                         ELSE [] END) AS gram
+      FROM tok
+    ), td AS (
+      SELECT gram, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM bg GROUP BY gram, doc_id
+    ), agg AS (
+      SELECT gram,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS tf_total,
+             list_sort(list(doc_id)) AS postings
+      FROM td GROUP BY gram
+    )
+    SELECT gram, df, tf_total, postings
+    FROM agg
+    WHERE df BETWEEN 2 AND 64
+    ORDER BY df DESC, gram
+    LIMIT 50
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction over word-bigram phrases — the
+    retrieval-side artifact behind bm25_retrieval_topk (Zobel & Moffat
+    2006; phrase posting lists are how exact-phrase queries avoid
+    positional intersection): per phrase, document frequency, total
+    term frequency, and the SORTED doc_id posting list, for the
+    mid-frequency band 2 <= df <= 64 (df=1 phrases index nothing
+    shareable; higher-df phrases are stop-phrases whose posting lists
+    an impact-ordered index truncates anyway — the band IS the scale
+    contract that bounds every output row).
+
+    Scale shape: bigrams explode once and reduce map-side to
+    (gram, doc_id, tf) partial counts — the classic two-level
+    aggregation, no distinct-shuffle of raw occurrences; the
+    phrase-level collect_list is bounded by the df cap (<= 64 ids), so
+    no row can balloon on a hot phrase. Two exchanges on fixed-width
+    keys after the gram digest; text dies in the scan stage (hash the
+    gram to a 60-bit long at real scale — split_contamination_13gram
+    contract). At 100 TB the same plan writes the full index by
+    dropping the LIMIT presentation tail and range-partitioning on
+    the gram key."""
+    d = widen(spark, sf_dir, "documents")
+    t = TX.tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.when(n >= 2, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
+    )
+    td = pairs.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    agg = td.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    return (
+        agg.filter((F.col("df") >= 2) & (F.col("df") <= 64))
+        .orderBy(F.col("df").desc(), "gram")
+        .limit(50)
+    )
