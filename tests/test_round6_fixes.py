@@ -138,6 +138,7 @@ def test_jsonl_peek_long_first_line(spark, tmp_path):
     tbl = _peek_table(tmp_path, content)
     pipe = Restorer.__new__(Restorer)
     pipe.spark = spark
+    pipe.jdbc_sink = None  # no JDBC target: the no-schema peek path
     info = pipe._table_info(tbl)
     assert [c.name for c in info.columns] == ["doc_id", "text"]
 
@@ -148,6 +149,7 @@ def test_jsonl_peek_malformed_first_line(spark, tmp_path):
     tbl = _peek_table(tmp_path, b'{"doc_id": 1, "text":\n{"ok": 2}\n')
     pipe = Restorer.__new__(Restorer)
     pipe.spark = spark
+    pipe.jdbc_sink = None  # no JDBC target: the no-schema peek path
     with pytest.raises(IngestError, match="not valid JSON"):
         pipe._table_info(tbl)
 
@@ -158,6 +160,7 @@ def test_jsonl_peek_non_object_first_line(spark, tmp_path):
     tbl = _peek_table(tmp_path, b"[1, 2, 3]\n")
     pipe = Restorer.__new__(Restorer)
     pipe.spark = spark
+    pipe.jdbc_sink = None  # no JDBC target: the no-schema peek path
     with pytest.raises(IngestError, match="not an object"):
         pipe._table_info(tbl)
 
