@@ -2450,7 +2450,12 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same plan holds: one exchange on the bigram key with
     map-side partial counts."""
     d = widen(spark, sf_dir, "documents")
-    t = TX.tokens(F.lower(F.col("text")))
+    # token array materialized as a column first: an inline tokens()
+    # referenced inside the transform lambda is outside codegen's
+    # subexpression elimination, so the regex split re-ran per element
+    # (measured; same fix across the bigram family)
+    toks = d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+    t = F.col("t")
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -2458,7 +2463,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(t, i), F.element_at(t, i + 1)
         ),
     )
-    bigrams = d.select(
+    bigrams = toks.select(
         F.explode(
             F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
         ).alias("bigram")
@@ -2602,15 +2607,22 @@ def quality_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two exchanges. Ties break lexicographically for cross-engine
     determinism."""
     d = widen(spark, sf_dir, "documents")
-    t = TX.tokens(F.lower(F.col("text")))
+    # token array as a real column first (not inline in the lambda) —
+    # see top_bigrams: keeps the regex split out of the per-element path
+    toks = d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        TX.tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    t = F.col("t")
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - 1),
         lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
     )
-    bg = d.select(
+    bg = toks.select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        "n_chars",
         F.explode(
             F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
         ).alias("bigram"),
@@ -2952,18 +2964,32 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = widen(spark, sf_dir, "documents")
     sigs = minhash_wide_df(d, "doc_id", "text").persist()
     pairs = lsh_candidate_pairs(d, "doc_id", "text", signatures=sigs)
-    da = d.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta"))
-    db = d.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb"))
+    # exact Jaccard on PRE-TOKENIZED distinct-token arrays: tokenizing
+    # per pair (jaccard_tokens on two text columns) re-runs the regex
+    # split once per candidate side — a doc in p pairs tokenized p
+    # times; building the set array once per doc in the scan task and
+    # intersecting arrays per pair is the setjoin verify trick (guide
+    # §4.1 prefer built-ins + §2.3 shuffle the proxy, not the payload).
+    # Same arithmetic: size(∩) / greatest(size(a)+size(b)-size(∩), 1).
+    tok = d.select(
+        "doc_id",
+        F.array_distinct(TX.tokens(F.col("text"))).alias("_t"),
+    )
+    ta = tok.select(F.col("doc_id").alias("a"), F.col("_t").alias("_ta"))
+    tb = tok.select(F.col("doc_id").alias("b"), F.col("_t").alias("_tb"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    union = F.size("_ta") + F.size("_tb") - inter
     out = (
-        pairs.join(da, "a")
-        .join(db, "b")
+        pairs.join(ta, "a")
+        .join(tb, "b")
         .select(
             "a",
             "b",
             "est_jaccard",
-            D.jaccard_tokens(F.col("_ta"), F.col("_tb")).alias(
-                "exact_jaccard"
-            ),
+            (
+                inter.cast("double")
+                / F.greatest(union, F.lit(1)).cast("double")
+            ).alias("exact_jaccard"),
         )
         .orderBy("a", "b")
     )
@@ -4406,13 +4432,23 @@ def split_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 100
     )
     t = TX.tokens(F.lower(F.col("text")))
-    labeled = d.select(
-        "doc_id",
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-        .alias("split"),
-        t.alias("t"),
+    # token arrays are cached (one regex tokenize feeds the train-gram
+    # branch, the test-gram branch and the final test-doc-id read), and
+    # per-doc gram dedup happens IN the scan task via array_distinct —
+    # the global DISTINCT on (doc_id, split, g) shuffled the whole
+    # exploded gram stream just to dedupe rows already co-located in
+    # their doc's array (split is functionally dependent on doc_id, so
+    # per-doc dedup is the same set). Same trick as langid/setjoin;
+    # guide §2.4 "remove shuffles outright".
+    labeled = D.cache_acquire(
+        d.select(
+            "doc_id",
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            t.alias("t"),
+        )
     )
     grams_arr = F.when(
         F.size("t") >= NGRAM_N,
@@ -4421,9 +4457,10 @@ def split_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, NGRAM_N)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    grams = (
-        labeled.select("doc_id", "split", F.explode(grams_arr).alias("g"))
-        .distinct()
+    grams = labeled.select(
+        "doc_id",
+        "split",
+        F.explode(F.array_distinct(grams_arr)).alias("g"),
     )
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
     test_g = grams.filter(F.col("split") == "test").select("doc_id", "g")
@@ -4439,7 +4476,7 @@ def split_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_tg").alias("n_contaminated"),
         )
     )
-    return (
+    out = (
         labeled.filter(F.col("split") == "test")
         .select("doc_id")
         .join(per, "doc_id", "left")
@@ -4457,6 +4494,9 @@ def split_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    out = D._unpersist_on_gc(out, labeled)
+    D.cache_release(labeled)
+    return out
 
 
 def _zipf_oracle() -> str:
@@ -4733,11 +4773,20 @@ def bpe_train_merges_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_train_loop(d.filter(h < F.lit(BPE_SAMPLE_NUM)))
 
 
-def _bpe_train_loop(d: DataFrame) -> DataFrame:
-    spark = d.sparkSession
+def _bpe_words(d: DataFrame) -> DataFrame:
+    """(w) — one row per token occurrence (lowercased, SEP-scrubbed)."""
+    return d.select(
+        F.explode(
+            TX.tokens(F.lower(F.translate(F.col("text"), BPE_SEP, "")))
+        ).alias("w")
+    )
+
+
+def _bpe_seg0(w):
+    """The double-separator segment string of a word: one char per
+    segment, '{SEP}{SEP}' at every boundary (see bpe_train_merges)."""
     s2 = BPE_SEP + BPE_SEP
-    w = F.col("w")
-    seg0 = F.concat(
+    return F.concat(
         F.lit(s2),
         F.array_join(
             F.transform(
@@ -4748,24 +4797,36 @@ def _bpe_train_loop(d: DataFrame) -> DataFrame:
         ),
         F.lit(s2),
     )
-    corpus = (
-        d.select(
-            F.explode(
-                TX.tokens(
-                    F.lower(F.translate(F.col("text"), BPE_SEP, ""))
-                )
-            ).alias("w")
-        )
-        .select(seg0.alias("seg"))
-        .persist()
-    )
-    merges = []
+
+
+def _bpe_vocab_merges(vocab: DataFrame):
+    """The BPE merge loop over a (seg, cnt[, ...]) VOCAB DataFrame —
+    one row per DISTINCT word with its corpus occurrence count, the
+    word-frequency-table form every production BPE trainer uses
+    (Sennrich et al. 2016's learn_bpe keeps a dict word -> count).
+    Pair counts weight each distinct word's adjacent pairs by `cnt`,
+    which is arithmetically identical to counting over per-occurrence
+    rows, so the argmax (n desc, l, r) picks the same merge — but each
+    of the k passes scans |vocab| rows instead of |corpus tokens|
+    (guide §2.3 "aggregate before you shuffle": the corpus-sized
+    explode+count collapses once, up front, in the caller's groupBy).
+
+    `vocab` must be persisted by the caller; the loop unpersists it
+    once its first successor is materialized (same discipline as the
+    per-occurrence loop it replaced). Returns (merges, final, keep):
+    merges = [(step, l, r, merged, n)], `final` = vocab with EVERY
+    merge applied (extra columns ride along), `keep` = the persisted
+    frames `final` still reads from — callers composing further must
+    hold them (e.g. via _unpersist_on_gc), callers done after the loop
+    unpersist them."""
+    s2 = BPE_SEP + BPE_SEP
+    merges: list[tuple] = []
     prev = None
-    cur = corpus
+    cur = vocab
     for step in range(1, BPE_MERGES + 1):
         t = F.filter(F.split(F.col("seg"), s2), lambda x: x != "")
         pairs = (
-            cur.select(t.alias("t"))
+            cur.select(t.alias("t"), "cnt")
             .select(
                 F.explode(
                     F.when(
@@ -4784,13 +4845,14 @@ def _bpe_train_loop(d: DataFrame) -> DataFrame:
                             "array<struct<l:string,r:string>>"
                         )
                     )
-                ).alias("p")
+                ).alias("p"),
+                "cnt",
             )
-            .select("p.l", "p.r")
+            .select("p.l", "p.r", "cnt")
         )
         top = (
             pairs.groupBy("l", "r")
-            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("cnt").alias("n"))
             .orderBy(F.col("n").desc(), "l", "r")
             .limit(1)
             .collect()
@@ -4801,17 +4863,28 @@ def _bpe_train_loop(d: DataFrame) -> DataFrame:
             break
         l, r, n = top[0]["l"], top[0]["r"], top[0]["n"]
         merges.append((step, l, r, l + r, n))
-        if step < BPE_MERGES:
-            pattern = BPE_SEP + l + s2 + r + BPE_SEP
-            repl = BPE_SEP + l + r + BPE_SEP
-            prev, cur = cur, cur.select(
-                F.replace(
-                    F.col("seg"), F.lit(pattern), F.lit(repl)
-                ).alias("seg")
-            ).persist()
-    if prev is not None:
-        prev.unpersist()
-    corpus.unpersist()
+        pattern = BPE_SEP + l + s2 + r + BPE_SEP
+        repl = BPE_SEP + l + r + BPE_SEP
+        prev, cur = cur, cur.withColumn(
+            "seg", F.replace(F.col("seg"), F.lit(pattern), F.lit(repl))
+        ).persist()
+    keep = [cur] if prev is None else [prev, cur]
+    return merges, cur, keep
+
+
+def _bpe_train_loop(d: DataFrame) -> DataFrame:
+    spark = d.sparkSession
+    vocab = (
+        _bpe_words(d)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_bpe_seg0(F.col("w")).alias("seg"), "cnt")
+        .persist()
+    )
+    merges, _final, keep = _bpe_vocab_merges(vocab)
+    for c in keep:
+        c.unpersist()
+    vocab.unpersist()
     return spark.createDataFrame(
         merges,
         "step bigint, left string, right string, merged string, "
@@ -6046,8 +6119,14 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan stage; no all-pairs comparison and no suffix array."""
     k = EXSUB_K
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    # cache the per-doc token ARRAYS: three readers (the dup-gram agg,
+    # the position join, the final n_tokens join) each re-ran the regex
+    # tokenize over the raw text — one scan now feeds all three (guide
+    # §1.2 "don't compute things twice"; same per-doc-array caching as
+    # setjoin/langid). The 13-gram strings themselves stay uncached —
+    # they are ~13x the corpus bytes and each reader needs them once.
+    toks = D.cache_acquire(
+        d.select("doc_id", TX.tokens(F.lower(F.col("text"))).alias("t"))
     )
     grams = (
         toks.filter(F.size("t") >= k)
@@ -6106,7 +6185,7 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("dup_tokens"),
         F.max(F.col("e") - F.col("s") + 1).cast("long").alias("longest_span"),
     )
-    return (
+    out = (
         per.join(
             toks.select("doc_id", F.size("t").cast("long").alias("n_tokens")),
             "doc_id",
@@ -6123,6 +6202,9 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    out = D._unpersist_on_gc(out, toks)
+    D.cache_release(toks)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -6630,81 +6712,49 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     training scans (the apply chain is this function's second half)."""
     s2 = BPE_SEP + BPE_SEP
     d = load(spark, sf_dir, "documents")
-    w = F.col("w")
-    seg0 = F.concat(
-        F.lit(s2),
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), F.length(w)),
-                lambda i: F.substr(w, i, F.lit(1)),
-            ),
-            s2,
-        ),
-        F.lit(s2),
-    )
-    corpus = (
+    # ONE corpus text scan total: per-(doc, word) occurrence counts are
+    # the only corpus-sized aggregate (map-side combinable — a doc's
+    # token array lives in one scan task), the vocab derives from them,
+    # the merge loop runs on the vocab (see _bpe_vocab_merges), and the
+    # per-doc stats come back via a vocab-sized join on the word — the
+    # "decide with small rows, attach once" shape (guide §8.4). The old
+    # form re-scanned the cached per-occurrence corpus (k pair-count
+    # aggs + k-1 replace materializations, each |corpus tokens| rows).
+    docword = (
         d.select(
             "doc_id",
             F.explode(
                 TX.tokens(F.lower(F.translate(F.col("text"), BPE_SEP, "")))
             ).alias("w"),
         )
-        .select("doc_id", F.length(w).alias("nch"), seg0.alias("seg"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
-    prev = None
-    cur = corpus
-    for _step in range(1, BPE_MERGES + 1):
-        t = F.filter(F.split(F.col("seg"), s2), lambda x: x != "")
-        pairs = (
-            cur.select(t.alias("t"))
-            .select(
-                F.explode(
-                    F.when(
-                        F.size("t") >= 2,
-                        F.transform(
-                            F.sequence(F.lit(1), F.size("t") - 1),
-                            lambda i: F.struct(
-                                F.element_at(F.col("t"), i).alias("l"),
-                                F.element_at(F.col("t"), i + 1).alias("r"),
-                            ),
-                        ),
-                    ).otherwise(
-                        F.array().cast("array<struct<l:string,r:string>>")
-                    )
-                ).alias("p")
-            )
-            .select("p.l", "p.r")
-        )
-        top = (
-            pairs.groupBy("l", "r")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.col("n").desc(), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        if prev is not None:
-            prev.unpersist()
-        if not top:
-            break
-        l, r = top[0]["l"], top[0]["r"]
-        pattern = BPE_SEP + l + s2 + r + BPE_SEP
-        repl = BPE_SEP + l + r + BPE_SEP
-        prev, cur = cur, cur.select(
-            "doc_id",
-            "nch",
-            F.replace(F.col("seg"), F.lit(pattern), F.lit(repl)).alias(
-                "seg"
+    vocab = (
+        docword.groupBy("w")
+        .agg(F.sum("c").alias("cnt"))
+        .select("w", _bpe_seg0(F.col("w")).alias("seg"), "cnt")
+        .persist()
+    )
+    _merges, final_vocab, keep = _bpe_vocab_merges(vocab)
+    wtok = final_vocab.select(
+        "w",
+        F.length("w").alias("nch"),
+        F.size(
+            F.filter(F.split(F.col("seg"), s2), lambda x: x != "")
+        ).alias("ntok"),
+    )
+    per = (
+        docword.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum(F.col("c") * F.col("nch")).cast("long").alias("n_chars"),
+            F.sum(F.col("c") * F.col("ntok")).cast("long").alias(
+                "n_tokens"
             ),
-        ).persist()
-    per = cur.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_words"),
-        F.sum("nch").cast("long").alias("n_chars"),
-        F.sum(
-            F.size(F.filter(F.split(F.col("seg"), s2), lambda x: x != ""))
         )
-        .cast("long")
-        .alias("n_tokens"),
     )
     out = (
         d.select("doc_id")
@@ -6723,13 +6773,10 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    # `cur`'s cache is declared but only fills when `out` executes; it
-    # computes from `prev`'s (materialized) cache — keep BOTH alive
-    # until the caller drops the result. Earlier frames were released
-    # inside the loop once the next argmax collect materialized their
-    # successor.
-    keep = [cur] if prev is None else [prev, cur]
-    out = D._unpersist_on_gc(out, *keep)
+    # final_vocab's cache is declared but only fills when `out` executes
+    # (from its predecessor's materialized cache) — keep the loop's live
+    # frames AND docword alive until the caller drops the result.
+    out = D._unpersist_on_gc(out, docword, *keep)
     return out
 
 
@@ -8253,7 +8300,10 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sorts the already-filtered scored table."""
     s = PMI_SCALE
     d = widen(spark, sf_dir, "documents")
-    t = TX.tokens(F.lower(F.col("text")))
+    # token array as a real column first (not inline in the lambda) —
+    # see top_bigrams: keeps the regex split out of the per-element path
+    toks = d.select(TX.tokens(F.lower(F.col("text"))).alias("t"))
+    t = F.col("t")
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -8262,7 +8312,7 @@ def pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(t, i + 1).alias("w2"),
         ),
     )
-    bg = d.select(
+    bg = toks.select(
         F.explode(
             F.when(n >= 2, grams).otherwise(
                 F.array().cast("array<struct<w1:string,w2:string>>")
@@ -9531,7 +9581,16 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping the LIMIT presentation tail and range-partitioning on
     the gram key."""
     d = widen(spark, sf_dir, "documents")
-    t = TX.tokens(F.lower(F.col("text")))
+    # materialize the token array as a real column before the gram
+    # lambda references it: an inline tokens() expression inside a
+    # higher-order-function lambda sits outside codegen's common-
+    # subexpression elimination, so each element_at(t, i) could re-run
+    # the regex split per element (house idiom: dedup_exact_substrings,
+    # split_contamination build `t` first)
+    toks = d.select(
+        "doc_id", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    t = F.col("t")
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - 1),
@@ -9539,7 +9598,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(t, i), F.element_at(t, i + 1)
         ),
     )
-    pairs = d.select(
+    pairs = toks.select(
         "doc_id",
         F.explode(
             F.when(n >= 2, grams).otherwise(
