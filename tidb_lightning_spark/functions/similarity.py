@@ -522,27 +522,55 @@ def _py_dot(a: list[float], b: list[float]) -> float:
     return acc
 
 
+def _sql_double_array(vals: list[float]) -> str:
+    """array(...) SQL literal of doubles. repr() is Python's shortest
+    round-trip decimal and Spark's `<decimal>D` literal parses via
+    Double.parseDouble (correctly rounded), so the JVM double is
+    bit-identical to the driver-side float."""
+    return "array(" + ",".join(f"{v!r}D" for v in vals) + ")"
+
+
+def _sql_dot(vec_sql: str, arr_sql: str) -> str:
+    """SQL text of the SAME left-to-right dot fold as dot() — identical
+    Catalyst tree (aggregate over zip_with), just parsed JVM-side."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, (x, y) -> x * y), "
+        f"0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _centroid_dist_structs(
-    vec: Column, centroids: list[list[float]]
-) -> list[Column]:
-    """(dist_i, i) structs with dist_i = ||c_i||^2 - 2*dot(v, c_i):
-    argmin-equivalent to squared Euclidean (the dot(v,v) term is constant
-    per row) and, unlike a zip_with (x-y)^2 fold, built from the SAME
-    left-to-right dot fold DuckDB's list_dot_product uses — the property
-    the full-pipeline IVF SQL oracle needs for bit-stable assignment."""
+    vec_sql: str, centroids: list[list[float]]
+) -> list[str]:
+    """(dist_i, i) struct SQL fragments with dist_i = ||c_i||^2 -
+    2*dot(v, c_i): argmin-equivalent to squared Euclidean (the dot(v,v)
+    term is constant per row) and, unlike a zip_with (x-y)^2 fold, built
+    from the SAME left-to-right dot fold DuckDB's list_dot_product uses —
+    the property the full-pipeline IVF SQL oracle needs for bit-stable
+    assignment. Emitted as SQL text rather than Column objects: the
+    Column form cost n_lists*dim py4j round trips PER expression build
+    (~1 s of pure driver time each at dim 64), where one F.expr parse
+    builds the identical tree JVM-side."""
     entries = []
     for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(v) for v in c])
-        d = F.lit(_py_dot(c, c)) - F.lit(2.0) * dot(vec, carr)
-        entries.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
+        d = (
+            f"{_py_dot(c, c)!r}D - 2.0D * "
+            f"{_sql_dot(vec_sql, _sql_double_array(c))}"
+        )
+        entries.append(f"named_struct('dist', {d}, 'idx', {i})")
     return entries
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def _nearest_centroid(vec_sql: str, centroids: list[list[float]]) -> Column:
     """argmin_i ||vec - c_i||^2 as a pure Catalyst expression: an array of
     (dist, idx) structs reduced with array_min (struct ordering compares
-    dist first). Centroids are driver-side constants -> broadcast literals."""
-    return F.array_min(F.array(*_centroid_dist_structs(vec, centroids)))["idx"]
+    dist first). Centroids are driver-side constants -> broadcast literals;
+    the whole expression is ONE F.expr parse (see _centroid_dist_structs)."""
+    return F.expr(
+        "array_min(array("
+        + ",".join(_centroid_dist_structs(vec_sql, centroids))
+        + ")).idx"
+    )
 
 
 def train_ivf_centroids(
@@ -577,6 +605,12 @@ def train_ivf_centroids(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
     )
+    # the seed draw + every Lloyd iteration is a separate driver-side
+    # action over the same (id, vec) projection — persist it once so
+    # iterations re-read cached vectors instead of re-scanning parquet
+    # and re-casting per round (guide §5: reuse justifies the cache; the
+    # handle is released before returning)
+    base = base.persist()
     seeds = (
         base.withColumn("_h", F.md5(F.col("_id").cast("string")))
         .orderBy("_h")
@@ -587,7 +621,7 @@ def train_ivf_centroids(
     centroids = [list(r["_v"]) for r in seeds]
     for _ in range(iters):
         assigned = base.withColumn(
-            "_c", _nearest_centroid(F.col("_v"), centroids)
+            "_c", _nearest_centroid("_v", centroids)
         )
         means = (
             assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
@@ -611,6 +645,7 @@ def train_ivf_centroids(
             [new[i][d] for d in sorted(new[i])] if i in new else centroids[i]
             for i in range(n_lists)
         ]
+    base.unpersist()
     return centroids
 
 
@@ -644,20 +679,15 @@ def knn_ivf(
         F.col(id_col).alias("_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
     ).withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
-    base = base.withColumn("_list", _nearest_centroid(F.col("_v"), centroids))
+    base = base.withColumn("_list", _nearest_centroid("_v", centroids))
 
     # per-query probe set: the n_probe nearest centroid ids, as an array
     # (same ||c||^2 - 2*dot distance as assignment — one formula, both
-    # engines; see _centroid_dist_structs)
-    probe = F.transform(
-        F.slice(
-            F.array_sort(
-                F.array(*_centroid_dist_structs(F.col("_qv"), centroids))
-            ),
-            1,
-            n_probe,
-        ),
-        lambda s: s["idx"],
+    # engines; see _centroid_dist_structs); one F.expr parse
+    probe = F.expr(
+        "transform(slice(array_sort(array("
+        + ",".join(_centroid_dist_structs("_qv", centroids))
+        + f")), 1, {n_probe}), s -> s.idx)"
     )
 
     q = (
@@ -875,19 +905,20 @@ def semdedup(
             F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
         )
         .withColumn("_norm", F.sqrt(dot(F.col("_v"), F.col("_v"))))
-        .withColumn("_list", _nearest_centroid(F.col("_v"), centroids))
+        .withColumn("_list", _nearest_centroid("_v", centroids))
     )
     # cosine to the assigned centroid: pick this row's entry out of the
     # per-centroid literal array (centroid norms are driver-side sqrt of
-    # the same left-fold self-dot DuckDB computes as list_dot_product)
-    ccos_all = F.array(
-        *[
-            (
-                dot(F.col("_v"), F.array(*[F.lit(x) for x in c]))
-                / (F.col("_norm") * F.lit(math.sqrt(_py_dot(c, c))))
-            )
+    # the same left-fold self-dot DuckDB computes as list_dot_product);
+    # one F.expr parse instead of n_lists*dim py4j literal calls
+    ccos_all = F.expr(
+        "array("
+        + ",".join(
+            f"{_sql_dot('_v', _sql_double_array(c))}"
+            f" / (_norm * {math.sqrt(_py_dot(c, c))!r}D)"
             for c in centroids
-        ]
+        )
+        + ")"
     )
     ranked = base.withColumn(
         "_ccos", F.element_at(ccos_all, F.col("_list") + 1)

@@ -8778,14 +8778,23 @@ def langid_trigram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by doc_id. Text never leaves the scan stage."""
     m = LANGID_TOP_M
     d = load(spark, sf_dir, "documents")
-    lower = F.lower(F.col("text"))
+    # lowercase the text ONCE as a real column before the trigram
+    # lambda references it: an inline lower(text) inside the transform
+    # lambda sits outside codegen's common-subexpression elimination,
+    # so every element re-lowercased the WHOLE document — O(chars^2)
+    # per doc (same class as the top_bigrams tokens() fix; measured
+    # ~4x on this query's scan stage at sf0.1)
+    lowered = d.filter(F.length("text") >= 3).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("lw")
+    )
+    lw = F.col("lw")
     base = D.cache_acquire(
-        d.filter(F.length("text") >= 3).select(
+        lowered.select(
             "doc_id",
             "lang",
             F.transform(
-                F.sequence(F.lit(1), F.length(lower) - 2),
-                lambda i: F.substr(lower, i, F.lit(3)),
+                F.sequence(F.lit(1), F.length(lw) - 2),
+                lambda i: F.substr(lw, i, F.lit(3)),
             ).alias("gs"),
         )
     )
