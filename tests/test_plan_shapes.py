@@ -483,15 +483,20 @@ def test_attribution_single_scan_one_window(spark):
 
 
 def test_profile_single_scan_expand_agg(spark):
-    """profile_orders (r10): one parquet scan, the 6-way distinct
-    profile is ONE Expand-based aggregate (single shuffle of partial
-    aggregates), and the per-column unpivot explodes the single
-    aggregated row — no per-column re-scans, no join."""
+    """profile_orders (r10, reshaped r12): the 6-way distinct profile
+    stays ONE Expand-based aggregate, but min/max (string buffers force
+    a SortAggregate) run in a SEPARATE keyless pass so the Expanded row
+    stream aggregates hash-side instead of being sorted on seven wide
+    keys — two pruned scans, no per-column re-scans, and the only join
+    glues two single-row frames together (broadcast-trivial)."""
     plan = plan_of(spark, "profile_orders")
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     assert "Expand" in plan
-    assert "Join" not in plan
-    assert n_exchanges(plan) <= 3
+    # the Expanded (distinct) side must aggregate hash-side: no Sort
+    # may appear below the Expand's aggregation
+    assert "HashAggregate" in plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) <= 1  # output orderBy only
+    assert n_exchanges(plan) <= 4
 
 
 def test_grouping_sets_single_pass(spark):

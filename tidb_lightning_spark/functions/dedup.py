@@ -416,7 +416,7 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     prev_fp = None
@@ -446,7 +446,14 @@ def connected_components(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mn.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()  # eager: truncates lineage AND runs round
+            # LAZY checkpoint: the fingerprint collect right below is the
+            # round's first action, so it materializes the checkpoint
+            # blocks AND computes the fingerprint in ONE job — the eager
+            # form ran a materialization job plus a separate fingerprint
+            # job every round (2x the per-round job latency, measured
+            # ~0.4 s/round of pure scheduling at sf0.1). Lineage is
+            # truncated identically once the blocks exist.
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         fp = (
@@ -455,7 +462,10 @@ def connected_components(
             .collect()[0]
         )
         e = small
-        if prev_fp == (fp["n"], fp["x"]):
+        if prev_fp == (fp["n"], fp["x"]) or fp["n"] == 0:
+            # fixpoint reached — or the contracted edge set is empty
+            # (isolated nodes only), which is trivially a fixpoint and
+            # needs no confirming alternation
             break
         prev_fp = (fp["n"], fp["x"])
     labels = (

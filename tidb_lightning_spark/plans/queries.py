@@ -7977,14 +7977,29 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical plan shape; exact is kept here so the profile is
     oracle-checkable."""
     o = load(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    # TWO keyless aggregates instead of one combined agg: min/max over
+    # STRING columns have immutable (UTF8String) aggregation buffers, so
+    # a combined plan falls back to SortAggregate — and the multi-distinct
+    # rewrite then SORTS the 7x-Expanded row stream on all seven wide
+    # grouping keys twice (measured: the sort dominated the query; plan
+    # diff in plans/r12/profile_orders_{before,after}.txt). Split apart,
+    # the basic pass is a keyless SortAggregate with NO sort (empty
+    # grouping key) and the distinct pass keeps only long count buffers,
+    # so its Expand aggregates hash-side. The join is two single-row
+    # frames — broadcast-trivial at any scale.
+    basic_aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c, mm in _PROFILE_COLS:
-        aggs.append(F.count(c).cast("long").alias(f"cnt__{c}"))
-        aggs.append(F.count_distinct(c).cast("long").alias(f"nd__{c}"))
+        basic_aggs.append(F.count(c).cast("long").alias(f"cnt__{c}"))
         if mm:
-            aggs.append(F.min(c).cast("string").alias(f"mn__{c}"))
-            aggs.append(F.max(c).cast("string").alias(f"mx__{c}"))
-    one = o.agg(*aggs)
+            basic_aggs.append(F.min(c).cast("string").alias(f"mn__{c}"))
+            basic_aggs.append(F.max(c).cast("string").alias(f"mx__{c}"))
+    nd = o.agg(
+        *[
+            F.count_distinct(c).cast("long").alias(f"nd__{c}")
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    one = o.agg(*basic_aggs).crossJoin(nd)
     entries = [
         F.struct(
             F.lit(c).alias("col_name"),
