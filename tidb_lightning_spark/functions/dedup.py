@@ -183,11 +183,19 @@ def minhash_wide_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     sh = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s")
     )
-    h31 = hash60(F.col("s")) % F.lit(MERSENNE31)
+    # each permutation agg is ONE F.expr parse (not ~6 py4j Column calls
+    # x 64 permutations per build — measured ~0.5 s of pure driver time
+    # per call site); the parsed tree is identical: same %, same
+    # bigint literals, same min aggregate
+    h31 = (
+        "(CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) "
+        f"% {MERSENNE31}L)"
+    )
     return sh.groupBy(id_col).agg(
         *[
-            F.min(
-                (F.lit(PERM_A[j]) * h31 + F.lit(PERM_B[j])) % F.lit(MERSENNE31)
+            F.expr(
+                f"min(({PERM_A[j]}L * {h31} + {PERM_B[j]}L) "
+                f"% {MERSENNE31}L)"
             ).alias(f"mh{j}")
             for j in range(N_MINHASH)
         ]
@@ -197,11 +205,13 @@ def minhash_wide_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signature_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, hash_idx, minhash) — exploded signature rows."""
     mins = minhash_wide_df(df, id_col, text_col)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(j).alias("hash_idx"), F.col(f"mh{j}").alias("minhash"))
+    pairs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('hash_idx', {j}, 'minhash', mh{j})"
             for j in range(N_MINHASH)
-        ]
+        )
+        + ")"
     )
     return (
         mins.select(F.col(id_col), F.explode(pairs).alias("p"))
@@ -213,22 +223,21 @@ def band_hashes_df(wide: DataFrame, id_col: str) -> DataFrame:
     """(id, band_idx, band_hash) from a wide signature — band_hash is a
     60-bit hash of the band's r concatenated minhashes, so the LSH join
     key is (int, long), a few bytes/doc/band on the wire."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                hash60(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col(f"mh{b * BAND_R + r}").cast("string")
-                            for r in range(BAND_R)
-                        ],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(N_BANDS)
-        ]
+    # ONE F.expr parse for the whole band array (identical tree: same
+    # concat_ws/md5/conv chain per band) instead of ~12 py4j Column
+    # calls x 8 bands per build
+    def band_sql(b: int) -> str:
+        cols = ", ".join(
+            f"CAST(mh{b * BAND_R + r} AS STRING)" for r in range(BAND_R)
+        )
+        return (
+            f"named_struct('band_idx', {b}, 'band_hash', "
+            f"CAST(conv(substring(md5(concat_ws('_', {cols})), 1, 15), "
+            f"16, 10) AS BIGINT))"
+        )
+
+    bands = F.expr(
+        "array(" + ",".join(band_sql(b) for b in range(N_BANDS)) + ")"
     )
     return wide.select(F.col(id_col), F.explode(bands).alias("p")).select(
         id_col, "p.band_idx", "p.band_hash"
@@ -244,11 +253,13 @@ def signature_agreement(a_pref: str, b_pref: str) -> Column:
     and the streaming near-dup admission path (streaming/curation.py),
     so a change to N_MINHASH or the estimator cannot silently diverge
     between batch and streaming semantics."""
-    m = sum(
-        F.when(F.col(f"{a_pref}{j}") == F.col(f"{b_pref}{j}"), 1).otherwise(0)
+    m = " + ".join(
+        f"(CASE WHEN {a_pref}{j} = {b_pref}{j} THEN 1 ELSE 0 END)"
         for j in range(N_MINHASH)
     )
-    return m.cast("double") / F.lit(float(N_MINHASH))
+    # one F.expr parse; same left-associated integer sum, same
+    # double-divide (when/otherwise IS a CASE WHEN)
+    return F.expr(f"CAST({m} AS DOUBLE) / {float(N_MINHASH)!r}D")
 
 
 def lsh_candidate_pairs(
@@ -293,13 +304,15 @@ def lsh_candidate_pairs(
         .select("_a", "_b")
         .distinct()
     )
-    wa = wide.select(
-        F.col(id_col).alias("_a"),
-        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(N_MINHASH)],
+    # selectExpr: one py4j call for the 65-column rename (vs 65 Column
+    # calls per side)
+    wa = wide.selectExpr(
+        f"{id_col} AS _a",
+        *[f"mh{j} AS a{j}" for j in range(N_MINHASH)],
     )
-    wb = wide.select(
-        F.col(id_col).alias("_b"),
-        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(N_MINHASH)],
+    wb = wide.selectExpr(
+        f"{id_col} AS _b",
+        *[f"mh{j} AS b{j}" for j in range(N_MINHASH)],
     )
     result = (
         cand.join(wa, "_a")

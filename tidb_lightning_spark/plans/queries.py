@@ -3532,13 +3532,13 @@ def dedup_incremental_vs_reference(
         .select("_new", "_ref")
         .distinct()
     )
-    wa = sig_new.select(
-        F.col("doc_id").alias("_new"),
-        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(D.N_MINHASH)],
+    wa = sig_new.selectExpr(
+        "doc_id AS _new",
+        *[f"mh{j} AS a{j}" for j in range(D.N_MINHASH)],
     )
-    wb = sig_ref.select(
-        F.col("doc_id").alias("_ref"),
-        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(D.N_MINHASH)],
+    wb = sig_ref.selectExpr(
+        "doc_id AS _ref",
+        *[f"mh{j} AS b{j}" for j in range(D.N_MINHASH)],
     )
     verdicts = (
         cand.join(wa, "_new")
