@@ -35,18 +35,27 @@ def time_df(df) -> float:
     return time.time() - t0
 
 
-def time_query(spec, spark, sf_dir: str) -> float:
+def time_query(spec, spark, sf_dir: str) -> tuple[float, float]:
     """Clock the FULL registry call, not just the returned plan's
     execution: eager entries (streaming_cdc_replay drains its stream,
     the BPE trainers run per-merge argmax collects) do their real work
     INSIDE spec.spark(...), so timing only the noop write of the
     returned DataFrame understated them by their whole cost (r11
     verdict item 7). Lazy entries pay only plan construction (ms) on
-    top — uniform and honest."""
+    top — uniform and honest.
+
+    Returns (total_sec, construct_sec): the split between the registry
+    call (driver-side plan building + any eager collects) and the noop
+    execution is recorded alongside so construction-side wins/losses
+    are visible in BENCH_FULL.json instead of only in ad-hoc A/B logs
+    (r12 verdict item 3). The TOTAL is unchanged — same timestamps,
+    same methodology — only an intermediate timestamp is recorded."""
     t0 = time.time()
     df = spec.spark(spark, sf_dir)
+    t1 = time.time()
     df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    t2 = time.time()
+    return t2 - t0, t1 - t0
 
 
 def _upsert_bench(spark, sf_dir: str) -> dict:
@@ -390,6 +399,7 @@ def main() -> None:
     # reported alongside so a wide band flags an untrustworthy median.
     import statistics
 
+    construct: dict[str, float] = {}
     for name, spec in Q.registry().items():
         try:
             # one untimed warmup execution: absorbs whole-stage-codegen
@@ -400,8 +410,11 @@ def main() -> None:
             time_query(spec, spark, sf_dir)
             spark.catalog.clearCache()
             ts = []
+            cs = []
             for _ in range(reps):
-                ts.append(time_query(spec, spark, sf_dir))
+                t, c = time_query(spec, spark, sf_dir)
+                ts.append(t)
+                cs.append(c)
                 # Repetitions and queries must not pollute each other:
                 # drop any persist() a query made (e.g. minhash signature
                 # reuse) so later timings aren't skewed by lingering
@@ -409,6 +422,7 @@ def main() -> None:
                 spark.catalog.clearCache()
             timings[name] = round(statistics.median(ts), 4)
             spread[name] = [round(min(ts), 4), round(max(ts), 4)]
+            construct[name] = round(statistics.median(cs), 4)
         except Exception as exc:  # keep the bench line intact on a bad query
             timings[name] = -1.0
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
@@ -498,6 +512,7 @@ def main() -> None:
     full = {
         "queries": timings,
         "queries_spread": spread,
+        "queries_construct_sec": construct,
         "bench_reps": reps,
         "queries_total_sec": total,
         "n_queries": len(timings),
