@@ -9573,7 +9573,7 @@ def dedup_duplicate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT gram,
              CAST(count(*) AS BIGINT) AS df,
              CAST(sum(tf) AS BIGINT) AS tf_total,
-             list_sort(list(doc_id)) AS postings
+             array_to_string(list_sort(list(doc_id)), ',') AS postings
       FROM td GROUP BY gram
     )
     SELECT gram, df, tf_total, postings
@@ -9633,10 +9633,22 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     td = pairs.groupBy("gram", "doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # the posting list is emitted as a comma-joined STRING, not an
+    # array<bigint>: the driver's pandas canonicalizer sort_values over
+    # an object column of Python lists raises `unhashable type: 'list'`
+    # (r12 verdict item 1), so the query was never comparable. Sorted
+    # numerically FIRST, then stringified — same ids, same order, one
+    # scalar column both engines canonicalize identically.
     agg = td.groupBy("gram").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.sum("tf").cast("long").alias("tf_total"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
     return (
         agg.filter((F.col("df") >= 2) & (F.col("df") <= 64))
