@@ -157,9 +157,17 @@ PERM_A = [(j * 2654435761 + 40503) % MERSENNE31 or 1 for j in range(N_MINHASH)]
 PERM_B = [(j * 1779033703 + 7) % MERSENNE31 for j in range(N_MINHASH)]
 
 
-def shingles(col: Column) -> Column:
-    """Word 3-gram shingles; whole text as fallback for short docs."""
-    t = tokens(col)
+def shingles_of(t: Column, orig: Column) -> Column:
+    """Word 3-gram shingles from a PRE-TOKENIZED array column `t`;
+    whole original text (`orig`) as fallback for short docs.
+
+    `t` must be a bound attribute (a real column materialized by a
+    prior projection), not an inline tokens(...) expression: the gram
+    lambda references it SHINGLE_K times per element, and an inline
+    expression inside a higher-order-function lambda sits outside
+    codegen's common-subexpression elimination — the regex split would
+    re-run 3x per shingle, O(tokens * chars) per doc (the langid
+    r12 finding, 2x there for a single inline lower())."""
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - (SHINGLE_K - 1), F.lit(0))),
@@ -167,7 +175,35 @@ def shingles(col: Column) -> Column:
             " ", *[F.element_at(t, i + off) for off in range(SHINGLE_K)]
         ),
     )
-    return F.when(n >= SHINGLE_K, grams).otherwise(F.array(col))
+    return F.when(n >= SHINGLE_K, grams).otherwise(F.array(orig))
+
+
+def shingles(col: Column) -> Column:
+    """Word 3-gram shingles; whole text as fallback for short docs.
+
+    NOTE: prefer materializing tokens() as a column and calling
+    shingles_of(t, col) — this convenience form inlines the tokenizer
+    into the gram lambda and re-tokenizes per element (see shingles_of
+    docstring). Kept for short-text/test call sites only."""
+    return shingles_of(tokens(col), col)
+
+
+def shingled_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, s) — one row per (doc, shingle occurrence), tokenizing each
+    doc exactly ONCE: tokens() is materialized as a column in its own
+    projection so the gram lambda reads a bound attribute (shingles_of
+    contract). The shared scan shape for every shingle consumer."""
+    toks = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("_t"),
+    )
+    return toks.select(
+        F.col(id_col),
+        F.explode(
+            shingles_of(F.col("_t"), F.col(text_col))
+        ).alias("s"),
+    )
 
 
 def minhash_wide_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -180,9 +216,7 @@ def minhash_wide_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     (measured 40x slower), and salting 64 separate md5s multiplies the
     scan time vs the permutation family.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s")
-    )
+    sh = shingled_rows(df, id_col, text_col)
     # each permutation agg is ONE F.expr parse (not ~6 py4j Column calls
     # x 64 permutations per build — measured ~0.5 s of pure driver time
     # per call site); the parsed tree is identical: same %, same

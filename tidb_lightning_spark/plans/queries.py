@@ -7023,14 +7023,14 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact regardless of partition order.
 
     Scale shape: text leaves the scan stage as adjacent-pair counts
-    (map-side partial agg to the vocab-squared-sparse edge list); pr
-    and wsum are vocab-sized so each sweep broadcasts them into a
-    map-side join against edges and shuffles ONLY the vocab-keyed
-    contribution sums — per-iteration cost is independent of corpus
-    size once edges are built. Edges AND the node list are
-    cache_acquire'd — every sweep reuses both, so the corpus is scanned
-    once, not once per iteration. Reference has no graph surface; this
-    extends the LLM-pipeline keyword/quality toolkit (SURVEY §2.N)."""
+    (map-side partial agg to the vocab-squared-sparse edge list); the
+    edge list is cached ONCE with wsum attached and hash-partitioned by
+    dst, so each sweep is a broadcast of the vocab-sized pr into a
+    map-side join plus an exchange-free aggregation over the cached
+    partitioning — per-iteration cost is independent of corpus size
+    once edges are built, and sweep 1 (constant pr0 = S) needs no
+    broadcast at all. Reference has no graph surface; this extends the
+    LLM-pipeline keyword/quality toolkit (SURVEY §2.N)."""
     s = TEXTRANK_SCALE
     d = load(spark, sf_dir, "documents")
     toks = d.select(
@@ -7052,52 +7052,90 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     und = pairs.filter(F.col("a") != F.col("b"))
-    edges = D.cache_acquire(
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(
-            und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    # r13 sweep-cost restructure (guide §2.4/§5): the r12 shape ran,
+    # PER SWEEP, a wsum broadcast join + a pr broadcast + an edge-list
+    # groupBy("dst") exchange + a nodes-cache left join + a contrib
+    # broadcast — ~15 tiny stages of scheduling latency was the
+    # measured cost. Three invariants collapse that:
+    #   1. wsum is sweep-invariant — attach it to each edge ONCE (a
+    #      window over src at cache build), not via a per-sweep join.
+    #   2. Contributions land on EVERY connected node (each dst appears
+    #      in the edge list by construction), so base + sc needs no
+    #      nodes join; isolated tokens hold pr = base after sweep 1 and
+    #      are unioned in once at the end. Sweep 1's pr is the constant
+    #      S for every src, so it folds into the expression — the first
+    #      sweep needs no broadcast at all.
+    # Identical integer arithmetic per sweep, identical row set.
+    w_src = Window.partitionBy("src")
+    # both edge directions from ONE pass: the r12 unionAll duplicated
+    # the whole corpus-scan + tokenize + pair-explode subtree (two Scan
+    # parquet + two Generate in the cache-build plan); exploding a
+    # 2-struct array emits the same two directed rows per pair from a
+    # single scan
+    ejw = D.cache_acquire(
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"), F.col("b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .withColumn("wsum", F.sum("w").over(w_src))
     )
-    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
-    nodes = D.cache_acquire(
-        toks.select(F.explode("t").alias("tok")).distinct()
-    )
-    pr = nodes.select("tok", F.lit(s).cast("long").alias("pr"))
+    pr = None
     for _ in range(TEXTRANK_ITERS):
-        contrib = (
-            edges.join(F.broadcast(wsum), "src")
-            .join(
-                F.broadcast(
-                    pr.select(
-                        F.col("tok").alias("src"),
-                        F.col("pr").alias("prs"),
-                    )
-                ),
-                "src",
-            )
-            .select(
+        if pr is None:
+            # sweep 1: pr0(src) == S for every node — no join needed
+            contrib = ejw.select(
                 "dst",
-                F.expr("(17 * ((prs * w) DIV wsum)) DIV 20").alias("ct"),
+                F.expr(f"(17 * (({s} * w) DIV wsum)) DIV 20").alias("ct"),
             )
-            .groupBy("dst")
-            .agg(F.sum("ct").alias("sc"))
-        )
+        else:
+            contrib = (
+                ejw.join(
+                    F.broadcast(
+                        pr.select(
+                            F.col("tok").alias("src"),
+                            F.col("pr").alias("prs"),
+                        )
+                    ),
+                    "src",
+                )
+                .select(
+                    "dst",
+                    F.expr("(17 * ((prs * w) DIV wsum)) DIV 20").alias(
+                        "ct"
+                    ),
+                )
+            )
         pr = (
-            nodes.join(
-                F.broadcast(contrib), nodes["tok"] == contrib["dst"], "left"
-            )
+            contrib.groupBy("dst")
+            .agg(F.sum("ct").alias("sc"))
             .select(
-                "tok",
-                (F.lit(_TR_BASE) + F.coalesce(F.col("sc"), F.lit(0)))
-                .cast("long")
-                .alias("pr"),
+                F.col("dst").alias("tok"),
+                (F.lit(_TR_BASE) + F.col("sc")).cast("long").alias("pr"),
             )
         )
+    # isolated tokens (no co-occurrence edge at all) receive no
+    # contribution and contribute nowhere: pr = base after every sweep
+    iso = (
+        toks.select(F.explode("t").alias("tok"))
+        .distinct()
+        .join(ejw.select(F.col("dst").alias("tok")), "tok", "left_anti")
+        .select("tok", F.lit(_TR_BASE).cast("long").alias("pr"))
+    )
+    pr_all = pr.unionByName(iso)
     w_rank = Window.orderBy(F.col("pr").desc(), F.asc("tok"))
     out = (
-        pr.select(
+        pr_all.select(
             F.col("tok").alias("token"),
             F.row_number().over(w_rank).cast("int").alias("rank"),
             F.col("pr").alias("pr_scaled"),
@@ -7106,9 +7144,8 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TEXTRANK_TOPK)
         .orderBy("rank")
     )
-    out = D._unpersist_on_gc(out, edges, nodes)
-    D.cache_release(edges)
-    D.cache_release(nodes)
+    out = D._unpersist_on_gc(out, ejw)
+    D.cache_release(ejw)
     return out
 
 
@@ -7709,11 +7746,18 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus just to dedupe rows that already share a partition (it was
     # the dominant stage measured at sf0.1); the cached base holds one
     # sorted set array per doc and feeds every downstream reader
+    # tokens materialized as a column first (shingles_of contract): the
+    # inline form re-ran the regex tokenizer 3x per shingle element
+    toks = d.select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("_t")
+    )
     base = D.cache_acquire(
-        d.select(
+        toks.select(
             "doc_id",
             F.sort_array(
-                F.array_distinct(D.shingles(F.col("text")))
+                F.array_distinct(
+                    D.shingles_of(F.col("_t"), F.col("text"))
+                )
             ).alias("s"),
         )
     )
@@ -7730,10 +7774,18 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w_doc).alias("n"),
         )
     )
-    pfx = ranked.filter(
-        F.col("rn")
-        <= F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + 1
-    ).select("doc_id", "tok")
+    # the prefix table feeds BOTH sides of the candidate self-join; an
+    # uncached pfx is a plan SUBTREE that Spark duplicates per side —
+    # the r12 plan shows the whole explode -> dfreq-join -> window
+    # pipeline executing twice (operators 19-25 and 42-48), one copy
+    # per join input. Caching pfx runs the df-ranking pass once; both
+    # sides read (doc_id, tok) pairs from memory (guide §1.2/§5).
+    pfx = D.cache_acquire(
+        ranked.filter(
+            F.col("rn")
+            <= F.col("n") - F.expr(f"({num} * n + {den - 1}) DIV {den}") + 1
+        ).select("doc_id", "tok")
+    )
     cand = (
         pfx.select(F.col("doc_id").alias("a"), "tok")
         .join(pfx.select(F.col("doc_id").alias("b"), "tok"), "tok")
@@ -7776,8 +7828,9 @@ def setjoin_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("jacc_scaled").desc(), "a", "b")
     )
-    out = D._unpersist_on_gc(out, base)
+    out = D._unpersist_on_gc(out, base, pfx)
     D.cache_release(base)
+    D.cache_release(pfx)
     return out
 
 
@@ -8946,11 +8999,18 @@ def containment_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays per pair, shuffling |cand| rows. AQE decides broadcasts."""
     num, den = CONT_TAU_NUM, CONT_TAU_DEN
     d = widen(spark, sf_dir, "documents")
+    # tokens materialized as a column first (shingles_of contract): the
+    # inline form re-ran the regex tokenizer 3x per shingle element
+    toks = d.select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("_t")
+    )
     base = D.cache_acquire(
-        d.select(
+        toks.select(
             "doc_id",
             F.sort_array(
-                F.array_distinct(D.shingles(F.col("text")))
+                F.array_distinct(
+                    D.shingles_of(F.col("_t"), F.col("text"))
+                )
             ).alias("s"),
         )
     )
