@@ -600,21 +600,37 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Explode tokens -> per-bit signed counts -> sign -> packed int. The
     groupBy is map-side combinable; the shuffled payload is 16 longs/doc.
     """
+    return _simhash_n_df(df, id_col, text_col, SIMHASH_BITS)
+
+
+def _simhash_n_df(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int
+) -> DataFrame:
+    """Shared n-bit simhash builder. The per-bit signed sums and the
+    bit-pack are each ONE F.expr parse (identical trees to the former
+    per-bit Column chains: same shiftright/&/*2-1 sum, same
+    CASE-WHEN > 0 power-of-two pack) instead of ~6 py4j calls x n_bits
+    aggregates + ~5 x n_bits pack calls per build — measured ~1.2 s of
+    pure driver time per near_dup_simhash_pairs construction at n=60
+    (the k-means/minhash r12 finding, simhash edition)."""
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", hash60(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    per_bit = tok.groupBy(id_col).agg(*aggs)
-    packed = None
-    for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        packed = bit if packed is None else packed + bit
-    return per_bit.select(F.col(id_col), packed.cast("bigint").alias("simhash"))
+    sums = ", ".join(
+        f"sum((shiftright(h, {i}) & 1) * 2 - 1) AS s{i}"
+        for i in range(n_bits)
+    )
+    per_bit = tok.groupBy(id_col).agg(
+        F.expr(f"struct({sums})").alias("_ss")
+    )
+    packed = " + ".join(
+        f"(CASE WHEN _ss.s{i} > 0 THEN {1 << i}L ELSE 0L END)"
+        for i in range(n_bits)
+    )
+    return per_bit.select(
+        F.col(id_col),
+        F.expr(f"CAST({packed} AS BIGINT)").alias("simhash"),
+    )
 
 
 def sql_simhash(table: str, id_col: str, text_col: str) -> str:
@@ -670,25 +686,7 @@ def simhash60_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     within distance 3 of something). Same shape: explode tokens, one
     hash per token, per-bit signed sums (map-side combinable, 60
     longs/doc shuffled), sign -> packed bigint."""
-    tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", hash60(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"s{i}")
-        for i in range(SIMHASH60_BITS)
-    ]
-    per_bit = tok.groupBy(id_col).agg(*aggs)
-    packed = None
-    for i in range(SIMHASH60_BITS):
-        bit = F.when(
-            F.col(f"s{i}") > 0, F.lit(1 << i).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        packed = bit if packed is None else packed + bit
-    return per_bit.select(
-        F.col(id_col), packed.cast("bigint").alias("simhash")
-    )
+    return _simhash_n_df(df, id_col, text_col, SIMHASH60_BITS)
 
 
 def sql_simhash60(table: str, id_col: str, text_col: str) -> str:

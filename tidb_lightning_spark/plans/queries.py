@@ -2906,24 +2906,51 @@ def token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition/diversity signal the Gopher fractions don't capture
     (top_token_frac sees only the mode; this weights the whole
     distribution). Exact integer arithmetic per row (squared counts over
-    the distinct-token fold), one IEEE division at the end — no shuffle,
-    runs at scan speed, bit-identical across engines."""
+    run lengths of the sorted token array), one IEEE division at the
+    end — no shuffle, runs at scan speed, bit-identical across engines.
+
+    r13 rewrite (guide §4.1-class, the shingles/langid mechanism): the
+    old form evaluated `size(filter(t, x == dd))` TWICE per DISTINCT
+    token with `t` an INLINE tokens() expression — outside codegen CSE,
+    that re-ran the regex split and a full array scan 2x per distinct
+    token, O(n_distinct * (chars + n)) per doc, quadratic on exactly
+    the high-diversity docs this metric scores. Equal-token counts now
+    come from RUN LENGTHS over the sorted bound array: sum over runs of
+    (end_i - end_{i-1})^2 == sum over distinct tokens of count^2 —
+    identical value, O(n log n) per doc, one tokenization."""
     d = widen(spark, sf_dir, "documents")
-    t = TX.tokens(F.lower(F.col("text")))
-    n = F.size(t)
-    ss = F.aggregate(
-        F.transform(
-            F.array_distinct(t),
-            # counts are IntegerType: square in LONG or a ~46k-repetition
-            # spam doc (exactly this metric's target) wraps 32 bits while
-            # the DuckDB twin computes in BIGINT
-            lambda dd: F.size(F.filter(t, lambda x: x == dd)).cast("long")
-            * F.size(F.filter(t, lambda x: x == dd)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    base = d.select(
+        "doc_id",
+        F.sort_array(TX.tokens(F.lower(F.col("text")))).alias("_st"),
     )
-    return d.select(
+    st = F.col("_st")
+    n = F.size(st)
+    # 1-based positions where a run of equal tokens ends; try_element_at
+    # is NULL past the end (never an ANSI error) and a NULL lambda
+    # result is dropped by filter, so the empty array yields []
+    ends = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: (i == n)
+        | (F.try_element_at(st, i) != F.try_element_at(st, i + 1)),
+    )
+    # counts are squared in LONG: a ~46k-repetition spam doc (exactly
+    # this metric's target) wraps 32 bits while DuckDB computes BIGINT
+    ss = F.aggregate(
+        ends,
+        F.struct(
+            F.lit(0).alias("p"), F.lit(0).cast("long").alias("s")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            (
+                acc["s"]
+                + (x - acc["p"]).cast("long")
+                * (x - acc["p"]).cast("long")
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"],
+    )
+    return base.select(
         "doc_id",
         n.cast("int").alias("n_tokens"),
         F.when(n <= 0, F.lit(0.0))
@@ -5167,10 +5194,21 @@ def embedding_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    scale = F.greatest(
-        F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-30)
+    # scale materialized as a column BEFORE the quantize lambda uses it:
+    # an inline max-abs expression inside the per-element lambda sits
+    # outside codegen CSE and re-reduces the whole vector per element —
+    # O(dim^2) per vector (the shingles/langid mechanism, vector
+    # edition). Same arithmetic, one reduction per row.
+    es = e.select(
+        "vec_id",
+        "v",
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))),
+            F.lit(1e-30),
+        ).alias("_scale"),
     )
-    q8 = e.select(
+    scale = F.col("_scale")
+    q8 = es.select(
         "vec_id",
         "v",
         F.transform(
