@@ -43,8 +43,25 @@ TABLES = (
 )
 
 
+# Session-keyed table-HANDLE memo (a catalog, in effect). Every registry
+# query used to re-open its input tables through spark.read.parquet,
+# paying JVM file listing + pyarrow footer probes + schema finalization
+# per call (~110 ms/table measured: 0.69 s of q8_market_share's 0.96 s
+# construction was six read_table calls; the r13 baseline shows 82 s of
+# the 255 s bench total is construction). A DataFrame is an immutable
+# lazy plan — reusing the handle changes no results and caches no DATA;
+# every action still scans the parquet files. Keyed by applicationId so
+# a stopped session's handles are never served to a new session.
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return read_table(spark, f"{sf_dir}/{table}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = read_table(spark, f"{sf_dir}/{table}.parquet")
+        _LOAD_MEMO[key] = df
+    return df
 
 
 def dec(col: str, p: int = 18, s: int = 2):
@@ -5940,14 +5957,22 @@ def embedding_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    proj = F.array(
-        *[
-            dotc(
-                F.col("v"),
-                F.array(*[F.lit(x) for x in _plane(j, 64, RP_SEED_TABLE)]),
-            )
-            for j in range(RP_DIM)
-        ]
+    # the 16x64 projection matrix as ONE F.expr parse instead of ~1050
+    # py4j F.lit calls (measured 4.2 s of pure driver time per build —
+    # the r12 k-means finding, RP edition). Identical tree: same
+    # zip_with/aggregate left-to-right double fold, `{x!r}D` literals
+    # round-trip exactly (similarity.py contract).
+    def _dot_sql(j: int) -> str:
+        plane = ",".join(
+            f"{x!r}D" for x in _plane(j, 64, RP_SEED_TABLE)
+        )
+        return (
+            f"aggregate(zip_with(v, array({plane}), "
+            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    proj = F.expr(
+        "array(" + ",".join(_dot_sql(j) for j in range(RP_DIM)) + ")"
     )
     p = e.select("vec_id", "v", proj.alias("pv"))
     nrm = lambda c: F.greatest(F.sqrt(dotc(c, c)), F.lit(1e-30))  # noqa: E731
