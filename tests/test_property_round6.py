@@ -9,6 +9,8 @@ Example counts are capped: each example runs Spark jobs."""
 
 from __future__ import annotations
 
+from .conftest import slow_soak
+
 import duckdb
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -45,6 +47,7 @@ def _uf(n, edges):
         max_size=30,
     )
 )
+@slow_soak
 def test_connected_components_matches_union_find(spark, edges):
     nodes = spark.range(N_NODES).select("id")
     e = spark.createDataFrame(

@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+from .conftest import slow_soak
+
 import datetime
 import os
 
@@ -30,6 +32,7 @@ from tidb_lightning_spark.streaming import events as S
 # ---------------------------------------------------------------------------
 # 1. streaming HLL on null user_id
 # ---------------------------------------------------------------------------
+@slow_soak
 def test_streaming_hll_null_user_ids_match_batch(spark, tmp_path):
     ts = datetime.datetime(2024, 1, 1)
     rows = [

@@ -21,6 +21,8 @@ import os
 
 import duckdb
 import pytest
+
+from .conftest import slow_soak
 from pyspark.sql import functions as F
 
 from tidb_lightning_spark.functions import sketch as SK
@@ -139,6 +141,7 @@ def _drive(spark, tmp_path, tag: str, compact_every: int, batches):
     return admitted, st, wh, adm
 
 
+@slow_soak
 def test_neardup_state_compaction_bounded_and_equivalent(spark, tmp_path):
     """~50 micro-batches: with compact_every=8 the state-dir count stays
     bounded (never grows past snapshot + deltas + compact_every) while
@@ -192,6 +195,7 @@ def test_neardup_state_compaction_bounded_and_equivalent(spark, tmp_path):
         assert n_dirs == n_cmp  # the unbounded shape compaction removes
 
 
+@slow_soak
 def test_neardup_compaction_replay_is_idempotent(spark, tmp_path):
     """Replaying the batch that triggered compaction (the crash-replay
     contract: same batch_id, overwrite dirs) must neither see its own

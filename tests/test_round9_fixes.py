@@ -25,11 +25,14 @@ import shutil
 
 import pytest
 
+from .conftest import slow_soak
+
 from tidb_lightning_spark.streaming import curation as C
 
 from .test_round8_fixes import _drive, _mk_batches
 
 
+@slow_soak
 def test_compaction_io_subquadratic_and_stats(spark, tmp_path):
     """rows_rewritten across 36 batches with compact_every=4 must stay
     well under the r8 full-rewrite baseline (every fold rewrites the
@@ -67,6 +70,7 @@ def test_compaction_io_subquadratic_and_stats(spark, tmp_path):
     assert stats["merges"] < stats["folds"], stats
 
 
+@slow_soak
 def test_gc_reclaims_crash_leftovers(spark, tmp_path):
     """Superseded snapshots, already-folded per-batch dirs, and orphan
     ._tmp dirs — the shapes a crash between rename and cleanup leaves —
@@ -111,6 +115,7 @@ def test_gc_reclaims_crash_leftovers(spark, tmp_path):
     assert admitted_8 == {r[0] for r in batches[8] if r[0] < 90000}
 
 
+@slow_soak
 def test_crash_between_renames_catches_up_next_admit(spark, tmp_path):
     """Kill the fold after the FIRST table's snapshot rename (bands ok,
     sigs + output not yet folded). The replayed admit must detect the
@@ -166,6 +171,7 @@ def test_crash_between_renames_catches_up_next_admit(spark, tmp_path):
     assert len(w2) == 1, w2
 
 
+@slow_soak
 def test_fresh_checkpoint_against_retained_state_raises(spark, tmp_path):
     """Restarting with a RESET checkpoint (batch ids back at 0) against
     a retained state dir must raise — r8 silently skipped the

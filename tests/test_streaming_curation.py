@@ -14,7 +14,7 @@ from tidb_lightning_spark.functions import quality as QL
 from tidb_lightning_spark.functions import text as TX
 from tidb_lightning_spark.streaming import curation as C
 
-from .conftest import SF_SMOKE
+from .conftest import slow_soak, SF_SMOKE
 
 
 @pytest.fixture()
@@ -182,6 +182,7 @@ def _read_batches(spark, table_dir):
     return spark.read.parquet(*[f"{table_dir}/{p}" for p in dirs])
 
 
+@slow_soak
 def test_neardup_admission_survives_restart(spark, tmp_path):
     """A PARAPHRASED duplicate (new fingerprint, high MinHash-Jaccard)
     of a doc admitted before a restart must be rejected by the band-join
@@ -291,6 +292,7 @@ def test_neardup_admission_survives_restart(spark, tmp_path):
     )
 
 
+@slow_soak
 def test_cli_curate_neardup_flag(spark, tmp_path, capsys):
     """`cli curate --neardup` wires the band-table admission path; a
     paraphrase arriving in a later drain is rejected."""

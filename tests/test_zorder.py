@@ -6,6 +6,8 @@ test measures real per-file footers, not plan text."""
 
 from __future__ import annotations
 
+from .conftest import slow_soak
+
 import glob
 import os
 
@@ -37,6 +39,7 @@ def _overlap_fraction(table_dir: str, col: str, lo: float, hi: float) -> float:
     return hit / len(files)
 
 
+@slow_soak
 def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
     n = 200_000
     df = spark.range(n).select(
