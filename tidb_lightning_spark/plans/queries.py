@@ -9338,11 +9338,21 @@ def streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate", "o_orderpriority",
     ]
     tmp = tempfile.mkdtemp(prefix=f"tls_cdcreplay_{uuid.uuid4().hex[:6]}_")
+    # base write + the four changeset arms are all subsets of this one
+    # projection — pin it so the fixture builds from ONE orders scan
+    # instead of five (released before the stream starts; the timed
+    # drain itself reads only the written change files)
+    from tidb_lightning_spark.functions.dedup import (
+        cache_acquire as _cache_acquire,
+        cache_release as _cache_release,
+    )
+
+    src = _cache_acquire(o.filter(k < n + ins_n).select(*cols))
     try:
         wh = os.path.join(tmp, "wh")
         sink = FilesSink(wh)
         sink.write_table(
-            o.filter(k < n).select(*cols), "cdcrep", "orders_state",
+            src.filter(k < n), "cdcrep", "orders_state",
             ["o_orderkey"],
         )
 
@@ -9360,20 +9370,22 @@ def streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         cdir = os.path.join(tmp, "changes")
         b1 = change(
-            o.filter((k % 10 == 3) & (k % 100 != 3) & (k < n)),
+            src.filter((k % 10 == 3) & (k % 100 != 3) & (k < n)),
             status="U1", add=1000.0, seq=1,
-        ).unionByName(change(o.filter((k >= n) & (k < n + ins_n)), seq=1))
+        ).unionByName(change(src.filter(k >= n), seq=1))
         b1.coalesce(1).write.parquet(os.path.join(cdir, "c0.parquet"))
-        hot = o.filter((k % 100 == 3) & (k < n))
+        hot = src.filter((k % 100 == 3) & (k < n))
         b2 = (
             change(hot, status="XX", add=1500.0, seq=2)
             .unionByName(change(hot, status="U2", add=2000.0, seq=3))
             .unionByName(
-                change(o.filter((k % 10 == 7) & (k < n)),
+                change(src.filter((k % 10 == 7) & (k < n)),
                        seq=2, deleted=True)
             )
         )
         b2.coalesce(1).write.parquet(os.path.join(cdir, "c1.parquet"))
+        _cache_release(src)
+        src = None  # released; the finally must not release twice
 
         schema = spark.read.parquet(os.path.join(cdir, "c0.parquet")).schema
         changes = (
@@ -9397,6 +9409,8 @@ def streaming_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey"
         )
     finally:
+        if src is not None:  # error before the normal release point
+            _cache_release(src)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -484,6 +484,7 @@ def upsert_table(
     db: str,
     table: str,
     key_columns: list[str],
+    keys_unique: bool = False,
 ) -> CommitResult:
     """MERGE-by-key into an existing files-backend table, copy-on-write:
     rows whose key exists take the update's values, new keys insert,
@@ -500,7 +501,10 @@ def upsert_table(
     Updates must be unique on the key (checked) — a nondeterministic
     dropDuplicates winner could never be re-derived on retry; callers
     with multi-version batches pre-reduce (e.g. max-by ingest sequence)
-    before calling.
+    before calling. A caller whose plan makes uniqueness structural
+    (e.g. a row_number()==1 filter over a per-key window) may pass
+    `keys_unique=True` to skip the duplicate-probe job — the probe
+    would be a whole extra action that can never fire.
 
     Scale shape: ONE anti-join keyed on the PK (both sides hash-
     partition on the key; the update side is usually broadcast-sized
@@ -535,7 +539,7 @@ def upsert_table(
             f"upsert into `{db}`.`{table}` needs key columns — the table "
             "has no primary key in _tls_meta.json; pass --key explicitly"
         )
-    dup = (
+    dup = 0 if keys_unique else (
         updates.groupBy(*key_columns)
         .count()
         .filter("count > 1")

@@ -449,8 +449,23 @@ def stream_cdc_apply(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn", seq_column)
             )
-        if not reduced.isEmpty():
-            upsert_table(sink, reduced, db, table, key_columns)
+        # The merge runs several actions over this batch (emptiness
+        # probe, COW file-pruning join, the rewrite itself) — pin the
+        # reduced changeset so the source scan + per-key window execute
+        # once per batch instead of once per action. Batch-scoped: the
+        # pin is dropped before the next micro-batch, so nothing
+        # persists across the stream.
+        reduced = reduced.persist()
+        try:
+            if not reduced.isEmpty():
+                # row_number()==1 makes the batch structurally unique
+                # per key — tell upsert so it skips the dup-probe job
+                upsert_table(
+                    sink, reduced, db, table, key_columns,
+                    keys_unique=seq_column is not None,
+                )
+        finally:
+            reduced.unpersist()
 
     writer = (
         changes.writeStream.foreachBatch(_apply)
