@@ -337,7 +337,9 @@ def test_exact_substrings_exchange_budget_and_shared_window(spark):
     the scan prunes to (doc_id, text)."""
     plan = plan_of(spark, "dedup_exact_substrings")
     assert "CartesianProduct" not in plan
-    assert n_exchanges(plan) <= 3, plan[:2000]
+    # <= 4 since r13: widen()'s repartition ahead of the gram explode
+    # (see test_bm25_single_scan_broadcast_joins note)
+    assert n_exchanges(plan) <= 4, plan[:2000]
     # both Window ops are adjacent on the same partitioning (a second
     # doc_id exchange between them would double the span-merge shuffle)
     assert len(re.findall(r"\(\d+\) Window", plan)) == 2
@@ -372,7 +374,10 @@ def test_dsir_single_text_scan(spark):
     scans = re.findall(r"\(\d+\) Scan parquet[^\n]*\n[^\n]*\n[^\n]*", plan)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan[:1500]
     assert "InMemoryTableScan" in plan
-    assert n_exchanges(plan) <= 6
+    # <= 8 since r13: widen()'s repartition ahead of BOTH scans (the
+    # tokenize pass and the doc_id-only anchor; the anchor's exchange
+    # shuffles pruned doc_ids only — see the bm25 pin note)
+    assert n_exchanges(plan) <= 8
     # text is read by exactly one of the two scans
     assert plan.count("text:string") <= 2
 
@@ -400,7 +405,11 @@ def test_bm25_single_scan_broadcast_joins(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "InMemoryTableScan" in plan
     assert "SortMergeJoin" not in plan
-    assert n_exchanges(plan) <= 8
+    # +1 exchange vs r10: widen()'s small-input repartition ahead of the
+    # terms build (r13 — parallelizes the tokenize stage on fixtures
+    # whose single-row-group scan would otherwise run one task;
+    # interleaved A/B 2.3 -> 2.2 median with the scan stage now 32-wide)
+    assert n_exchanges(plan) <= 9
 
 
 def test_textrank_iterations_reuse_cached_graph(spark):

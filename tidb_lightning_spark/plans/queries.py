@@ -118,6 +118,16 @@ def widen(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     open_cost = conf_bytes("spark.sql.files.openCostInBytes", 4 << 20)
     split = min(max_split, max(open_cost, (size + open_cost) // max(cores, 1)))
     n_parts = max(1, math.ceil(size / max(split, 1)))
+    # Byte-range splits cannot divide a parquet ROW GROUP: a task only
+    # materializes row groups whose midpoint lands in its range, so the
+    # scan's real parallelism is capped by the row-group count no matter
+    # how small maxPartitionBytes is. A single-row-group file (this
+    # harness's fixtures; also the tail files of any real table) yields
+    # ONE working task and n_parts-1 empty ones — byte math alone would
+    # wrongly conclude the scan is already wide. At scale the cap is
+    # bytes/~128 MiB >> cores and this clamp never binds.
+    if "://" not in path:
+        n_parts = min(n_parts, _footer_num_row_groups(path))
     if n_parts < cores:
         return df.repartition(cores)
     return df
@@ -151,6 +161,23 @@ def _footer_num_rows(path: str, spark: SparkSession | None = None) -> int:
             for p in sorted(_glob.glob(os.path.join(path, "*.parquet")))
         )
     return _pq.ParquetFile(path).metadata.num_rows
+
+
+def _footer_num_row_groups(path: str) -> int:
+    """Total parquet row-group count — file OR directory layout, driver-
+    side footer metadata only (the scan-parallelism cap widen() clamps
+    its byte-split estimate with). Local paths only; callers keep the
+    byte estimate for scheme'd URIs."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    if os.path.isdir(path):
+        return sum(
+            _pq.ParquetFile(p).metadata.num_row_groups
+            for p in sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        ) or 1
+    return _pq.ParquetFile(path).metadata.num_row_groups or 1
 
 
 def _first_parquet_batch(path: str, columns: list[str]):
@@ -435,7 +462,7 @@ def checksum_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent; the XOR merge is order-free, so the agg is one
     map-side-combinable pass with no Python in the loop.
     """
-    l = load(spark, sf_dir, "lineitem")
+    l = widen(spark, sf_dir, "lineitem")
     proj = [
         (F.col(n) if c is None else F.col(n).cast(c)).alias(n)
         for n, c in _LINEITEM_CANON
@@ -3655,16 +3682,22 @@ def near_dup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits the distance-3 ball is selective enough for pair mining.)"""
     d = widen(spark, sf_dir, "documents")
     sh = D.cache_acquire(D.simhash60_df(d, "doc_id", "text"))
-    segs = None
-    for s in range(4):
-        part = sh.select(
-            "doc_id",
-            F.lit(s).alias("seg_idx"),
-            F.shiftright(F.col("simhash"), s * 15)
-            .bitwiseAND(F.lit((1 << 15) - 1))
-            .alias("seg_val"),
-        )
-        segs = part if segs is None else segs.unionByName(part)
+    # one posexplode over the 4 segment values instead of a 4-arm
+    # unionByName loop: identical (doc_id, seg_idx, seg_val) rows, but
+    # ONE plan-analysis pass instead of seven — each unionByName
+    # re-resolved the 60-sum simhash subtree eagerly (~0.4 s of pure
+    # driver time per build), and the single Generate also reads the
+    # cached fingerprints once instead of four times
+    segs = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), s * 15)
+                .bitwiseAND(F.lit((1 << 15) - 1))
+                for s in range(4)
+            ])
+        ).alias("seg_idx", "seg_val"),
+    )
     a = segs.select(
         F.col("doc_id").alias("a"), "seg_idx", "seg_val"
     )
@@ -6181,7 +6214,7 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated positions, windowed per doc_id. Text never leaves the
     scan stage; no all-pairs comparison and no suffix array."""
     k = EXSUB_K
-    d = load(spark, sf_dir, "documents")
+    d = widen(spark, sf_dir, "documents")
     # cache the per-doc token ARRAYS: three readers (the dup-gram agg,
     # the position join, the final n_tokens join) each re-ran the regex
     # tokenize over the raw text — one scan now feeds all three (guide
@@ -6424,7 +6457,7 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc (at 100 TB: replace with a quantile-threshold selection from a
     histogram of wq — same contract as corpus_temperature_sample)."""
     b = DSIR_BUCKETS
-    d = load(spark, sf_dir, "documents")
+    d = widen(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
@@ -6925,7 +6958,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms table (no re-tokenization); query term sets broadcast; the
     candidate join fans out only docs sharing a query term, and the
     top-k window partitions by query. No all-pairs scan."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(spark, sf_dir, "documents")
     terms = (
         d.select(
             "doc_id",
@@ -8908,7 +8941,7 @@ def langid_trigram_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into the scoring join; the per-doc argmax window
     partitions by doc_id. Text never leaves the scan stage."""
     m = LANGID_TOP_M
-    d = load(spark, sf_dir, "documents")
+    d = widen(spark, sf_dir, "documents")
     # lowercase the text ONCE as a real column before the trigram
     # lambda references it: an inline lower(text) inside the transform
     # lambda sits outside codegen's common-subexpression elimination,
