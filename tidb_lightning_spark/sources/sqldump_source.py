@@ -741,9 +741,10 @@ def read_sql_files(
     ).repartition(max(len(ranges), 1))
 
     def parse_batches(batches):
-        for pdf in batches:
+        for rb in batches:  # pyarrow.RecordBatch of (path,start,end,base)
             for path, start, end, cbase in zip(
-                pdf["path"], pdf["start"], pdf["end"], pdf["chunk_base"]
+                rb.column(0).to_pylist(), rb.column(1).to_pylist(),
+                rb.column(2).to_pylist(), rb.column(3).to_pylist(),
             ):
                 if _is_compressed(path):
                     from tidb_lightning_spark.sources.csv_source import (
@@ -757,9 +758,16 @@ def read_sql_files(
                         f.seek(int(start))
                         data = f.read(int(end) - int(start))
                 content = data.decode(encoding, errors="replace")
-                yield from _row_frames(content, n_columns, int(cbase), path)
+                yield from _row_batches(content, n_columns, int(cbase), path)
 
-    return rdf.mapInPandas(parse_batches, schema=out_schema)
+    # mapInArrow, not mapInPandas: tier-0 already produces an Arrow
+    # table, and the pandas hop converted every string cell to a Python
+    # object on the way OUT of the parser only for Spark to re-encode
+    # it to Arrow on the way back IN — two full copies of the parsed
+    # text per chunk for nothing (guide §4: shrink the Python boundary).
+    # The scanner fallback tiers still build rows in Python; they
+    # convert once, straight to Arrow.
+    return rdf.mapInArrow(parse_batches, schema=out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -916,6 +924,65 @@ def _vector_rows_table(content: str, n_columns: int):
         ).as_py():
             return None
     return tbl
+
+
+def _row_batches(content: str, n_columns: int, base: int, src: str):
+    """Parse one chunk into pyarrow RecordBatches (the mapInArrow face
+    of _row_frames). Tier 0's Arrow table is sliced and shipped AS IS —
+    zero pandas materialization; the scanner tiers build their bounded
+    row buffers in Python as before and convert once, directly to
+    Arrow."""
+    import numpy as np
+    import pyarrow as pa
+
+    vec = _vector_rows_table(content, n_columns)
+    if vec is not None:
+        n = vec.num_rows
+        tbl = vec.append_column(
+            "_row_seq",
+            pa.array(np.arange(base, base + n, dtype="int64"),
+                     type=pa.int64()),
+        ).append_column("_src_file", pa.repeat(pa.scalar(src), n))
+        yield from tbl.to_batches(max_chunksize=16384)
+        return
+
+    names = [f"_c{i}" for i in range(n_columns)] + ["_row_seq", "_src_file"]
+    schema = pa.schema(
+        [pa.field(c, pa.string()) for c in names[:n_columns]]
+        + [pa.field("_row_seq", pa.int64()),
+           pa.field("_src_file", pa.string())]
+    )
+    seq = base
+    buf: list[list] = []
+    from tidb_lightning_spark.operators.transform import DEFAULT_SENTINEL
+
+    def flush(rows: list[list]) -> pa.RecordBatch:
+        cols = list(zip(*rows))
+        arrays = [
+            pa.array(cols[i], type=pa.string()) for i in range(n_columns)
+        ] + [
+            pa.array(cols[n_columns], type=pa.int64()),
+            pa.array(cols[n_columns + 1], type=pa.string()),
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    for stmt in parse_insert_statements(content):
+        for row in stmt.rows:
+            if len(row) != n_columns:
+                if len(row) == 0:
+                    row = [DEFAULT_SENTINEL] * n_columns
+                else:
+                    raise SQLDumpError(
+                        f"row arity {len(row)} != expected {n_columns} "
+                        f"in {src}"
+                    )
+            buf.append(row + [seq, src])
+            seq += 1
+        if len(buf) >= 16384:
+            yield flush(buf)
+            buf = []
+    if buf:
+        yield flush(buf)
 
 
 def _row_frames(content: str, n_columns: int, base: int, src: str):
