@@ -377,3 +377,60 @@ def test_empty_tuple_and_default_keyword_take_defaults():
     assert list(zip(got["_c0"], got["_c1"])) == [
         (d, d), ("1", d), (d, "x"), (d, d)
     ]
+
+
+def _batches_concat(S, text, n_cols):
+    """_row_batches output as one pandas frame, same dtypes as
+    _frames_concat for direct .equals comparison."""
+    import pandas as pd
+    import pyarrow as pa
+
+    batches = list(S._row_batches(text, n_cols, 100, "t.sql"))
+    if not batches:
+        return pd.DataFrame()
+    return pa.Table.from_batches(batches).to_pandas()
+
+
+@settings(max_examples=150, deadline=None)
+@given(rows=rows_strategy)
+def test_row_batches_matches_row_frames_property(rows):
+    """r13 mapInArrow parse face: _row_batches (Arrow RecordBatches, the
+    production scan path) must produce byte-identical rows to
+    _row_frames (the pandas reference the other differentials pin),
+    whichever tier the chunk takes — same columns, same _row_seq
+    continuity, same null cells."""
+    import pandas as pd
+
+    from tidb_lightning_spark.sources import sqldump_source as S
+
+    n_cols = len(rows[0])
+    if any(len(r) != n_cols for r in rows):
+        return
+    text = render_insert("t", rows)
+    want = _frames_concat(S, text, n_cols)
+    got = _batches_concat(S, text, n_cols)
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_like=False
+    )
+
+
+def test_row_batches_scanner_tier_matches_frames():
+    """Force the scanner tier (vector off): _row_batches' direct-to-
+    Arrow row buffering must equal _row_frames' pandas path, including
+    DEFAULT sentinels and NULLs."""
+    import pandas as pd
+
+    from tidb_lightning_spark.sources import sqldump_source as S
+
+    text = (
+        "INSERT INTO t VALUES (), (1, DEFAULT), (DEFAULT, 'x'), "
+        "(NULL, 0x41);\n"
+    )
+    old = S._SQL_VECTOR
+    S._SQL_VECTOR = False
+    try:
+        want = _frames_concat(S, text, 2)
+        got = _batches_concat(S, text, 2)
+    finally:
+        S._SQL_VECTOR = old
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -1100,15 +1100,19 @@ def _read_sql_file_ranged(
     divisor = n_columns + 2
 
     def parse_batches(batches):
-        for pdf in batches:
-            for off, stmt in zip(pdf["_off"], pdf["_stmt"]):
+        for rb in batches:
+            for off, stmt in zip(
+                rb.column(0).to_pylist(), rb.column(1).to_pylist()
+            ):
                 # the delimiter strips the terminating ';' — the scanner
                 # treats it as optional at EOF, so no re-append needed
-                yield from _row_frames(
+                yield from _row_batches(
                     stmt, n_columns, int(off) // divisor, path
                 )
 
-    return sdf.mapInPandas(parse_batches, schema=_remote_out_schema(n_columns))
+    # mapInArrow for the same reason as read_sql_files: tier-0 output is
+    # already Arrow; the pandas hop double-copied every string cell
+    return sdf.mapInArrow(parse_batches, schema=_remote_out_schema(n_columns))
 
 
 def read_sql_files_remote(
@@ -1163,14 +1167,19 @@ def read_sql_files_remote(
     ensure_shipped(spark)
 
     def parse_batches(batches):
-        for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                # str(buffer, enc) decodes bytes/bytearray/memoryview
-                # without materializing an intermediate bytes copy — at
-                # the cell cap that copy alone was an extra 256 MiB of
-                # peak task memory
-                text = str(content, encoding, "replace")
-                yield from _row_frames(text, n_columns, 0, path)
+        for rb in batches:
+            paths_col = rb.column(0)
+            content_col = rb.column(1)
+            for i in range(rb.num_rows):
+                # decode straight off the Arrow binary buffer view —
+                # same zero-intermediate-copy property the old
+                # str(buffer, enc) form had on the pandas path
+                text = str(
+                    content_col[i].as_buffer(), encoding, "replace"
+                )
+                yield from _row_batches(
+                    text, n_columns, 0, paths_col[i].as_py()
+                )
 
     parts: list[DataFrame] = []
     if len(big) < len(meta):
@@ -1180,7 +1189,7 @@ def read_sql_files_remote(
             # listing, so oversized files are pruned before any read
             small = bdf.filter(F.col("length") <= REMOTE_SQL_MAX_BYTES)
         parts.append(
-            small.select("path", "content").mapInPandas(
+            small.select("path", "content").mapInArrow(
                 parse_batches, schema=_remote_out_schema(n_columns)
             )
         )
